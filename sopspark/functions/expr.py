@@ -1,0 +1,555 @@
+"""SPARQL expression → Catalyst ``Column`` compiler.
+
+The reference's ``filter``/``map`` accept one SPARQL expression per quad
+component and evaluate it by *running a one-quad SPARQL query per row*
+(``src/filter.rs:26-42``, ``src/map.rs:37-57``) — a scalar expression
+evaluator implemented expensively. The Spark-idiomatic equivalent compiles
+the expression **once** into a Catalyst column tree that runs inside
+whole-stage codegen; there is no per-row interpretation anywhere.
+
+Value model: every subexpression compiles to a Column of the TERM struct
+(:data:`sopspark.terms.TERM_TYPE`). Booleans are ``xsd:boolean`` literal
+terms; evaluation *errors* are NULL terms — which makes SPARQL's
+error-propagation semantics (and the reference's drop-on-error,
+``src/filter.rs:36``, ``src/map.rs:47-52``) fall out of Spark's NULL
+propagation for free, including the README's
+``coalesce(langMatches(lang(?o), "en"), true)`` idiom (``README.md:59-63``).
+
+Functions implemented = the surface the reference evidences
+(``README.md:61,129,224``: coalesce, langMatches, lang, iri, lcase, str, =)
+plus the standard SPARQL 1.1 builtins that compile 1:1 to Catalyst.
+
+Datatype recognition (``query -d``, ``src/query.rs:46-60``): ``=`` compares
+recognized numerics in value space (42 == 042); without ``-d`` equality is
+term identity. ``compile_expr(..., recognize_datatypes=False)`` gives the
+identity behavior.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sopspark.terms import (
+    BNODE,
+    IRI,
+    LITERAL,
+    RDF_LANGSTRING,
+    TERM_SQL_TYPE,
+    XSD,
+    XSD_STRING,
+)
+
+NUMERIC_DTS = [
+    XSD + n
+    for n in (
+        "integer",
+        "decimal",
+        "float",
+        "double",
+        "long",
+        "int",
+        "short",
+        "byte",
+        "nonNegativeInteger",
+        "nonPositiveInteger",
+        "positiveInteger",
+        "negativeInteger",
+        "unsignedLong",
+        "unsignedInt",
+        "unsignedShort",
+        "unsignedByte",
+    )
+]
+
+
+class ExprError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# term-column helpers
+# ---------------------------------------------------------------------------
+
+def _null_term() -> Column:
+    return F.lit(None).cast(TERM_SQL_TYPE)
+
+
+def _mk_literal(value: Column, dt: Column | None = None, lang: Column | None = None) -> Column:
+    t = F.struct(
+        F.lit(LITERAL).cast("tinyint").alias("kind"),
+        value.alias("value"),
+        (dt if dt is not None else F.lit(None).cast("string")).alias("dt"),
+        (lang if lang is not None else F.lit(None).cast("string")).alias("lang"),
+    )
+    # NULL lexical value = upstream evaluation error → whole term is an error
+    return F.when(value.isNotNull(), t).otherwise(_null_term())
+
+
+def _mk_iri(value: Column) -> Column:
+    t = F.struct(
+        F.lit(IRI).cast("tinyint").alias("kind"),
+        value.alias("value"),
+        F.lit(None).cast("string").alias("dt"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return F.when(value.isNotNull(), t).otherwise(_null_term())
+
+
+def bool_term(b: Column) -> Column:
+    """boolean Column → xsd:boolean literal term (NULL passes through = error)."""
+    return F.when(
+        b.isNotNull(),
+        _mk_literal(F.when(b, "true").otherwise("false"), F.lit(XSD + "boolean")),
+    ).otherwise(_null_term())
+
+
+def is_numeric_term(t: Column) -> Column:
+    return t.isNotNull() & (t["kind"] == LITERAL) & t["dt"].isin(NUMERIC_DTS)
+
+
+def num(t: Column) -> Column:
+    """numeric value of a term, NULL when not a recognized numeric literal."""
+    return F.when(is_numeric_term(t), t["value"].cast("double")).otherwise(F.lit(None).cast("double"))
+
+
+def ebv(t: Column) -> Column:
+    """SPARQL effective boolean value; NULL = type error."""
+    is_bool = (t["kind"] == LITERAL) & (t["dt"] == XSD + "boolean")
+    is_str = (t["kind"] == LITERAL) & t["dt"].isNull() & t["lang"].isNull()
+    return (
+        F.when(t.isNull(), F.lit(None).cast("boolean"))
+        .when(is_bool, t["value"] == "true")
+        .when(is_numeric_term(t), t["value"].cast("double") != 0.0)
+        .when(is_str, F.length(t["value"]) > 0)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def _plain_string(t: Column) -> Column:
+    """string value when term is a string literal (plain or lang-tagged)."""
+    return F.when((t["kind"] == LITERAL) & t["dt"].isNull(), t["value"]).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def term_eq(a: Column, b: Column, recognize_datatypes: bool = True) -> Column:
+    """SPARQL ``=``: numeric value-space comparison when both sides are
+    recognized numerics (``src/query.rs:50-51`` semantics under ``-d``),
+    term identity otherwise."""
+    both_num = is_numeric_term(a) & is_numeric_term(b)
+    ident = (
+        (a["kind"] == b["kind"])
+        & (a["value"] == b["value"])
+        & (a["dt"].eqNullSafe(b["dt"]))
+        & (a["lang"].eqNullSafe(b["lang"]))
+    )
+    base = F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
+    if recognize_datatypes:
+        return base.when(both_num, num(a) == num(b)).otherwise(ident)
+    return base.otherwise(ident)
+
+
+def term_cmp(a: Column, b: Column, op: str) -> Column:
+    """``< > <= >=``: numeric when both numeric, codepoint-string when both
+    plain strings, else error (NULL)."""
+    an, bn = num(a), num(b)
+    as_, bs = _plain_string(a), _plain_string(b)
+
+    def apply(x: Column, y: Column) -> Column:
+        return {"<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y}[op]
+
+    return (
+        F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn))
+        .when(as_.isNotNull() & bs.isNotNull(), apply(as_, bs))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Node:
+    op: str
+    args: tuple
+
+    def col(self, env: dict[str, Column], rd: bool = True) -> Column:
+        return _compile(self, env, rd)
+
+
+def _num_term(c: Column, integer: bool = False) -> Column:
+    dt = XSD + ("integer" if integer else "double")
+    v = F.when(
+        c.isNotNull(),
+        c.cast("long").cast("string") if integer else c.cast("string"),
+    )
+    return F.when(c.isNotNull(), _mk_literal(v, F.lit(dt))).otherwise(_null_term())
+
+
+def _compile(n: Node, env: dict[str, Column], rd: bool) -> Column:
+    op = n.op
+    a = n.args
+
+    def c(i: int) -> Column:
+        return _compile(a[i], env, rd)
+
+    if op == "var":
+        name = a[0]
+        if name not in env:
+            return _null_term()  # unbound variable → error/unbound
+        return env[name]
+    if op == "iri_const":
+        return _mk_iri(F.lit(a[0]))
+    if op == "lit_const":
+        value, dt, lang = a
+        if dt == XSD_STRING:
+            dt = None
+        return _mk_literal(F.lit(value), F.lit(dt) if dt else None, F.lit(lang) if lang else None)
+    if op == "num_const":
+        text, dt = a
+        return _mk_literal(F.lit(text), F.lit(dt))
+    if op == "bool_const":
+        return _mk_literal(F.lit("true" if a[0] else "false"), F.lit(XSD + "boolean"))
+
+    if op == "or":
+        # SPARQL logical-or with error tolerance: err||true = true
+        l, r = ebv(c(0)), ebv(c(1))
+        both_null = l.isNull() & r.isNull()
+        return bool_term(
+            F.when(both_null, F.lit(None).cast("boolean")).otherwise(
+                F.coalesce(l, F.lit(False)) | F.coalesce(r, F.lit(False))
+            )
+        )
+    if op == "and":
+        l, r = ebv(c(0)), ebv(c(1))
+        any_false = (l.eqNullSafe(F.lit(False))) | (r.eqNullSafe(F.lit(False)))
+        both_ok = l.isNotNull() & r.isNotNull()
+        return bool_term(
+            F.when(any_false, F.lit(False)).when(both_ok, l & r).otherwise(F.lit(None).cast("boolean"))
+        )
+    if op == "not":
+        return bool_term(~ebv(c(0)))
+    if op == "neg":
+        return _num_term(-num(c(0)))
+    if op in ("=", "!="):
+        eq = term_eq(c(0), c(1), recognize_datatypes=rd)
+        return bool_term(eq if op == "=" else ~eq)
+    if op in ("<", ">", "<=", ">="):
+        return bool_term(term_cmp(c(0), c(1), op))
+    if op in ("+", "-", "*", "/"):
+        x, y = num(c(0)), num(c(1))
+        r = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[op]
+        return _num_term(r)
+    if op == "call":
+        return _call(a[0], [(_compile(x, env, rd)) for x in a[1]], rd)
+    raise ExprError(f"unknown op {op}")
+
+
+def _call(name: str, args: list[Column], rd: bool) -> Column:
+    n = name.lower()
+    if n == "coalesce":
+        return F.coalesce(*args) if args else _null_term()
+    if n == "bound":
+        return bool_term(args[0].isNotNull())
+    if n == "lang":
+        t = args[0]
+        return F.when(
+            t["kind"] == LITERAL, _mk_literal(F.coalesce(t["lang"], F.lit("")))
+        ).otherwise(_null_term())
+    if n == "langmatches":
+        # empty tag is not a valid RFC-4647 tag → evaluation *error*, which is
+        # what makes the README's coalesce(langMatches(lang(?o),"en"), true)
+        # keep untagged literals (README.md:59-63: untagged "Charlie" is kept)
+        tag = _plain_string(args[0])
+        rng = _plain_string(args[1])
+        m = F.when(rng == "*", F.lit(True)).otherwise(
+            (F.lower(tag) == F.lower(rng))
+            | F.lower(tag).startswith(F.concat(F.lower(rng), F.lit("-")))
+        )
+        return bool_term(
+            F.when(tag.isNull() | rng.isNull() | (tag == ""), F.lit(None).cast("boolean")).otherwise(m)
+        )
+    if n == "str":
+        t = args[0]
+        return F.when(
+            t["kind"].isin(IRI, LITERAL), _mk_literal(t["value"])
+        ).otherwise(_null_term())
+    if n in ("iri", "uri"):
+        t = args[0]
+        ok = (t["kind"] == IRI) | ((t["kind"] == LITERAL) & t["dt"].isNull() & t["lang"].isNull())
+        return F.when(ok, _mk_iri(t["value"])).otherwise(_null_term())
+    if n == "datatype":
+        t = args[0]
+        return F.when(
+            t["kind"] == LITERAL,
+            _mk_iri(
+                F.when(t["lang"].isNotNull(), F.lit(RDF_LANGSTRING)).otherwise(
+                    F.coalesce(t["dt"], F.lit(XSD_STRING))
+                )
+            ),
+        ).otherwise(_null_term())
+    if n in ("isiri", "isuri"):
+        return bool_term(args[0]["kind"] == IRI)
+    if n == "isblank":
+        return bool_term(args[0]["kind"] == BNODE)
+    if n == "isliteral":
+        return bool_term(args[0]["kind"] == LITERAL)
+    if n == "isnumeric":
+        return bool_term(is_numeric_term(args[0]))
+    if n in ("lcase", "ucase"):
+        t = args[0]
+        fn = F.lower if n == "lcase" else F.upper
+        return F.when(
+            t["kind"] == LITERAL, _mk_literal(fn(t["value"]), t["dt"], t["lang"])
+        ).otherwise(_null_term())
+    if n == "strlen":
+        return _num_term(F.length(_plain_string(args[0])).cast("double"), integer=True)
+    if n == "contains":
+        return bool_term(F.contains(_plain_string(args[0]), _plain_string(args[1])))
+    if n == "strstarts":
+        return bool_term(F.startswith(_plain_string(args[0]), _plain_string(args[1])))
+    if n == "strends":
+        return bool_term(F.endswith(_plain_string(args[0]), _plain_string(args[1])))
+    if n == "substr":
+        t = args[0]
+        start = num(args[1]).cast("int")
+        if len(args) > 2:
+            length = num(args[2]).cast("int")
+            v = F.substring(t["value"], start, length)
+        else:
+            v = F.substring(t["value"], start, F.lit(2147483647))
+        return F.when(t["kind"] == LITERAL, _mk_literal(v, t["dt"], t["lang"])).otherwise(_null_term())
+    if n == "concat":
+        vals = [_plain_string(x) for x in args]
+        return _mk_literal(F.concat(*vals))
+    if n == "replace":
+        v = _plain_string(args[0])
+        pat = _plain_string(args[1])
+        rep = _plain_string(args[2])
+        # pattern must be a literal for regexp_replace's Column form pre-3.0;
+        # Spark ≥3 accepts Columns.
+        return _mk_literal(F.regexp_replace(v, pat, rep))
+    if n == "regex":
+        v = _plain_string(args[0])
+        pat = _plain_string(args[1])
+        if len(args) > 2:
+            flags = _plain_string(args[2])
+            pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
+        return bool_term(v.rlike(pat) if isinstance(pat, str) else F.regexp(v, pat))
+    if n == "abs":
+        return _num_term(F.abs(num(args[0])))
+    if n == "round":
+        return _num_term(F.round(num(args[0]), 0))
+    if n == "ceil":
+        return _num_term(F.ceil(num(args[0])).cast("double"))
+    if n == "floor":
+        return _num_term(F.floor(num(args[0])).cast("double"))
+    if n == "strbefore":
+        v, sep = _plain_string(args[0]), _plain_string(args[1])
+        idx = F.instr(v, sep)
+        return _mk_literal(F.when(idx > 0, F.substring(v, 1, idx - 1)).otherwise(F.lit("")))
+    if n == "strafter":
+        v, sep = _plain_string(args[0]), _plain_string(args[1])
+        idx = F.instr(v, sep)
+        return _mk_literal(
+            F.when(idx > 0, F.substr(v, idx + F.length(sep), F.length(v))).otherwise(F.lit(""))
+        )
+    if n == "sameterm":
+        a, b = args[0], args[1]
+        ident = (
+            (a["kind"] == b["kind"])
+            & (a["value"] == b["value"])
+            & a["dt"].eqNullSafe(b["dt"])
+            & a["lang"].eqNullSafe(b["lang"])
+        )
+        return bool_term(ident)
+    if n == "if":
+        return F.when(ebv(args[0]), args[1]).otherwise(args[2])
+    if n == "strdt":
+        return _mk_literal(_plain_string(args[0]), args[1]["value"])
+    if n == "strlang":
+        return _mk_literal(_plain_string(args[0]), None, _plain_string(args[1]))
+    raise ExprError(f"unsupported function {name}()")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer + recursive-descent parser
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<var>\?\w+)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<dtmark>\^\^)
+  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<op>\|\||&&|!=|<=|>=|[=<>!()+\-*/,])
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m:
+            raise ExprError(f"lex error at {src[pos:pos+30]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            toks.append((m.lastgroup, m.group(0)))
+    return toks
+
+
+class _P:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, v: str):
+        k, t = self.next()
+        if t != v:
+            raise ExprError(f"expected {v!r}, got {t!r}")
+
+    def expr(self) -> Node:
+        n = self.and_()
+        while self.peek()[1] == "||":
+            self.next()
+            n = Node("or", (n, self.and_()))
+        return n
+
+    def and_(self) -> Node:
+        n = self.rel()
+        while self.peek()[1] == "&&":
+            self.next()
+            n = Node("and", (n, self.rel()))
+        return n
+
+    def rel(self) -> Node:
+        n = self.add()
+        t = self.peek()[1]
+        if t in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return Node(t, (n, self.add()))
+        return n
+
+    def add(self) -> Node:
+        n = self.mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            n = Node(op, (n, self.mul()))
+        return n
+
+    def mul(self) -> Node:
+        n = self.unary()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            n = Node(op, (n, self.unary()))
+        return n
+
+    def unary(self) -> Node:
+        k, t = self.peek()
+        if t == "!":
+            self.next()
+            return Node("not", (self.unary(),))
+        if t == "-":
+            self.next()
+            return Node("neg", (self.unary(),))
+        if t == "+":
+            self.next()
+            return self.unary()
+        return self.primary()
+
+    def primary(self) -> Node:
+        k, t = self.next()
+        if t == "(":
+            n = self.expr()
+            self.expect(")")
+            return n
+        if k == "iri":
+            return Node("iri_const", (t[1:-1],))
+        if k == "var":
+            return Node("var", (t[1:],))
+        if k == "number":
+            if re.search(r"[.eE]", t):
+                dt = XSD + ("double" if re.search(r"[eE]", t) else "decimal")
+            else:
+                dt = XSD + "integer"
+            return Node("num_const", (t, dt))
+        if k == "string":
+            from sopspark.sources.ntriples import unescape_literal
+
+            value = unescape_literal(t[1:-1])
+            nk, nt_ = self.peek()
+            if nk == "langtag":
+                self.next()
+                return Node("lit_const", (value, None, nt_[1:]))
+            if nk == "dtmark":
+                self.next()
+                dk, dt_tok = self.next()
+                if dk != "iri":
+                    raise ExprError("datatype must be an IRI")
+                return Node("lit_const", (value, dt_tok[1:-1], None))
+            return Node("lit_const", (value, None, None))
+        if k == "name":
+            if t == "true":
+                return Node("bool_const", (True,))
+            if t == "false":
+                return Node("bool_const", (False,))
+            self.expect("(")
+            args = []
+            if self.peek()[1] != ")":
+                args.append(self.expr())
+                while self.peek()[1] == ",":
+                    self.next()
+                    args.append(self.expr())
+            self.expect(")")
+            return Node("call", (t, tuple(args)))
+        raise ExprError(f"unexpected token {t!r}")
+
+
+def parse_expr(src: str) -> Node:
+    p = _P(_tokenize(src))
+    n = p.expr()
+    if p.peek()[0] != "eof":
+        raise ExprError(f"trailing tokens at {p.peek()[1]!r}")
+    return n
+
+
+def compile_expr(
+    src: str,
+    env: dict[str, Column] | None = None,
+    recognize_datatypes: bool = True,
+) -> Column:
+    """Compile a SPARQL expression string to a TERM-struct Column.
+
+    ``env`` maps variable names to term columns; default binds
+    ``?s ?p ?o ?g`` to the like-named quad columns, matching the reference's
+    binding rule (``README.md:199-201``).
+    """
+    if env is None:
+        env = {v: F.col(v) for v in ("s", "p", "o", "g")}
+    return parse_expr(src).col(env, recognize_datatypes)
+
+
+def compile_filter(src: str, env: dict[str, Column] | None = None, recognize_datatypes: bool = True) -> Column:
+    """Compile to a boolean Column with EBV + drop-on-error semantics
+    (NULL → false, matching ``src/filter.rs:36``)."""
+    term = compile_expr(src, env, recognize_datatypes)
+    return F.coalesce(ebv(term), F.lit(False))

@@ -1,0 +1,111 @@
+"""Parse → serialize round-trips on the reference's own fixtures."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from sopspark.operators.serialize import collect_nq_lines
+from sopspark.sources.ntriples import parse_lines_df, parse_ntriples
+from sopspark.sources.turtle import parse_turtle, parse_turtle_text
+from sopspark.terms import BNODE, IRI, LITERAL
+
+
+def test_parse_sample_nt(spark, fixtures_dir):
+    df = parse_ntriples(spark, os.path.join(fixtures_dir, "sample.nt"))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r.err is None for r in rows)
+    lines = collect_nq_lines(df)
+    assert lines == [
+        "<http://example.org/s> <http://example.org/ignored> <http://example.org/o> .",
+        "<http://example.org/s> <http://example.org/p> <http://example.org/o> .",
+    ]
+
+
+def test_parse_literals_and_graphs(spark):
+    data = [
+        ('<http://e/s> <http://e/p> "hi there" <http://e/g> .',),
+        ('<http://e/s> <http://e/p> "bonjour"@fr .',),
+        ('<http://e/s> <http://e/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',),
+        ('_:b1 <http://e/p> "a \\"quoted\\" \\n value" .',),
+        ("# a comment",),
+        ("",),
+        ("this is garbage .",),
+    ]
+    df = parse_lines_df(spark.createDataFrame(data, ["value"]))
+    rows = df.collect()
+    ok = [r for r in rows if r.err is None]
+    bad = [r for r in rows if r.err is not None]
+    assert len(ok) == 4 and len(bad) == 1
+    byobj = {r.o.value: r for r in ok}
+    assert byobj["hi there"].g.value == "http://e/g"
+    assert byobj["bonjour"].o.lang == "fr"
+    assert byobj["42"].o.dt.endswith("#integer")
+    quoted = byobj['a "quoted" \n value']
+    assert quoted.s.kind == BNODE and quoted.s.value == "b1"
+    # round-trip: re-serialize and re-parse gives the same terms
+    lines = collect_nq_lines(df)
+    df2 = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    assert sorted(collect_nq_lines(df2)) == sorted(lines)
+
+
+def test_xsd_string_normalized(spark):
+    data = [('<http://e/s> <http://e/p> "x"^^<http://www.w3.org/2001/XMLSchema#string> .',)]
+    df = parse_lines_df(spark.createDataFrame(data, ["value"]))
+    r = df.collect()[0]
+    assert r.o.dt is None  # simple literal == xsd:string
+    assert collect_nq_lines(df) == ['<http://e/s> <http://e/p> "x" .']
+
+
+def test_multi_file_bnode_scoping(spark, fixtures_dir):
+    # two files with the same bnode label must not clash when scoped
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for name in ("a.nt", "b.nt"):
+            with open(os.path.join(d, name), "w") as f:
+                f.write("_:x <http://e/p> <http://e/o> .\n")
+        df = parse_ntriples(spark, os.path.join(d, "*.nt"), scope_bnodes_per_file=True)
+        labels = {r.s.value for r in df.collect()}
+        assert len(labels) == 2  # distinct per source
+        # deterministic: parsing again yields identical labels
+        df2 = parse_ntriples(spark, os.path.join(d, "*.nt"), scope_bnodes_per_file=True)
+        assert {r.s.value for r in df2.collect()} == labels
+
+
+def test_parse_turtle_social(spark, fixtures_dir):
+    df = parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
+    lines = collect_nq_lines(df)
+    assert len(lines) == 7
+    assert (
+        "<http://example.org/alice> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://xmlns.com/foaf/0.1/Person> ." in lines
+    )
+    assert (
+        "<http://example.org/bob> <http://xmlns.com/foaf/0.1/KNOWS> "
+        "<http://example.org/charlie> ." in lines
+    )
+    assert '<http://example.org/alice> <http://xmlns.com/foaf/0.1/name> "Alice" .' in lines
+
+
+def test_parse_turtle_lang(spark, fixtures_dir):
+    df = parse_turtle(spark, os.path.join(fixtures_dir, "lang.ttl"))
+    rows = [r for r in df.collect() if r.err is None]
+    assert len(rows) == 6
+    langs = sorted(r.o.lang or "" for r in rows)
+    assert langs == ["", "en", "en", "es", "fr", "fr"]
+
+
+def test_turtle_text_parser_units():
+    quads = parse_turtle_text(
+        """@prefix ex: <http://e/> .
+        ex:a ex:p "x", "y" ; ex:q 42 .
+        [ ex:r true ] ex:s ( ex:i ex:j ) .
+        """
+    )
+    spo = {(q[0][1] if q[0][0] == IRI else "_bn", q[1][1], q[2][1]) for q in quads}
+    assert ("http://e/a", "http://e/p", "x") in spo
+    assert ("http://e/a", "http://e/p", "y") in spo
+    assert ("http://e/a", "http://e/q", "42") in spo
+    # collection produced rdf:first/rest cells
+    assert any("22-rdf-syntax-ns#first" in q[1][1] for q in quads)
