@@ -1,0 +1,179 @@
+"""Stage-graph runner with per-stage checkpoints, lineage, and resume.
+
+north_rule: "resumable from checkpoint with per-partition lineage + metrics".
+
+Every stage materializes its output as parquet under ``workdir/<stage>/``
+next to a ``_lineage.json`` manifest recording:
+  * the stage's config hash (stage code identity + parameters),
+  * the manifest hashes of its inputs (so a changed upstream invalidates
+    downstream),
+  * row count, per-file row counts (parquet footer metadata — the sandbox
+    stand-in for Iceberg snapshot properties), wall time, engine version.
+
+``run_pipeline`` skips any stage whose manifest matches (config, inputs) —
+kill the job at any boundary and the rerun resumes mid-pipeline. On a real
+deployment the same manifests land in Iceberg snapshot metadata
+(SURVEY.md §4.3.6); parquet-dir + JSON is the sandbox equivalent.
+
+NOTE: returned DataFrames are lazy readers over the checkpoint parquet; a
+*later* run that overwrites the same workdir invalidates handles from an
+earlier run (Spark FAILED_READ_FILE). Re-read via the returned dict of the
+latest run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[..., DataFrame]  # fn(spark, inputs: dict[str, DataFrame]) -> DataFrame
+    deps: list[str] = field(default_factory=list)
+    params: dict = field(default_factory=dict)
+
+    def config_hash(self) -> str:
+        ident = {
+            "name": self.name,
+            "fn": f"{self.fn.__module__}.{self.fn.__qualname__}",
+            "params": self.params,
+        }
+        return hashlib.sha256(json.dumps(ident, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+def _manifest_path(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, stage, "_lineage.json")
+
+
+def _load_manifest(workdir: str, stage: str) -> dict | None:
+    p = _manifest_path(workdir, stage)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _file_row_counts(data_dir: str) -> dict[str, int]:
+    """Per-file row counts from parquet footers — the per-partition lineage."""
+    import pyarrow.parquet as pq
+
+    counts = {}
+    for fn in sorted(os.listdir(data_dir)):
+        if fn.endswith(".parquet"):
+            counts[fn] = pq.ParquetFile(os.path.join(data_dir, fn)).metadata.num_rows
+    return counts
+
+
+def run_pipeline(
+    spark: SparkSession,
+    workdir: str,
+    stages: list[Stage],
+    sources: dict[str, DataFrame],
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """Execute stages in order with checkpoint/resume. Returns a dict of
+    stage name → (materialized) DataFrame."""
+    os.makedirs(workdir, exist_ok=True)
+    results: dict[str, DataFrame] = dict(sources)
+    manifests: dict[str, str] = {}
+
+    for st in stages:
+        data_dir = os.path.join(workdir, st.name, "data")
+        cfg = st.config_hash()
+        input_sig = {d: manifests.get(d, "source") for d in st.deps}
+        prior = _load_manifest(workdir, st.name)
+        if (
+            not force
+            and prior
+            and prior.get("config_hash") == cfg
+            and prior.get("inputs") == input_sig
+            and os.path.isdir(data_dir)
+        ):
+            results[st.name] = spark.read.parquet(data_dir)
+            manifests[st.name] = prior["manifest_hash"]
+            continue
+
+        t0 = time.time()
+        out = st.fn(spark, {d: results[d] for d in st.deps}, **st.params)
+        out.write.mode("overwrite").parquet(data_dir)
+        wall = time.time() - t0
+
+        per_file = _file_row_counts(data_dir)
+        manifest = {
+            "stage": st.name,
+            "config_hash": cfg,
+            "inputs": input_sig,
+            "rows": sum(per_file.values()),
+            "files": per_file,
+            "wall_sec": round(wall, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        mh = hashlib.sha256(json.dumps(manifest, sort_keys=True).encode()).hexdigest()[:16]
+        manifest["manifest_hash"] = mh
+        with open(_manifest_path(workdir, st.name), "w") as f:
+            json.dump(manifest, f, indent=2)
+        results[st.name] = spark.read.parquet(data_dir)
+        manifests[st.name] = mh
+
+    return results
+
+
+# ---------------------------------------------------------------------------
+# the concrete transcript→KG pipeline
+# ---------------------------------------------------------------------------
+
+def kg_stages(conv_ns: str | None = None) -> list[Stage]:
+    from sopspark.kg.canon import materialize_graph, sameas_closure
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+    from sopspark.terms import nq_line
+    from pyspark.sql import functions as F
+
+    def s_assemble(spark, inputs):
+        return assemble_turns(inputs["transcripts"])
+
+    def s_extract(spark, inputs):
+        return extract_triples(inputs["assemble"])
+
+    def s_link(spark, inputs):
+        return link_entities(inputs["extract"], inputs["alias_dict"])
+
+    def s_sameas(spark, inputs):
+        return sameas_closure(inputs["sameas"])
+
+    def s_graph(spark, inputs, conv_ns=None):
+        return materialize_graph(inputs["link"], inputs["sameas_cc"], conv_ns=conv_ns)
+
+    def s_canonical(spark, inputs):
+        df = inputs["graph"]
+        return df.select(nq_line(F.col("s"), F.col("p"), F.col("o"), F.col("g")).alias("line")).orderBy(
+            "line"
+        )
+
+    return [
+        Stage("assemble", s_assemble, deps=["transcripts"]),
+        Stage("extract", s_extract, deps=["assemble"]),
+        Stage("link", s_link, deps=["extract", "alias_dict"]),
+        Stage("sameas_cc", s_sameas, deps=["sameas"]),
+        Stage("graph", s_graph, deps=["link", "sameas_cc"], params={"conv_ns": conv_ns}),
+        Stage("canonical", s_canonical, deps=["graph"]),
+    ]
+
+
+def run_kg_pipeline(
+    spark: SparkSession, corpus_dir: str, workdir: str, conv_ns: str | None = None, force: bool = False
+) -> dict[str, DataFrame]:
+    sources = {
+        "transcripts": spark.read.parquet(f"{corpus_dir}/transcripts.parquet"),
+        "alias_dict": spark.read.parquet(f"{corpus_dir}/alias_dict.parquet"),
+        "sameas": spark.read.parquet(f"{corpus_dir}/sameas.parquet"),
+    }
+    return run_pipeline(spark, workdir, kg_stages(conv_ns), sources, force=force)

@@ -1,0 +1,75 @@
+"""Distributed connected components via alternating large-star / small-star.
+
+Used for owl:sameAs closure (north_star) and for grouping blank nodes into
+c14n components (SURVEY.md §4.3). The algorithm is the public
+two-operation MapReduce CC of Kiveris et al. ("Connected Components in
+MapReduce and Beyond", SoCC'14), expressed entirely as DataFrame joins and
+aggregations — O(log n) rounds, no collect_list (no hot-key memory blowup),
+each round two hash aggregates + one broadcast-free join.
+
+Why not GraphFrames: not available in this environment, and the star
+algorithm is ~40 lines of DataFrame code with the same asymptotics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(sym: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) for the given (a, b) edge list."""
+    return sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = _min_neighbor(sym)
+    out = (
+        sym.where(F.col("b") > F.col("a"))
+        .join(mins, on="a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    return out.where(F.col("a") != F.col("b")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    mins = _min_neighbor(oriented)
+    joined = oriented.join(mins, on="a")
+    to_min = joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
+    self_edge = mins.select(F.col("a"), F.col("m").alias("b"))
+    out = to_min.unionByName(self_edge)
+    return out.where(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 3
+) -> DataFrame:
+    """(a, b) undirected edge list → (node, rep) with rep = min node id of
+    the component. Deterministic; string or numeric ids both work (min is
+    lexicographic for strings).
+    """
+    e = edges.select(F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b"))
+    e = e.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+
+    prev_sig = None
+    for i in range(max_iter):
+        e = _small_star(_large_star(e))
+        if (i + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint()  # truncate lineage across rounds
+        # convergence: edge-set signature (order-insensitive hash + count)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),  # order-insensitive, overflow-free
+        ).collect()[0]
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+
+    # after convergence every edge points node → component root
+    mapping = e.select(F.col("a").alias("node"), F.col("b").alias("rep"))
+    roots = e.select(F.col("b").alias("node")).distinct().withColumn("rep", F.col("node"))
+    return mapping.unionByName(roots).distinct()

@@ -1,0 +1,263 @@
+"""Driver-contract query registry: Spark implementations + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+parquet tables (TESTDATA.md) so the DuckDB oracle can verify row-count,
+schema, and value-hash at sf0.01. Column names and types are aligned on both
+sides (aggregates cast to match DuckDB defaults).
+
+KG-pipeline queries run on the deterministic synthetic corpus (input_hint
+schema) — DuckDB can't see that table, so they're registered without an
+oracle (rows-only check) and verified instead by tests/test_kg.py's
+closed-form P/R gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sopspark.functions.expr import compile_filter
+from sopspark.operators.filter_map import filter_quads, map_quads
+from sopspark.operators.transforms import dedup, merge
+from sopspark.terms import LITERAL, IRI
+
+EV = "http://example.org/event/"
+USR = "http://example.org/user/"
+
+
+def _events_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → quad view (FIXTURES.md §C): s=user IRI, p=event-type
+    IRI, o=value literal, g=NULL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def iri(col):
+        return F.struct(
+            F.lit(IRI).cast("tinyint").alias("kind"),
+            col.alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    return ev.select(
+        iri(F.concat(F.lit(USR), F.col("user_id").cast("string"))).alias("s"),
+        iri(F.concat(F.lit(EV), F.col("event_type"))).alias("p"),
+        F.struct(
+            F.lit(LITERAL).cast("tinyint").alias("kind"),
+            F.col("value").cast("string").alias("value"),
+            F.lit("http://www.w3.org/2001/XMLSchema#double").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        ).alias("o"),
+        F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>").alias("g"),
+        F.lit(None).cast("string").alias("err"),
+    )
+
+
+# --- operator-backed queries (Spark side) ----------------------------------
+
+def q_filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quads = _events_quads(spark, sf_dir)
+    out = filter_quads(quads, f"?p = <{EV}purchase> && ?o > 100")
+    return (
+        out.select(
+            F.col("s")["value"].alias("s"),
+            F.col("o")["value"].cast("double").alias("o_value"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_value"), 6).alias("sum_value"),
+        )
+        .orderBy("s")
+    )
+
+
+def q_map_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quads = _events_quads(spark, sf_dir)
+    out = map_quads(quads, p="iri(ucase(str(?p)))", o='"seen"')
+    return (
+        out.select(F.col("p")["value"].alias("p"), F.col("o")["value"].alias("o"))
+        .groupBy("p", "o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("p")
+    )
+
+
+def q_merge_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quads = map_quads(_events_quads(spark, sf_dir), g="iri(str(?p))")
+    merged = merge(quads)  # copies named-graph quads into default graph
+    return (
+        merged.select(F.col("g")["value"].alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("g").asc_nulls_first())
+    )
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    quads = _events_quads(spark, sf_dir).withColumn(
+        "o", F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>")
+    )
+    # dedup over (s,p) pairs == distinct (user, event_type)
+    out = dedup(quads.withColumn("o", F.col("p")))
+    return (
+        out.select(F.col("s")["value"].alias("s"), F.col("p")["value"].alias("p"))
+        .orderBy("s", "p")
+    )
+
+
+def q_turn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-ordered assembly pattern over the events stream."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.row_number().over(w).cast("bigint").alias("turn_ord"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    ).orderBy("event_id")
+
+
+def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-flavored aggregate over lineitem (scan+filter+agg path)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 8).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast join: orders × customer × nation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transcript→KG pipeline on the deterministic synthetic corpus
+    (no DuckDB oracle — verified by the closed-form P/R tests)."""
+    from sopspark.kg.canon import materialize_graph, sameas_closure
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+    from sopspark.kg.synth import alias_df, sameas_df, synth_corpus
+
+    transcripts, _ = synth_corpus(spark, n_convs=300, seed=42)
+    mentions = extract_triples(assemble_turns(transcripts))
+    linked = link_entities(mentions, alias_df(spark))
+    quads = materialize_graph(linked, sameas_closure(sameas_df(spark)))
+    return quads.select(
+        F.col("s")["value"].alias("s"),
+        F.col("p")["value"].alias("p"),
+        F.coalesce(F.col("o")["value"], F.lit("")).alias("o"),
+    ).orderBy("s", "p", "o")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_expr": q_filter_expr,
+    "map_expr": q_map_expr,
+    "merge_graphs": q_merge_graphs,
+    "dedup": q_dedup,
+    "turn_assembly": q_turn_assembly,
+    "agg_pushdown": q_agg_pushdown,
+    "broadcast_join": q_broadcast_join,
+    "kg_flagship": q_kg_flagship,
+}
+
+def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries with the package shipped to executors before running."""
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                from sopspark.session import _package_zip
+
+                spark.sparkContext.addPyFile(_package_zip())
+            except Exception:
+                pass
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        return run
+
+    return {k: wrap(v) for k, v in QUERIES.items()}
+
+
+ORACLES: dict[str, str] = {
+    "filter_expr": f"""
+        SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        WHERE event_type = 'purchase' AND value > 100
+        GROUP BY 1 ORDER BY 1
+    """,
+    "map_expr": """
+        SELECT UPPER('http://example.org/event/' || event_type) AS p,
+               'seen' AS o,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1
+    """,
+    "merge_graphs": """
+        WITH quads AS (
+            SELECT 'http://example.org/event/' || event_type AS g FROM events
+        ), merged AS (
+            SELECT g FROM quads
+            UNION ALL
+            SELECT NULL AS g FROM quads
+        )
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM merged GROUP BY g ORDER BY g NULLS FIRST
+    """,
+    "dedup": """
+        SELECT DISTINCT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS s,
+               'http://example.org/event/' || event_type AS p
+        FROM events ORDER BY 1, 2
+    """,
+    "turn_assembly": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS turn_ord,
+               LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events ORDER BY event_id
+    """,
+    "agg_pushdown": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(AVG(l_discount), 8) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "broadcast_join": """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+}
