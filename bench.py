@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Headline metric: triple-extraction throughput (turns/sec) of the full
+transcript→KG pipeline (assemble → extract → link → sameAs merge →
+materialize), the BASELINE.json north-rule metric. Corpus size scales with
+the sf directory; override with $SPARK_GRAFT_BENCH_CONVS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def kg_throughput(spark, n_convs: int) -> tuple[float, int, float]:
+    """Returns (turns/sec, n_turns, wall_sec) for the full KG pipeline."""
+    from sopspark.kg.canon import materialize_graph, sameas_closure
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+    from sopspark.kg.synth import alias_df, sameas_df, synth_corpus
+
+    transcripts, _ = synth_corpus(spark, n_convs=n_convs, seed=42)
+    transcripts = transcripts.persist()
+    n_turns = transcripts.count()  # materialize input outside the timed span
+
+    t0 = time.time()
+    mentions = extract_triples(assemble_turns(transcripts))
+    linked = link_entities(mentions, alias_df(spark))
+    quads = materialize_graph(linked, sameas_closure(sameas_df(spark)))
+    n_triples = quads.count()
+    wall = time.time() - t0
+    transcripts.unpersist()
+    assert n_triples > 0
+    return n_turns / wall, n_turns, wall
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(200, int(200000 * sf)))))
+
+    from sopspark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="sopspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sopspark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # headline: KG pipeline throughput
+    tps, n_turns, kg_wall = kg_throughput(spark, n_convs)
+    timings["kg_pipeline"] = round(kg_wall, 3)
+
+    # operator benches over the sf tables
+    for name in ("filter_expr", "map_expr", "dedup", "turn_assembly", "agg_pushdown", "broadcast_join"):
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_extraction_turns_per_sec",
+                "value": round(tps, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "detail": {
+                    "n_convs": n_convs,
+                    "n_turns": n_turns,
+                    "kg_wall_sec": round(kg_wall, 3),
+                    "total_bench_sec": total,
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -191,12 +191,120 @@ def _num_term(c: Column, integer: bool = False) -> Column:
     return F.when(c.isNotNull(), _mk_literal(v, F.lit(dt))).otherwise(_null_term())
 
 
+# nodes whose value is always boolean — compiled natively to boolean Columns
+# (avoids the exponential blowup of ebv(bool_term(...)) re-expansion: Column
+# trees are trees, not DAGs, so every reference duplicates its subtree)
+_BOOL_OPS = {"or", "and", "not", "=", "!=", "<", ">", "<=", ">=", "bool_const"}
+_BOOL_CALLS = {
+    "langmatches", "contains", "strstarts", "strends", "regex",
+    "isiri", "isuri", "isblank", "isliteral", "isnumeric", "bound", "sameterm",
+}
+
+
+def _is_bool_node(n: Node) -> bool:
+    if n.op in _BOOL_OPS:
+        return True
+    if n.op == "call":
+        name = n.args[0].lower()
+        if name in _BOOL_CALLS:
+            return True
+        if name in ("coalesce", "if"):
+            args = n.args[1]
+            check = args if name == "coalesce" else args[1:]
+            return bool(check) and all(_is_bool_node(x) for x in check)
+    return False
+
+
+def _const_term(n: Node):
+    """(kind, value, dt, lang) for constant nodes, else None."""
+    if n.op == "iri_const":
+        return (IRI, n.args[0], None, None)
+    if n.op == "lit_const":
+        v, dt, lang = n.args
+        return (LITERAL, v, dt, lang)
+    if n.op == "num_const":
+        return (LITERAL, n.args[0], n.args[1], None)
+    if n.op == "bool_const":
+        return (LITERAL, "true" if n.args[0] else "false", XSD + "boolean", None)
+    return None
+
+
+def _compile_bool(n: Node, env: dict[str, Column], rd: bool) -> Column:
+    """Compile a boolean-valued node straight to a boolean Column."""
+    op = n.op
+    a = n.args
+
+    def b(i: int) -> Column:
+        return _compile_bool(a[i], env, rd)
+
+    if op == "or":
+        l, r = b(0), b(1)
+        both_null = l.isNull() & r.isNull()
+        return F.when(both_null, F.lit(None).cast("boolean")).otherwise(
+            F.coalesce(l, F.lit(False)) | F.coalesce(r, F.lit(False))
+        )
+    if op == "and":
+        l, r = b(0), b(1)
+        any_false = l.eqNullSafe(F.lit(False)) | r.eqNullSafe(F.lit(False))
+        return F.when(any_false, F.lit(False)).otherwise(l & r)
+    if op == "not":
+        return ~b(0)
+    if op == "bool_const":
+        return F.lit(bool(a[0]))
+    if op in ("=", "!="):
+        # peephole: comparison against a constant → minimal column tree
+        const = _const_term(a[1]) or _const_term(a[0])
+        other = a[0] if _const_term(a[1]) else a[1]
+        if const is not None and _const_term(other) is None:
+            t = _compile(other, env, rd)
+            kind, value, dt, lang = const
+            if kind == IRI:
+                eq = (t["kind"] == IRI) & (t["value"] == value)
+            elif dt in NUMERIC_DTS and rd:
+                eq = num(t) == float(value)
+            else:
+                d = None if dt == XSD_STRING else dt
+                eq = (
+                    (t["kind"] == LITERAL)
+                    & (t["value"] == value)
+                    & t["dt"].eqNullSafe(F.lit(d))
+                    & t["lang"].eqNullSafe(F.lit(lang))
+                )
+            eq = F.when(t.isNull(), F.lit(None).cast("boolean")).otherwise(eq)
+            return eq if op == "=" else ~eq
+        eq = term_eq(_compile(a[0], env, rd), _compile(a[1], env, rd), recognize_datatypes=rd)
+        return eq if op == "=" else ~eq
+    if op in ("<", ">", "<=", ">="):
+        const = _const_term(a[1])
+        if const is not None and const[2] in NUMERIC_DTS:
+            x = num(_compile(a[0], env, rd))
+            y = F.lit(float(const[1]))
+            return {"<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y}[op]
+        return term_cmp(_compile(a[0], env, rd), _compile(a[1], env, rd), op)
+    if op == "call":
+        name = a[0].lower()
+        if name == "coalesce" and _is_bool_node(n):
+            return F.coalesce(*[_compile_bool(x, env, rd) for x in a[1]])
+        if name == "if" and _is_bool_node(n):
+            return F.when(_compile_bool(a[1][0], env, rd), _compile_bool(a[1][1], env, rd)).otherwise(
+                _compile_bool(a[1][2], env, rd)
+            )
+        if name in _BOOL_CALLS:
+            col = _call(a[0], [_compile(x, env, rd) for x in a[1]], rd)
+            return ebv(col)
+    return ebv(_compile(n, env, rd))
+
+
 def _compile(n: Node, env: dict[str, Column], rd: bool) -> Column:
     op = n.op
     a = n.args
 
     def c(i: int) -> Column:
         return _compile(a[i], env, rd)
+
+    # boolean-valued nodes: compile natively, wrap once
+    if op in ("or", "and", "not") or (op in ("=", "!=", "<", ">", "<=", ">=")):
+        return bool_term(_compile_bool(n, env, rd))
 
     if op == "var":
         name = a[0]
@@ -216,31 +324,8 @@ def _compile(n: Node, env: dict[str, Column], rd: bool) -> Column:
     if op == "bool_const":
         return _mk_literal(F.lit("true" if a[0] else "false"), F.lit(XSD + "boolean"))
 
-    if op == "or":
-        # SPARQL logical-or with error tolerance: err||true = true
-        l, r = ebv(c(0)), ebv(c(1))
-        both_null = l.isNull() & r.isNull()
-        return bool_term(
-            F.when(both_null, F.lit(None).cast("boolean")).otherwise(
-                F.coalesce(l, F.lit(False)) | F.coalesce(r, F.lit(False))
-            )
-        )
-    if op == "and":
-        l, r = ebv(c(0)), ebv(c(1))
-        any_false = (l.eqNullSafe(F.lit(False))) | (r.eqNullSafe(F.lit(False)))
-        both_ok = l.isNotNull() & r.isNotNull()
-        return bool_term(
-            F.when(any_false, F.lit(False)).when(both_ok, l & r).otherwise(F.lit(None).cast("boolean"))
-        )
-    if op == "not":
-        return bool_term(~ebv(c(0)))
     if op == "neg":
         return _num_term(-num(c(0)))
-    if op in ("=", "!="):
-        eq = term_eq(c(0), c(1), recognize_datatypes=rd)
-        return bool_term(eq if op == "=" else ~eq)
-    if op in ("<", ">", "<=", ">="):
-        return bool_term(term_cmp(c(0), c(1), op))
     if op in ("+", "-", "*", "/"):
         x, y = num(c(0)), num(c(1))
         r = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[op]
@@ -550,6 +635,10 @@ def compile_expr(
 
 def compile_filter(src: str, env: dict[str, Column] | None = None, recognize_datatypes: bool = True) -> Column:
     """Compile to a boolean Column with EBV + drop-on-error semantics
-    (NULL → false, matching ``src/filter.rs:36``)."""
-    term = compile_expr(src, env, recognize_datatypes)
-    return F.coalesce(ebv(term), F.lit(False))
+    (NULL → false, matching ``src/filter.rs:36``). Boolean-valued nodes
+    compile natively (no TERM-struct round trip) — keeps the Catalyst tree
+    small enough for whole-stage codegen."""
+    if env is None:
+        env = {v: F.col(v) for v in ("s", "p", "o", "g")}
+    node = parse_expr(src)
+    return F.coalesce(_compile_bool(node, env, recognize_datatypes), F.lit(False))

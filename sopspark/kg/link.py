@@ -29,17 +29,71 @@ def _argmax(value: str, prior: str) -> Column:
     return F.min_by(value, F.struct((-F.col(prior)).alias("np"), F.col(value).alias("v")))
 
 
-def link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
-    """Mention rows → linked triples (conv_id, s, p, o_iri, o_lit).
+def best_candidates(alias_dict: DataFrame) -> DataFrame:
+    """Fold argmax scoring into the *dictionary* side: one row per
+    (alias, etype) carrying the winning IRI. The dictionary is tiny, so this
+    aggregate is driver-scale — and it removes any shuffle of the mention
+    table from linking entirely (the scalable-plan move: aggregate the small
+    side, broadcast the result)."""
+    return alias_dict.groupBy("alias", "etype").agg(_argmax("iri", "prior").alias("iri"))
+
+
+def link_entities(
+    mentions: DataFrame, alias_dict: DataFrame, context_scoring: bool = False
+) -> DataFrame:
+    """Mention rows → linked triples (conv_id, turn_idx, s, p, o_iri, o_lit).
 
     ``mentions``: output of :func:`sopspark.kg.extract.extract_triples`
     (s_alias, p, o_alias|o_lit, o_etype per occurrence).
     ``alias_dict``: (alias, iri, prior, etype).
 
+    Default plan: prior-based scoring is a function of the alias alone, so
+    the argmax collapses onto the broadcast dictionary
+    (:func:`best_candidates`) and linking is **zero-shuffle**: scan → two
+    broadcast hash joins → project. The hot alias ("Bob", ≥10% of mentions)
+    never concentrates on one reducer because there is no reducer.
+
+    ``context_scoring=True`` switches to the per-occurrence candidate-set
+    plan (broadcast join against ALL candidates + groupBy-argmax over the
+    mention occurrence key) for scorers that need per-mention features;
+    occurrence keys are unique, so that aggregate is skew-free too.
+
     Unlinkable mentions (alias absent from the dictionary) are dropped —
     precision over recall, mirroring the reference's drop-on-error stream
     discipline (``src/filter.rs:36``).
     """
+    if context_scoring:
+        return _link_context(mentions, alias_dict)
+
+    best = best_candidates(alias_dict)
+    person = F.broadcast(
+        best.where(F.col("etype") == "person").select(
+            F.col("alias").alias("s_alias"), F.col("iri").alias("s_iri")
+        )
+    )
+    objects = F.broadcast(
+        best.select(
+            F.col("alias").alias("o_alias"),
+            F.col("etype").alias("o_etype"),
+            F.col("iri").alias("o_cand"),
+        )
+    )
+    return (
+        mentions.join(person, on="s_alias", how="inner")
+        .join(objects, on=["o_alias", "o_etype"], how="left")
+        .where(F.col("o_etype").isNull() | F.col("o_cand").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("s_iri").alias("s"),
+            "p",
+            F.col("o_cand").alias("o_iri"),
+            "o_lit",
+        )
+    )
+
+
+def _link_context(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     person = F.broadcast(
         alias_dict.where(F.col("etype") == "person").select(
             F.col("alias").alias("s_alias"),
@@ -55,12 +109,10 @@ def link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
             F.col("prior").alias("o_prior"),
         )
     )
-
     joined = mentions.join(person, on="s_alias", how="inner").join(
         objects, on=["o_alias", "o_etype"], how="left"
     )
-
-    linked = (
+    return (
         joined.groupBy("conv_id", "turn_idx", "m_id", "p")
         .agg(
             _argmax("s_cand", "s_prior").alias("s"),
@@ -68,11 +120,9 @@ def link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
             F.first("o_lit", ignorenulls=True).alias("o_lit"),
             F.first("o_etype", ignorenulls=True).alias("o_etype"),
         )
-        # drop occurrences whose object slot needed linking but found nothing
         .where(F.col("o_etype").isNull() | F.col("o_iri").isNotNull())
         .select("conv_id", "turn_idx", "s", "p", "o_iri", "o_lit")
     )
-    return linked
 
 
 # ---------------------------------------------------------------------------

@@ -45,15 +45,56 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("a") != F.col("b")).distinct()
 
 
+def _driver_union_find(rows: list[tuple[str, str]], spark) -> DataFrame:
+    """Small-input physical plan: union-find on the driver — the CC analogue
+    of broadcasting a small dimension instead of shuffling."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    # second pass: representative = true min of the class
+    reps: dict[str, str] = {}
+    for n in list(parent):
+        r = find(n)
+        if n < reps.get(r, r):
+            reps[r] = n
+    out = [(n, reps.get(find(n), find(n))) for n in parent]
+    return spark.createDataFrame(out, "node string, rep string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 3
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 3,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(a, b) undirected edge list → (node, rep) with rep = min node id of
     the component. Deterministic; string or numeric ids both work (min is
     lexicographic for strings).
+
+    Inputs under ``driver_threshold`` edges run as driver-side union-find
+    (O(n α(n)), one job) — at 100 TB the equivalence-edge table is still
+    typically ≪ the corpus; the distributed star iterations kick in above
+    the threshold.
     """
     e = edges.select(F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b"))
-    e = e.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    e = e.where(F.col("a") != F.col("b")).distinct()
+
+    if driver_threshold > 0:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _driver_union_find([(r["a"], r["b"]) for r in head], edges.sparkSession)
+
+    e = e.localCheckpoint()
 
     prev_sig = None
     for i in range(max_iter):
