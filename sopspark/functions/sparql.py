@@ -1,0 +1,620 @@
+"""SPARQL subset → DataFrame compiler (``sop query``).
+
+The reference collects the stream into an indexed dataset and delegates
+SPARQL evaluation to ``sophia_sparql`` (``src/query.rs:92-138``). Here the
+quad DataFrame is the dataset and each query form compiles to a Catalyst
+plan:
+
+  * BGP → one aliased scan of the quad frame per triple pattern, constants
+    pushed into the scan filter (predicate pushdown does the rest), shared
+    variables become equi-join keys — the classic worst-case-optimal-free
+    relational encoding of BGP matching, left to Catalyst/AQE to reorder.
+  * GRAPH ?g / GRAPH <iri> → named-graph scans (``g IS NOT NULL``);
+    patterns outside GRAPH match the default graph (``g IS NULL``).
+  * FILTER → :mod:`sopspark.functions.expr` boolean compilation.
+  * OPTIONAL → left outer join on the shared variables.
+  * UNION → ``unionByName(allowMissingColumns)``.
+  * SELECT/DISTINCT/ORDER BY/LIMIT/OFFSET → select/dropDuplicates/orderBy/
+    limit/offset. ASK → ``limit(1).count() > 0``
+    (``src/query.rs:197-206``). CONSTRUCT → per-template projection,
+    unioned (``src/query.rs:208-217``).
+
+Evaluated forms mirror the surface the reference evidences
+(``README.md:150-180``, ``examples/persons.rq``) plus the obvious
+extensions (§2.4 "stretch goals").
+
+Solution mappings are DataFrames with one TERM-struct column per variable.
+Blank nodes in patterns act as non-projected variables (``README.md:39``:
+``[] a ?t``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sopspark.functions.expr import Node, _compile_bool, compile_expr, parse_expr, _P, _tokenize, ExprError
+from sopspark.terms import IRI, LITERAL, RDF_NS, TERM_SQL_TYPE, XSD
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TriplePattern:
+    s: tuple  # ("var", name) | ("term", (kind, value, dt, lang))
+    p: tuple
+    o: tuple
+    graph: tuple | None = None  # None=default graph; ("var",n)|("term",...)
+
+
+@dataclass
+class PatternGroup:
+    triples: list = field(default_factory=list)  # TriplePattern
+    filters: list = field(default_factory=list)  # expr Node
+    optionals: list = field(default_factory=list)  # PatternGroup
+    unions: list = field(default_factory=list)  # list[list[PatternGroup-ish]]
+    subgroups: list = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    form: str  # select | ask | construct
+    variables: list  # [(name, expr-Node|None)] or ["*"]
+    distinct: bool
+    where: PatternGroup
+    template: list = field(default_factory=list)  # construct triples
+    order_by: list = field(default_factory=list)  # [(Node, asc)]
+    limit: int | None = None
+    offset: int | None = None
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_TOK = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<var>[?$]\w+)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<dtmark>\^\^)
+  | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<punct>[{}().;,\[\]*=!<>|&+/-]+)
+  | (?P<pname>[A-Za-z_][\w-]*)?:(?P<plocal>[\w.-]*)
+  | (?P<name>[A-Za-z_]\w*)
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOK.match(src, pos)
+        if not m:
+            raise SparqlError(f"lex error at {src[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup if m.lastgroup != "plocal" else "pname"
+        if kind == "ws":
+            continue
+        if kind == "pname" or (m.group(0).find(":") >= 0 and kind not in ("iri", "string", "punct", "var", "langtag")):
+            toks.append(("pname", m.group(0)))
+        else:
+            toks.append((kind, m.group(0)))
+    return toks
+
+
+class _QP:
+    def __init__(self, src: str):
+        # split multi-char punct into canonical operators
+        raw = _lex(src)
+        toks: list[tuple[str, str]] = []
+        for k, v in raw:
+            if k == "punct":
+                i = 0
+                while i < len(v):
+                    for op in ("||", "&&", "!=", "<=", ">=", "^^"):
+                        if v.startswith(op, i):
+                            toks.append(("punct", op))
+                            i += len(op)
+                            break
+                    else:
+                        toks.append(("punct", v[i]))
+                        i += 1
+            else:
+                toks.append((k, v))
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._bn = itertools.count()
+
+    def peek(self, ahead: int = 0):
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        k, v = self.peek()
+        if k in ("name", "pname") and v.upper() == word.upper():
+            self.next()
+            return True
+        return False
+
+    def expect(self, v: str):
+        k, t = self.next()
+        if t != v:
+            raise SparqlError(f"expected {v!r}, got {t!r}")
+
+    # --- entry ---
+    def parse(self) -> Query:
+        while self.kw("PREFIX"):
+            k, pfx = self.next()
+            if not pfx.endswith(":"):
+                raise SparqlError(f"bad prefix {pfx!r}")
+            k2, iri = self.next()
+            if k2 != "iri":
+                raise SparqlError("expected IRI after prefix name")
+            self.prefixes[pfx[:-1]] = iri[1:-1]
+        if self.kw("BASE"):
+            self.next()
+
+        if self.kw("SELECT"):
+            return self.select()
+        if self.kw("ASK"):
+            self.kw("WHERE")
+            where = self.group()
+            return Query("ask", [], False, where)
+        if self.kw("CONSTRUCT"):
+            return self.construct()
+        if self.kw("DESCRIBE"):
+            raise SparqlError("DESCRIBE not supported")
+        raise SparqlError(f"unsupported query form at {self.peek()[1]!r}")
+
+    def select(self) -> Query:
+        distinct = self.kw("DISTINCT")
+        self.kw("REDUCED")
+        variables: list = []
+        if self.peek()[1] == "*":
+            self.next()
+            variables = ["*"]
+        else:
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    self.next()
+                    variables.append((v[1:], None))
+                elif v == "(":
+                    self.next()
+                    expr = self.expr_until_as()
+                    self.kw("AS")
+                    k2, v2 = self.next()
+                    if k2 != "var":
+                        raise SparqlError("expected ?var after AS")
+                    self.expect(")")
+                    variables.append((v2[1:], expr))
+                else:
+                    break
+        self.kw("WHERE")
+        where = self.group()
+        q = Query("select", variables, distinct, where)
+        self.modifiers(q)
+        return q
+
+    def construct(self) -> Query:
+        self.expect("{")
+        template = self.triples_until("}")
+        self.expect("}")
+        self.kw("WHERE")
+        where = self.group()
+        q = Query("construct", [], False, where, template=template)
+        self.modifiers(q)
+        return q
+
+    def modifiers(self, q: Query):
+        while True:
+            if self.kw("ORDER"):
+                if not self.kw("BY"):
+                    raise SparqlError("expected BY after ORDER")
+                while True:
+                    k, v = self.peek()
+                    if self.kw("ASC") or self.kw("DESC"):
+                        asc = v.upper() == "ASC"
+                        self.expect("(")
+                        node = self.expr_until_as(closers=(")",))
+                        self.expect(")")
+                        q.order_by.append((node, asc))
+                    elif k == "var":
+                        self.next()
+                        q.order_by.append((Node("var", (v[1:],)), True))
+                    else:
+                        break
+            elif self.kw("LIMIT"):
+                q.limit = int(self.next()[1])
+            elif self.kw("OFFSET"):
+                q.offset = int(self.next()[1])
+            else:
+                break
+
+    # --- group graph pattern ---
+    def group(self) -> PatternGroup:
+        self.expect("{")
+        g = PatternGroup()
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.next()
+                break
+            if self.kw("FILTER"):
+                if self.peek()[1] == "(":
+                    self.next()
+                    node = self.expr_until_as(closers=(")",))
+                    self.expect(")")
+                else:
+                    node = self.expr_simple()
+                g.filters.append(node)
+                continue
+            if self.kw("OPTIONAL"):
+                g.optionals.append(self.group())
+                continue
+            if self.kw("GRAPH"):
+                gname = self.term()
+                sub = self.group()
+                for tp in _all_triples(sub):
+                    tp.graph = gname
+                g.subgroups.append(sub)
+                continue
+            if v == "{":
+                first = self.group()
+                branches = [first]
+                while self.kw("UNION"):
+                    branches.append(self.group())
+                if len(branches) > 1:
+                    g.unions.append(branches)
+                else:
+                    g.subgroups.append(first)
+                continue
+            # triples block
+            g.triples.extend(self.triples_one())
+            if self.peek()[1] == ".":
+                self.next()
+        return g
+
+    def triples_until(self, closer: str) -> list[TriplePattern]:
+        out = []
+        while self.peek()[1] != closer:
+            out.extend(self.triples_one())
+            if self.peek()[1] == ".":
+                self.next()
+        return out
+
+    def triples_one(self) -> list[TriplePattern]:
+        out = []
+        s = self.term()
+        while True:
+            k, v = self.peek()
+            if k == "name" and v == "a":
+                self.next()
+                p = ("term", (IRI, RDF_NS + "type", None, None))
+            else:
+                p = self.term()
+            while True:
+                o = self.term()
+                out.append(TriplePattern(s, p, o))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek()[1] == ";":
+                self.next()
+                if self.peek()[1] in (".", "}", ";"):
+                    continue
+                continue
+            break
+        return out
+
+    def term(self) -> tuple:
+        k, v = self.next()
+        if k == "var":
+            return ("var", v[1:])
+        if k == "iri":
+            return ("term", (IRI, v[1:-1], None, None))
+        if k == "pname":
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise SparqlError(f"undefined prefix {pfx!r}")
+            return ("term", (IRI, self.prefixes[pfx] + local, None, None))
+        if k == "string":
+            from sopspark.sources.ntriples import unescape_literal
+
+            lex = unescape_literal(v[1:-1])
+            nk, nv = self.peek()
+            if nk == "langtag":
+                self.next()
+                return ("term", (LITERAL, lex, None, nv[1:]))
+            if nv == "^^":
+                self.next()
+                dt = self.term()
+                return ("term", (LITERAL, lex, dt[1][1], None))
+            return ("term", (LITERAL, lex, None, None))
+        if k == "number":
+            dt = XSD + ("integer" if re.fullmatch(r"[+-]?\d+", v) else "decimal")
+            return ("term", (LITERAL, v, dt, None))
+        if v == "[":
+            self.expect("]")
+            return ("var", f"_anon{next(self._bn)}")
+        if k == "name" and v in ("true", "false"):
+            return ("term", (LITERAL, v, XSD + "boolean", None))
+        raise SparqlError(f"unexpected term {v!r}")
+
+    # --- embedded expression parsing: re-lex the token span via expr.py ---
+    def expr_until_as(self, closers: tuple = (")",)) -> Node:
+        depth = 0
+        parts = []
+        while True:
+            k, v = self.peek()
+            if k == "eof":
+                break
+            if v == "(":
+                depth += 1
+            if v in closers and depth == 0:
+                break
+            if v == ")":
+                depth -= 1
+            if k in ("name", "pname") and v.upper() == "AS" and depth == 0:
+                break
+            self.next()
+            if k == "pname" and v in self._pname_cache():
+                parts.append(f"<{self._pname_cache()[v]}>")
+            elif k == "pname" and ":" in v:
+                pfx, _, local = v.partition(":")
+                if pfx in self.prefixes:
+                    parts.append(f"<{self.prefixes[pfx] + local}>")
+                else:
+                    parts.append(v)
+            else:
+                parts.append(v)
+        return parse_expr(" ".join(parts))
+
+    def expr_simple(self) -> Node:
+        # FILTER func(...) or FILTER ?v — consume one primary expression
+        k, v = self.peek()
+        if v == "(":
+            self.next()
+            node = self.expr_until_as(closers=(")",))
+            self.expect(")")
+            return node
+        # function call or lone var
+        parts = [self.next()[1]]
+        if self.peek()[1] == "(":
+            depth = 0
+            while True:
+                k, v = self.next()
+                parts.append(v)
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        return parse_expr(" ".join(parts))
+
+    def _pname_cache(self):
+        return {}
+
+
+def _all_triples(g: PatternGroup):
+    yield from g.triples
+    for sub in g.subgroups:
+        yield from _all_triples(sub)
+    for o in g.optionals:
+        yield from _all_triples(o)
+    for branches in g.unions:
+        for b in branches:
+            yield from _all_triples(b)
+
+
+def parse_query(src: str) -> Query:
+    p = _QP(src)
+    q = p.parse()
+    if p.peek()[0] != "eof":
+        raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+def _term_lit(t: tuple) -> Column:
+    kind, value, dt, lang = t
+    return F.struct(
+        F.lit(kind).cast("tinyint").alias("kind"),
+        F.lit(value).alias("value"),
+        F.lit(dt).cast("string").alias("dt"),
+        F.lit(lang).cast("string").alias("lang"),
+    )
+
+
+def _scan_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
+    """One triple pattern → solution DataFrame (one column per variable)."""
+    df = quads
+    cols: dict[str, Column] = {}
+    for pos, spec in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
+        if spec[0] == "var":
+            cols.setdefault(spec[1], F.col(pos))
+        else:
+            df = df.where(F.col(pos).eqNullSafe(_term_lit(spec[1])))
+    # graph position
+    if tp.graph is None:
+        df = df.where(F.col("g").isNull())
+    elif tp.graph[0] == "var":
+        df = df.where(F.col("g").isNotNull())
+        cols.setdefault(tp.graph[1], F.col("g"))
+    else:
+        df = df.where(F.col("g").eqNullSafe(_term_lit(tp.graph[1])))
+    # equal variables within one pattern (?x ?p ?x)
+    seen: dict[str, str] = {}
+    for pos, spec in (("s", tp.s), ("p", tp.p), ("o", tp.o), ("g", tp.graph or ("none",))):
+        if spec[0] == "var":
+            if spec[1] in seen:
+                df = df.where(F.col(pos).eqNullSafe(F.col(seen[spec[1]])))
+            else:
+                seen[spec[1]] = pos
+    return df.select(*[c.alias(v) for v, c in cols.items()])
+
+
+def _join_solutions(a: DataFrame | None, b: DataFrame, how: str = "inner") -> DataFrame:
+    if a is None:
+        return b
+    shared = [c for c in a.columns if c in b.columns]
+    if shared:
+        return a.join(b, on=shared, how=how)
+    return a.crossJoin(b) if how == "inner" else a.join(b, how="left")
+
+
+def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
+    sol: DataFrame | None = None
+    for tp in g.triples:
+        sol = _join_solutions(sol, _scan_pattern(quads, tp))
+    for sub in g.subgroups:
+        sub_sol = _eval_group(quads, sub)
+        if sub_sol is not None:
+            sol = _join_solutions(sol, sub_sol)
+    for branches in g.unions:
+        parts = [_eval_group(quads, b) for b in branches]
+        parts = [p for p in parts if p is not None]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p, allowMissingColumns=True)
+        sol = _join_solutions(sol, u)
+    for opt in g.optionals:
+        opt_sol = _eval_group(quads, opt)
+        if opt_sol is not None:
+            sol = _join_solutions(sol, opt_sol, how="left")
+    if sol is None:
+        raise SparqlError("empty group pattern")
+    for fnode in g.filters:
+        env = {c: F.col(c) for c in sol.columns}
+        sol = sol.where(F.coalesce(_compile_bool(fnode, env, True), F.lit(False)))
+    return sol
+
+
+@dataclass
+class SparqlResult:
+    kind: str  # bindings | boolean | quads
+    df: DataFrame | None = None
+    value: bool | None = None
+    variables: list[str] | None = None
+
+
+def sparql_query(quads: DataFrame, query: str, recognize_datatypes: bool = True) -> SparqlResult:
+    """Evaluate a SPARQL subset query against a quad DataFrame."""
+    ok = quads.where(F.col("err").isNull()) if "err" in quads.columns else quads
+    q = parse_query(query)
+    sol = _eval_group(ok, q.where)
+
+    if q.form == "ask":
+        return SparqlResult("boolean", value=sol.limit(1).count() > 0)
+
+    if q.form == "select":
+        if q.variables == ["*"]:
+            out = sol
+            names = [c for c in sol.columns if not c.startswith("_anon")]
+            out = out.select(*names)
+        else:
+            exprs = []
+            names = []
+            for name, node in q.variables:
+                if node is None:
+                    exprs.append(F.col(name) if name in sol.columns else F.lit(None).cast(TERM_SQL_TYPE))
+                else:
+                    env = {c: F.col(c) for c in sol.columns}
+                    exprs.append(node.col(env, recognize_datatypes))
+                exprs[-1] = exprs[-1].alias(name)
+                names.append(name)
+            out = sol.select(*exprs)
+        if q.distinct:
+            out = out.dropDuplicates()
+        out = _apply_order_limit(out, q, recognize_datatypes)
+        return SparqlResult("bindings", df=out, variables=names)
+
+    if q.form == "construct":
+        parts = []
+        env_cols = sol.columns
+        for tp in q.template:
+            def col_of(spec):
+                if spec[0] == "var":
+                    return F.col(spec[1]) if spec[1] in env_cols else F.lit(None).cast(TERM_SQL_TYPE)
+                return _term_lit(spec[1])
+
+            part = sol.select(
+                col_of(tp.s).alias("s"), col_of(tp.p).alias("p"), col_of(tp.o).alias("o")
+            )
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = (
+            out.where(F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull())
+            .withColumn("g", F.lit(None).cast(TERM_SQL_TYPE))
+            .withColumn("err", F.lit(None).cast("string"))
+            .dropDuplicates(["s", "p", "o"])
+        )
+        return SparqlResult("quads", df=out)
+
+    raise SparqlError(f"unsupported form {q.form}")
+
+
+def _apply_order_limit(out: DataFrame, q: Query, rd: bool) -> DataFrame:
+    if q.order_by:
+        from sopspark.functions.expr import num
+
+        keys = []
+        for node, asc in q.order_by:
+            env = {c: F.col(c) for c in out.columns}
+            t = node.col(env, rd)
+            k = F.struct(t["kind"].alias("k"), F.coalesce(num(t), F.lit(0.0)).alias("n"), t["value"].alias("v"))
+            keys.append(k.asc() if asc else k.desc())
+        out = out.orderBy(*keys)
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+def bindings_to_quads(result: SparqlResult) -> DataFrame | None:
+    """SELECT results re-enter the pipeline iff vars ⊆ {s,p,o,g} with s,p,o
+    present — mirrors ``src/query.rs:145-158,219-259`` (rows with unbound
+    s/p/o dropped)."""
+    if result.kind == "quads":
+        return result.df
+    if result.kind != "bindings" or result.variables is None:
+        return None
+    vs = set(result.variables)
+    if not vs.issubset({"s", "p", "o", "g"}) or not {"s", "p", "o"}.issubset(vs):
+        return None
+    df = result.df
+    if "g" not in df.columns:
+        df = df.withColumn("g", F.lit(None).cast(TERM_SQL_TYPE))
+    return (
+        df.where(F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull())
+        .withColumn("err", F.lit(None).cast("string"))
+        .select("s", "p", "o", "g", "err")
+    )

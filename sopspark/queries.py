@@ -172,7 +172,32 @@ def q_kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s", "p", "o")
 
 
+def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BGP self-join over the events quad view: users with both a
+    purchase and an error event (shared-variable equi-join, DISTINCT)."""
+    from sopspark.functions.sparql import sparql_query
+
+    quads = _events_quads(spark, sf_dir)
+    res = sparql_query(
+        quads,
+        f"SELECT DISTINCT ?s WHERE {{ ?s <{EV}purchase> ?v1 . ?s <{EV}error> ?v2 }}",
+    )
+    return res.df.select(F.col("s")["value"].alias("s")).orderBy("s")
+
+
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-path RDFC-1.0: dedup + canonical N-Quads + global sort."""
+    from sopspark.operators.canonicalize import canonicalize
+
+    quads = _events_quads(spark, sf_dir)
+    # drop o (double formatting differs between engines); quads (s,p) only
+    q2 = quads.withColumn("o", F.col("p"))
+    return canonicalize(q2)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sparql_select": q_sparql_select,
+    "canonicalize_ground": q_canonicalize,
     "filter_expr": q_filter_expr,
     "map_expr": q_map_expr,
     "merge_graphs": q_merge_graphs,
@@ -203,6 +228,18 @@ def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 ORACLES: dict[str, str] = {
+    "sparql_select": """
+        SELECT DISTINCT 'http://example.org/user/' || CAST(a.user_id AS VARCHAR) AS s
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+        ORDER BY 1
+    """,
+    "canonicalize_ground": """
+        SELECT DISTINCT '<http://example.org/user/' || CAST(user_id AS VARCHAR)
+            || '> <http://example.org/event/' || event_type
+            || '> <http://example.org/event/' || event_type || '> .' AS line
+        FROM events ORDER BY line
+    """,
     "filter_expr": f"""
         SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS s,
                CAST(COUNT(*) AS BIGINT) AS n,

@@ -1,0 +1,157 @@
+"""RDFC-1.0 canonicalization: spec properties, path cross-validation, golden."""
+
+import os
+
+import pytest
+
+from sopspark.functions.rdfc10 import PoisonedGraphError, canonicalize_quads
+from sopspark.operators.canonicalize import canonicalize
+from sopspark.sources.ntriples import parse_lines_df
+from sopspark.sources.turtle import parse_turtle
+from sopspark.terms import BNODE, IRI, LITERAL
+
+I = lambda v: (IRI, v, None, None)
+B = lambda v: (BNODE, v, None, None)
+L = lambda v: (LITERAL, v, None, None)
+
+
+def test_kernel_single_bnode():
+    quads = [(B("x"), I("http://e/p"), L("v"), None)]
+    lines = canonicalize_quads(quads)
+    assert lines == ['_:c14n0 <http://e/p> "v" .']
+
+
+def test_kernel_dedup_and_sort():
+    q = (B("x"), I("http://e/p"), L("v"), None)
+    q2 = (I("http://e/a"), I("http://e/p"), L("w"), None)
+    lines = canonicalize_quads([q, q2, q, q2])
+    assert lines == [
+        '<http://e/a> <http://e/p> "w" .',
+        '_:c14n0 <http://e/p> "v" .',
+    ]
+
+
+def test_kernel_symmetric_pair_deterministic():
+    """automorphic 2-cycle forces N-degree hashing; output must be stable
+    and invariant under relabeling."""
+    def cyc(a, b):
+        return [
+            (B(a), I("http://e/p"), B(b), None),
+            (B(b), I("http://e/p"), B(a), None),
+        ]
+
+    l1 = canonicalize_quads(cyc("x", "y"))
+    l2 = canonicalize_quads(cyc("y", "x"))
+    l3 = canonicalize_quads(cyc("first", "second"))
+    assert l1 == l2 == l3
+    assert len(l1) == 2 and all("c14n" in l for l in l1)
+
+
+def test_kernel_relabel_and_order_invariance():
+    import random
+
+    quads = [
+        (B("a"), I("http://e/knows"), B("b"), None),
+        (B("b"), I("http://e/knows"), B("c"), None),
+        (B("c"), I("http://e/name"), L("carol"), None),
+        (I("http://e/d"), I("http://e/knows"), B("a"), None),
+        (B("g1s"), I("http://e/in"), L("x"), (IRI, "http://e/g", None, None)),
+    ]
+    base = canonicalize_quads(quads)
+
+    mapping = {"a": "n1", "b": "n2", "c": "n3", "g1s": "n4"}
+
+    def relab(q):
+        return tuple(
+            (BNODE, mapping[t[1]], None, None) if t is not None and t[0] == BNODE else t
+            for t in q
+        )
+
+    relabeled = [relab(q) for q in quads]
+    rng = random.Random(3)
+    rng.shuffle(relabeled)
+    assert canonicalize_quads(relabeled) == base
+
+
+def test_kernel_idempotent():
+    quads = [
+        (B("a"), I("http://e/p"), B("b"), None),
+        (B("b"), I("http://e/p"), L("leaf"), None),
+    ]
+    lines = canonicalize_quads(quads)
+    # re-parse the canonical output and canonicalize again → same document
+    import re
+
+    def parse_line(l):
+        toks = re.findall(r"<[^>]*>|_:\S+|\"[^\"]*\"", l)
+        def term(t):
+            if t.startswith("<"):
+                return I(t[1:-1])
+            if t.startswith("_:"):
+                return B(t[2:])
+            return L(t[1:-1])
+        ts = [term(t) for t in toks]
+        return (ts[0], ts[1], ts[2], ts[3] if len(ts) > 3 else None)
+
+    again = canonicalize_quads([parse_line(l) for l in lines])
+    assert again == lines
+
+
+def test_kernel_poison_resistance():
+    # complete bipartite bnode graph with identical first-degree structure:
+    # permutation explosion → must abort, not hang
+    quads = []
+    for i in range(8):
+        for j in range(8):
+            quads.append((B(f"l{i}"), I("http://e/p"), B(f"r{j}"), None))
+    with pytest.raises(PoisonedGraphError):
+        canonicalize_quads(quads, permutation_limit=6, depth_factor=1.0)
+
+
+def test_distributed_ground_only(spark):
+    df = parse_lines_df(
+        spark.createDataFrame(
+            [("<http://e/b> <http://e/p> <http://e/o> .",), ("<http://e/a> <http://e/p> \"x\" .",)],
+            ["value"],
+        )
+    )
+    lines = [r.line for r in canonicalize(df).collect()]
+    assert lines == [
+        '<http://e/a> <http://e/p> "x" .',
+        "<http://e/b> <http://e/p> <http://e/o> .",
+    ]
+
+
+@pytest.fixture()
+def mixed_df(spark):
+    rows = [
+        "_:a <http://e/knows> _:b .",
+        "_:b <http://e/knows> _:a .",
+        "_:c <http://e/name> \"solo\" .",
+        "<http://e/s> <http://e/p> <http://e/o> .",
+        "_:d <http://e/in> \"g\" <http://e/graph> .",
+    ]
+    return parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+
+
+def test_driver_vs_component_paths_agree(spark, mixed_df):
+    """cross-validation: the distributed per-component path must produce the
+    same document as the exact driver path."""
+    drv = [r.line for r in canonicalize(mixed_df, driver_threshold=100_000).collect()]
+    dist = [r.line for r in canonicalize(mixed_df, driver_threshold=0).collect()]
+    assert drv == dist
+    assert len(drv) == 5
+
+
+def test_social_ttl_golden(spark, fixtures_dir):
+    """README.md:66-69: canonical version of social.ttl. No bnodes in the
+    fixture → c14n = canonical serialization + sort; golden committed."""
+    df = parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
+    lines = [r.line for r in canonicalize(df).collect()]
+    golden_path = os.path.join(os.path.dirname(fixtures_dir), "golden", "social.c14n.nq")
+    if not os.path.exists(golden_path):
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        with open(golden_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    golden = open(golden_path).read().splitlines()
+    assert lines == golden

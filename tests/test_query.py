@@ -1,0 +1,163 @@
+"""SPARQL subset + RDFS entailment vs the reference README's query examples."""
+
+import os
+
+from sopspark.functions.entailment import materialize_rdfs
+from sopspark.functions.sparql import bindings_to_quads, sparql_query
+from sopspark.operators.serialize import collect_nq_lines
+from sopspark.sources.ntriples import parse_lines_df
+from sopspark.sources.turtle import parse_turtle
+
+PERSONS_RQ = """
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT ?name WHERE {
+    ?p a foaf:Person ;
+       foaf:name ?name .
+}
+"""
+
+
+def _social(spark, fixtures_dir):
+    return parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
+
+
+def test_select_persons(spark, fixtures_dir):
+    # sop parse examples/social.ttl ! query -q examples/persons.rq
+    res = sparql_query(_social(spark, fixtures_dir), PERSONS_RQ)
+    assert res.kind == "bindings" and res.variables == ["name"]
+    names = sorted(r.name.value for r in res.df.collect())
+    assert names == ["Alice", "Bob"]
+
+
+def test_ask(spark, fixtures_dir):
+    df = _social(spark, fixtures_dir)
+    yes = sparql_query(df, "ASK WHERE { ?s a <http://xmlns.com/foaf/0.1/Person> }")
+    no = sparql_query(df, "ASK WHERE { ?s a <http://example.org/Robot> }")
+    assert yes.value is True and no.value is False
+
+
+def test_construct_reenters_pipeline(spark, fixtures_dir):
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    CONSTRUCT { ?p foaf:name ?n } WHERE { ?p foaf:name ?n }
+    """
+    res = sparql_query(_social(spark, fixtures_dir), q)
+    assert res.kind == "quads"
+    lines = collect_nq_lines(res.df)
+    assert len(lines) == 2
+    assert '<http://example.org/alice> <http://xmlns.com/foaf/0.1/name> "Alice" .' in lines
+
+
+def test_blank_node_pattern(spark, fixtures_dir):
+    # README.md:39: SELECT ?t { [] a ?t }
+    res = sparql_query(_social(spark, fixtures_dir), "SELECT ?t { [] a ?t }")
+    types = {r.t.value for r in res.df.collect()}
+    assert types == {"http://xmlns.com/foaf/0.1/Person"}
+
+
+def test_spo_select_reenters(spark, fixtures_dir):
+    res = sparql_query(
+        _social(spark, fixtures_dir),
+        "SELECT ?s ?p ?o WHERE { ?s ?p ?o FILTER (?p = <http://xmlns.com/foaf/0.1/knows>) }",
+    )
+    quads = bindings_to_quads(res)
+    assert quads is not None and quads.count() == 2
+    # non-spog projection doesn't re-enter
+    res2 = sparql_query(_social(spark, fixtures_dir), PERSONS_RQ)
+    assert bindings_to_quads(res2) is None
+
+
+def test_join_shared_vars(spark, fixtures_dir):
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    SELECT ?a ?b WHERE { ?a foaf:knows ?b . ?b foaf:knows ?a . }
+    """
+    res = sparql_query(_social(spark, fixtures_dir), q)
+    pairs = {(r.a.value, r.b.value) for r in res.df.collect()}
+    assert pairs == {
+        ("http://example.org/alice", "http://example.org/bob"),
+        ("http://example.org/bob", "http://example.org/alice"),
+    }
+
+
+def test_union_optional_orderby_limit(spark):
+    rows = [
+        '<http://e/a> <http://e/score> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/b> <http://e/score> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/c> <http://e/score> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/a> <http://e/tag> "x" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = """
+    SELECT ?s ?v ?t WHERE {
+      ?s <http://e/score> ?v .
+      OPTIONAL { ?s <http://e/tag> ?t }
+    } ORDER BY DESC(?v) LIMIT 2
+    """
+    res = sparql_query(df, q)
+    got = [(r.s.value, r.v.value, r.t.value if r.t else None) for r in res.df.collect()]
+    assert got == [("http://e/a", "3", "x"), ("http://e/c", "2", None)]
+
+    q2 = """
+    SELECT ?s WHERE {
+      { ?s <http://e/tag> ?x } UNION { ?s <http://e/score> ?v FILTER(?v = 1) }
+    }
+    """
+    res2 = sparql_query(df, q2)
+    assert {r.s.value for r in res2.df.collect()} == {"http://e/a", "http://e/b"}
+
+
+def test_graph_pattern(spark):
+    rows = [
+        "<http://e/a> <http://e/p> <http://e/o> <http://e/g1> .",
+        "<http://e/b> <http://e/p> <http://e/o> .",
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    res = sparql_query(df, "SELECT ?s ?g WHERE { GRAPH ?g { ?s <http://e/p> ?o } }")
+    got = [(r.s.value, r.g.value) for r in res.df.collect()]
+    assert got == [("http://e/a", "http://e/g1")]
+    # default-graph pattern sees only the default graph
+    res2 = sparql_query(df, "SELECT ?s WHERE { ?s <http://e/p> ?o }")
+    assert [r.s.value for r in res2.df.collect()] == ["http://e/b"]
+
+
+def test_computed_projection_and_distinct(spark, fixtures_dir):
+    q = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    SELECT DISTINCT (lcase(str(?p)) AS ?lp) WHERE { ?s ?p ?o }
+    """
+    res = sparql_query(_social(spark, fixtures_dir), q)
+    vals = {r.lp.value for r in res.df.collect()}
+    assert "http://xmlns.com/foaf/0.1/knows" in vals
+    assert all(v == v.lower() for v in vals)
+
+
+def test_rdfs_entailment(spark):
+    rows = [
+        "<http://e/Dog> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://e/Animal> .",
+        "<http://e/Animal> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://e/Thing> .",
+        "<http://e/hasPet> <http://www.w3.org/2000/01/rdf-schema#domain> <http://e/Person> .",
+        "<http://e/hasPet> <http://www.w3.org/2000/01/rdf-schema#range> <http://e/Animal> .",
+        "<http://e/hasDog> <http://www.w3.org/2000/01/rdf-schema#subPropertyOf> <http://e/hasPet> .",
+        "<http://e/rex> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e/Dog> .",
+        "<http://e/ann> <http://e/hasDog> <http://e/rex> .",
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    closed = materialize_rdfs(df, "rdfs")
+    spo = {
+        (r.s.value, r.p.value, r.o.value)
+        for r in closed.collect()
+    }
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert ("http://e/rex", T, "http://e/Animal") in spo  # rdfs9
+    assert ("http://e/rex", T, "http://e/Thing") in spo  # rdfs11+9
+    assert ("http://e/ann", "http://e/hasPet", "http://e/rex") in spo  # rdfs7
+    assert ("http://e/ann", T, "http://e/Person") in spo  # rdfs2 via subProp
+    assert ("http://e/rex", T, "http://e/Animal") in spo  # rdfs3 via subProp
+    assert (
+        "http://e/Dog",
+        "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+        "http://e/Thing",
+    ) in spo  # rdfs11
+    # simple regime is identity
+    assert materialize_rdfs(df, "simple").count() == df.count()
