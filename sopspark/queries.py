@@ -195,9 +195,78 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize(q2)
 
 
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sopspark.text.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).orderBy("doc_id")
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sopspark.text.analysis import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs).select("doc_id", "ws_tokens").orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sopspark.text.analysis import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs).select(
+        "doc_id", "n_words", "punct_ratio", "digit_ratio", "quality"
+    ).orderBy("doc_id")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 8 vectors (exact baseline)."""
+    from sopspark.text.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup clustering over documents (no SQL oracle —
+    verified by closed-form tests; driver records rows-only)."""
+    from sopspark.text.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, threshold=0.7).orderBy("doc_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only check)."""
+    from sopspark.text.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs).orderBy("doc_id")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (rows-only check)."""
+    from sopspark.text.analysis import detect_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return detect_language(docs).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "canonicalize_ground": q_canonicalize,
+    "exact_dedup": q_exact_dedup,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "langid": q_langid,
     "filter_expr": q_filter_expr,
     "map_expr": q_map_expr,
     "merge_graphs": q_merge_graphs,
@@ -228,6 +297,52 @@ def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 ORACLES: dict[str, str] = {
+    "exact_dedup": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    "token_counts": """
+        SELECT doc_id, CAST(length(regexp_split_to_array(text, '\\s+')) AS INT) AS ws_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "quality_score": """
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS nc,
+                 length(regexp_split_to_array(text, '\\s+')) AS n_words,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               ROUND(np / GREATEST(nc, 1), 4) AS punct_ratio,
+               ROUND(nd / GREATEST(nc, 1), 4) AS digit_ratio,
+               ROUND(
+                 CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN (nc - n_words + 1) / GREATEST(n_words,1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN np / GREATEST(nc,1) <= 0.2 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN nd / GREATEST(nc,1) <= 0.3 THEN 0.1 ELSE 0.0 END, 4) AS quality
+        FROM f ORDER BY doc_id
+    """,
+    "ann_cosine_topk": """
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 6) AS cos6
+          FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+          WHERE a.vec_id < 8
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos6,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               ROUND(cos6, 4) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
     "sparql_select": """
         SELECT DISTINCT 'http://example.org/user/' || CAST(a.user_id AS VARCHAR) AS s
         FROM events a JOIN events b ON a.user_id = b.user_id

@@ -1,0 +1,106 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All Catalyst-native except the langid character-
+profile scorer (Arrow-batched pandas UDF — genuinely needs numpy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# tiny public stopword profiles for the n-gram/stopword language heuristic
+_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "fr": {"le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "für"},
+    "es": {"el", "la", "y", "de", "un", "una", "es", "que", "por", "en"},
+}
+
+
+def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language ID. Vectorized: one pandas UDF over Arrow
+    batches, token sets via numpy/pandas ops; 'und' when no profile hits."""
+
+    @pandas_udf("string")
+    def langid(texts: pd.Series) -> pd.Series:
+        toks = texts.fillna("").str.lower().str.split(r"\s+")
+
+        def score(tokens: list[str]) -> str:
+            if not tokens:
+                return "und"
+            s = set(tokens)
+            best, best_n = "und", 0
+            for lang, prof in _PROFILES.items():
+                n = len(s & prof)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        return toks.map(score)
+
+    return df.withColumn(out_col, langid(F.col(text_col)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score, pure Catalyst:
+    length, word count, mean word length, punctuation ratio, uppercase
+    ratio, digit ratio, stopword ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(t, r"\s+")
+    n_words = F.size(words)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    mean_wl = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
+    out = (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("upper_ratio", F.round(n_upper / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("digit_ratio", F.round(n_digit / F.greatest(n_chars, F.lit(1)), 4))
+    )
+    score = (
+        F.when((F.col("n_words") >= 5) & (F.col("n_words") <= 100000), 0.4).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12), 0.3).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.2).otherwise(0.0)
+        + F.when(F.col("digit_ratio") <= 0.3, 0.1).otherwise(0.0)
+    )
+    return out.withColumn("quality", F.round(score, 4))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (regex pieces:
+    word fragments of ≤4 chars, digits, punctuation)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(t, r"\s+"))
+    # BPE-ish: count regex pieces — 4-char chunks of words + digits + punct
+    pieces = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0))
+    )
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", pieces)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: k-gram rolling hashes → min
+    hash per sliding window → distinct fingerprint set, all Catalyst array
+    ops. Deterministic; robust to small edits."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+        )
+    )
+    return df.withColumn("fingerprints", winnowed)

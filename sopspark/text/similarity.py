@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+  * :func:`cosine_topk` — brute-force cosine top-k: the correctness
+    baseline. Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side,
+    no Python); top-k via window ``row_number``. Cost O(|queries|·|corpus|)
+    — use only for small query sets or as the oracle.
+  * :func:`lsh_cosine_topk` — the scale path: random-hyperplane (signed
+    projection) LSH buckets; candidates = bucket collisions across any of
+    ``tables`` independent hash tables, then exact cosine re-rank within
+    candidates. Recall < 1 by construction; tune ``planes``/``tables``.
+  * :func:`embedding_near_dups` — near-duplicate pairs (cosine ≥ τ) via the
+    same bucketing, for embedding-level dedup.
+
+Hyperplanes are generated from a seeded RNG on the driver (tiny:
+planes × dim floats) and broadcast as literal arrays — deterministic across
+runs and executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_col(vec):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self-match
+    excluded. Deterministic tie-break on neighbor id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm_col(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm_col(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c) if queries is not corpus else c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).astype("float64").tolist()
+
+
+def _bucket_col(vec, plane_rows: list[list[float]]):
+    """sign-pattern bucket id for one hash table (int bitmask)."""
+    bits = []
+    for j, plane in enumerate(plane_rows):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda v, p: v * p),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Candidates = ids sharing a bucket with the query in ≥1 of ``tables``
+    hash tables; exact cosine re-rank on candidates only. At 100 TB the
+    bucket join replaces the cross join: cost ≈ Σ bucket² per table.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    frames = []
+    for t in range(tables):
+        planes_t = _hyperplanes(dim, planes, seed + t)
+        cb = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            _bucket_col(F.col(vec_col), planes_t).alias("_bkt"),
+        ).withColumn("_tbl", F.lit(t))
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            _bucket_col(F.col(vec_col), planes_t).alias("_bkt"),
+        ).withColumn("_tbl", F.lit(t))
+        frames.append(qb.join(cb, on=["_tbl", "_bkt"]).select("query_id", "neighbor_id", "_qv", "_cv"))
+    cands = frames[0]
+    for fdf in frames[1:]:
+        cands = cands.unionByName(fdf)
+    cands = cands.where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv")) / (_norm_col(F.col("_qv")) * _norm_col(F.col("_cv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 10,
+    tables: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold)
+    via LSH candidate buckets + exact verification."""
+    topk = lsh_cosine_topk(df, df, k=50, id_col=id_col, vec_col=vec_col, planes=planes, tables=tables, seed=seed)
+    return (
+        topk.where((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "cosine")
+        .distinct()
+    )
