@@ -1,0 +1,260 @@
+"""Pipeline CLI — the reference's ``sop`` command-line surface on Spark.
+
+``python -m sopspark parse FILE ! filter EXPR ! serialize -f nq -o OUT``
+
+Mirrors the reference's pipeline concept (``README.md:115-135``): stages
+separated by ``!``, each stage a subcommand; the pipeline is built lazily
+left-to-right as one Catalyst plan and executed by the terminal sink —
+exactly the reference's pull-based chain (``src/main.rs:84-99``), with
+Catalyst in place of the Rust iterator fusion.
+
+Subcommands + aliases follow the reference (``README.md:252-263``):
+parse/p, serialize/s, filter/f, map/ma, merge/me, query/q,
+canonicalize/c14n/c, null/n/Z, absolutize, relativize, dispatch.
+
+stdin ("-"; also the default with no FILE) is parsed as generalized
+N-Quads like the reference's wire format (``src/main.rs:122-126``); a bare
+``serialize`` with no ``-o`` prints N-Quads to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def _split_stages(argv: list[str]) -> list[list[str]]:
+    stages: list[list[str]] = [[]]
+    for a in argv:
+        if a == "!":
+            stages.append([])
+        else:
+            stages[-1].append(a)
+    return [s for s in stages if s]
+
+
+ALIASES = {
+    "p": "parse",
+    "s": "serialize",
+    "f": "filter",
+    "ma": "map",
+    "me": "merge",
+    "q": "query",
+    "c14n": "canonicalize",
+    "c": "canonicalize",
+    "n": "null",
+    "Z": "null",
+}
+
+
+def _stage_parser(name: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=name, add_help=False)
+    if name == "parse":
+        p.add_argument("file", nargs="?", default="-")
+        p.add_argument("-f", "--format", default=None)
+        p.add_argument("-b", "--base", default=None)
+        p.add_argument("-g", "--graph", default=None)
+        p.add_argument("-m", "--multiple", nargs="*", default=None)
+    elif name == "filter":
+        p.add_argument("expr")
+        p.add_argument("-d", "--recognize-datatypes", action="store_true", default=True)
+    elif name == "map":
+        p.add_argument("-s", default=None)
+        p.add_argument("-p", default=None)
+        p.add_argument("-o", default=None)
+        p.add_argument("-g", default=None)
+    elif name == "merge":
+        p.add_argument("--drop", action="store_true")
+    elif name == "absolutize":
+        p.add_argument("base")
+    elif name == "relativize":
+        p.add_argument("base")
+        p.add_argument("-p", "--parents", type=int, default=0)
+    elif name == "serialize":
+        p.add_argument("-f", "--format", default="nq")
+        p.add_argument("-o", "--output", default=None)
+        p.add_argument("-c", "--canonical", action="store_true", default=True)
+    elif name == "canonicalize":
+        p.add_argument("-o", "--output", default=None)
+        p.add_argument("-f", "--c14n-function", default="rdfc-1.0")
+        p.add_argument("-H", "--hash-function", default="sha256")
+        p.add_argument("-p", "--poison-resistance", type=float, default=1.0)
+    elif name == "query":
+        p.add_argument("query", nargs="?", default=None)
+        p.add_argument("-q", "--query-file", default=None)
+        p.add_argument("-r", "--regime", default="simple")
+        p.add_argument("-d", "--recognize-datatypes", action="store_true")
+        p.add_argument("-H", "--no-header", action="store_true")
+        p.add_argument("-s", "--status", action="store_true")
+    elif name == "dispatch":
+        p.add_argument("root")
+        p.add_argument("-d", "--dest", required=True)
+        p.add_argument("-f", "--format", default="nt")
+    elif name == "null":
+        pass
+    return p
+
+
+def run_pipeline_cli(argv: list[str], spark=None) -> int:
+    from sopspark.session import get_spark
+
+    spark = spark or get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    stages = _split_stages(argv)
+    if not stages:
+        print("usage: python -m sopspark SUBCOMMAND [ARGS] [! SUBCOMMAND [ARGS]]...", file=sys.stderr)
+        return 2
+
+    df: DataFrame | None = None
+    terminal = False
+    for i, stage in enumerate(stages):
+        name = ALIASES.get(stage[0], stage[0])
+        args = _stage_parser(name).parse_args(stage[1:])
+        if name == "parse":
+            from sopspark.sources.ntriples import parse_ntriples
+            from sopspark.sources.turtle import parse_turtle
+            from sopspark.terms import iri_col
+
+            if args.multiple is not None:
+                paths = [a for a in args.multiple if a != "m-"]
+                df = parse_ntriples(spark, paths, scope_bnodes_per_file=True)
+            else:
+                path = args.file
+                if path == "-":
+                    import tempfile
+
+                    tmp = tempfile.NamedTemporaryFile("w", suffix=".nq", delete=False)
+                    tmp.write(sys.stdin.read())
+                    tmp.close()
+                    path = tmp.name
+                fmt = args.format or ("ttl" if path.endswith((".ttl", ".trig")) else "nq")
+                if fmt in ("ttl", "turtle", "trig", "text/turtle", "application/trig"):
+                    df = parse_turtle(spark, path, base=args.base)
+                else:
+                    df = parse_ntriples(spark, path)
+                    if args.base:
+                        from sopspark.operators.transforms import absolutize
+
+                        df = absolutize(df, args.base)
+            if args.graph:
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    "g", F.when(F.col("g").isNull(), iri_col(args.graph)).otherwise(F.col("g"))
+                )
+        elif name == "filter":
+            from sopspark.operators.filter_map import filter_quads
+
+            df = filter_quads(df, args.expr)
+        elif name == "map":
+            from sopspark.operators.filter_map import map_quads
+
+            df = map_quads(df, s=args.s, p=args.p, o=args.o, g=args.g)
+        elif name == "merge":
+            from sopspark.operators.transforms import merge
+
+            df = merge(df, drop=args.drop)
+        elif name == "absolutize":
+            from sopspark.operators.transforms import absolutize
+
+            df = absolutize(df, args.base)
+        elif name == "relativize":
+            from sopspark.operators.transforms import relativize
+
+            df = relativize(df, args.base, parents=args.parents)
+        elif name == "serialize":
+            from sopspark.operators.serialize import collect_nq_lines, serialize_nquads
+
+            triples_only = args.format in ("nt", "ntriples", "ttl", "turtle")
+            if args.output:
+                serialize_nquads(df, args.output, triples_only=triples_only, single_file=True)
+            else:
+                for line in collect_nq_lines(df, triples_only=triples_only, sort=False):
+                    print(line)
+            terminal = i == len(stages) - 1
+            # tee semantics: with more stages, the same df flows on
+        elif name == "canonicalize":
+            from sopspark.operators.canonicalize import canonicalize
+
+            lines = canonicalize(df, hash_name=args.hash_function.replace("-", ""))
+            if args.output:
+                lines.coalesce(1).write.mode("overwrite").text(args.output + ".dir")
+                import glob
+                import shutil
+
+                part = glob.glob(args.output + ".dir/part-*")[0]
+                shutil.move(part, args.output)
+                shutil.rmtree(args.output + ".dir")
+            else:
+                for r in lines.collect():
+                    print(r.line)
+            terminal = True
+        elif name == "query":
+            from sopspark.functions.entailment import materialize_rdfs
+            from sopspark.functions.sparql import bindings_to_quads, sparql_query
+            from sopspark.terms import nt_term
+
+            qtext = args.query
+            if args.query_file:
+                qtext = open(args.query_file).read()
+            if qtext is None:
+                print("query: missing query text (-q FILE or inline)", file=sys.stderr)
+                return 2
+            data = materialize_rdfs(df, args.regime) if args.regime != "simple" else df
+            res = sparql_query(data, qtext, recognize_datatypes=args.recognize_datatypes)
+            if res.kind == "boolean":
+                if args.status:
+                    return 0 if res.value else 1
+                print("true" if res.value else "false")
+                terminal = True
+            elif res.kind == "quads":
+                df = res.df
+            else:
+                reentry = bindings_to_quads(res)
+                if reentry is not None and i < len(stages) - 1:
+                    df = reentry
+                else:
+                    from pyspark.sql import functions as F
+
+                    out = res.df.select(
+                        *[nt_term(F.col(v)).alias(v) for v in res.variables]
+                    )
+                    if not args.no_header:
+                        print("\t".join("?" + v for v in res.variables))
+                    for row in out.collect():
+                        print("\t".join(row[v] if row[v] is not None else "" for v in res.variables))
+                    terminal = True
+        elif name == "dispatch":
+            from sopspark.operators.dispatch import dispatch
+
+            df = dispatch(df, args.root, args.dest)
+        elif name == "null":
+            from sopspark.operators.transforms import validate
+
+            errs = validate(df).collect()
+            for e in errs:
+                print(f"error: {e.err}", file=sys.stderr)
+            terminal = True
+            if errs:
+                return 1
+        else:
+            print(f"unknown subcommand: {name}", file=sys.stderr)
+            return 2
+
+    if not terminal and df is not None:
+        # default sink: N-Quads on stdout (src/common/quad_handler.rs:32-36)
+        from sopspark.operators.serialize import collect_nq_lines
+
+        for line in collect_nq_lines(df, sort=False):
+            print(line)
+    return 0
+
+
+def main() -> None:
+    sys.exit(run_pipeline_cli(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from sopspark.streaming.pipeline import (
+    stream_parse_nquads,
+    stream_canonical_lines,
+    windowed_event_counts,
+)
+
+__all__ = ["stream_parse_nquads", "stream_canonical_lines", "windowed_event_counts"]

@@ -1,0 +1,59 @@
+"""Structured Streaming front-end for the quad pipeline.
+
+The reference is batch-over-streams (lazy pull iterators, no event time —
+``README.md:196-199``); its streaming subcommands (`filter`/`map`/`merge`)
+are exactly the stages that compose unchanged over an unbounded source. We
+expose that directly: ``stream_parse_nquads`` returns a *streaming* quad
+DataFrame, and every narrow operator in :mod:`sopspark.operators`
+(filter_quads, map_quads, merge, absolutize, …) composes on it as-is —
+same code, batch or stream. Blocking operators (query/canonicalize) need a
+bounded trigger (``availableNow``) or a windowed restatement.
+
+``windowed_event_counts`` shows the event-time path the reference lacks:
+watermark + tumbling window over a transcript-like stream — late rows
+beyond the watermark are dropped by Spark's state store, giving the
+exactly-once windowed aggregates a 10^12-turn ingest needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sopspark.sources.ntriples import parse_lines_df
+
+
+def stream_parse_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming source: watch ``path`` for NT/NQ files → streaming quad
+    DataFrame (same schema as the batch parser; mapInPandas is supported
+    on streaming DataFrames for stateless transforms)."""
+    lines = spark.readStream.format("text").load(path)
+    return parse_lines_df(lines)
+
+
+def stream_canonical_lines(quads: DataFrame) -> DataFrame:
+    """Streaming canonical N-Quads lines (no global sort — ordering is a
+    batch-only concept; the canonical *document* is produced by a final
+    batch sort over the sink table)."""
+    from sopspark.terms import nq_line
+
+    ok = quads.where(F.col("err").isNull()) if "err" in quads.columns else quads
+    return ok.select(nq_line(F.col("s"), F.col("p"), F.col("o"), F.col("g")).alias("line"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — works on batch or streaming
+    frames (same plan; streaming adds state-store eviction of windows older
+    than the watermark)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n")
+    )

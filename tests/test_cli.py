@@ -1,0 +1,117 @@
+"""Pipeline CLI parity with the reference's documented commands."""
+
+import os
+
+from sopspark.cli import run_pipeline_cli
+
+
+def run(spark, capsys, *argv):
+    rc = run_pipeline_cli(list(argv), spark=spark)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, out
+
+
+def test_cli_swap_filter(spark, capsys, fixtures_dir):
+    rc, out = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/sample.nt", "!",
+        "map", "-s", "?o", "-o", "?s", "!",
+        "filter", "?p = <http://example.org/p>",
+    )
+    assert rc == 0
+    assert out == ["<http://example.org/o> <http://example.org/p> <http://example.org/s> ."]
+
+
+def test_cli_aliases(spark, capsys, fixtures_dir):
+    # sop p examples/sample.nt ! f "?p = <...>" ! s -f nt   (README.md:258)
+    rc, out = run(
+        spark, capsys,
+        "p", f"{fixtures_dir}/sample.nt", "!",
+        "f", "?p = <http://example.org/p>", "!",
+        "s", "-f", "nt",
+    )
+    assert rc == 0
+    assert out == ["<http://example.org/s> <http://example.org/p> <http://example.org/o> ."]
+
+
+def test_cli_query_select(spark, capsys, fixtures_dir):
+    rc, out = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/social.ttl", "-f", "ttl", "!",
+        "query", "-q", f"{fixtures_dir}/persons.rq",
+    )
+    assert rc == 0
+    assert out[0] == "?name"
+    assert sorted(out[1:]) == ['"Alice"', '"Bob"']
+
+
+def test_cli_ask_status(spark, capsys, fixtures_dir):
+    rc, _ = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/social.ttl", "-f", "ttl", "!",
+        "query", "-s", "ASK WHERE { ?s a <http://xmlns.com/foaf/0.1/Person> }",
+    )
+    assert rc == 0
+    rc2, _ = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/social.ttl", "-f", "ttl", "!",
+        "query", "-s", "ASK WHERE { ?s a <http://example.org/Robot> }",
+    )
+    assert rc2 == 1
+
+
+def test_cli_construct_pipes_on(spark, capsys, fixtures_dir):
+    rc, out = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/social.ttl", "-f", "ttl", "!",
+        "query",
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+        "CONSTRUCT { ?p foaf:name ?n } WHERE { ?p foaf:name ?n }", "!",
+        "merge",
+    )
+    assert rc == 0
+    assert len(out) == 2 and all("foaf/0.1/name" in l for l in out)
+
+
+def test_cli_merge_drop_graph(spark, capsys, fixtures_dir):
+    # sop parse msg-1.nt ! map -g "<http://example.org/g1>" ! merge --drop
+    rc, out = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/msg-1.nt", "!",
+        "map", "-g", "<http://example.org/g1>", "!",
+        "merge", "--drop",
+    )
+    assert rc == 0
+    assert out == ['<http://example.org/msg/1> <http://example.org/prop> "Message 1" .']
+
+
+def test_cli_multiple_glob(spark, capsys, fixtures_dir):
+    rc, out = run(
+        spark, capsys,
+        "parse", "-m", f"{fixtures_dir}/msg-*.nt", "m-",
+    )
+    assert rc == 0
+    assert len(out) == 2
+
+
+def test_cli_null_reports_errors(spark, capsys, tmp_path):
+    bad = tmp_path / "bad.nt"
+    bad.write_text("not rdf at all\n<http://e/s> <http://e/p> <http://e/o> .\n")
+    rc = run_pipeline_cli(["parse", str(bad), "!", "null"], spark=spark)
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "parse error" in err
+
+
+def test_cli_dispatch(spark, capsys, tmp_path, fixtures_dir):
+    dest = tmp_path / "out"
+    rc, out = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/sample.nt", "!",
+        "map", "-g", 'iri(concat("http://example.org/graphs/", "g1.nt"))', "!",
+        "dispatch", "http://example.org/graphs/", "-d", str(dest),
+    )
+    assert rc == 0
+    assert (dest / "g1.nt").exists()
+    assert len((dest / "g1.nt").read_text().strip().splitlines()) == 2
+    assert out == []  # everything dispatched; remainder empty

@@ -1,0 +1,61 @@
+"""Structured Streaming: the batch operators compose unchanged on streams."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from sopspark.operators.filter_map import filter_quads, map_quads
+from sopspark.streaming.pipeline import (
+    stream_canonical_lines,
+    stream_parse_nquads,
+    windowed_event_counts,
+)
+
+
+def test_stream_parse_filter_map(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.nq").write_text(
+        "<http://e/a> <http://e/p> <http://e/o> .\n"
+        "<http://e/b> <http://e/ignored> <http://e/o> .\n"
+        "garbage line\n"
+    )
+    quads = stream_parse_nquads(spark, str(src))
+    assert quads.isStreaming
+    piped = map_quads(
+        filter_quads(quads, "?p = <http://e/p>"), g="<http://e/stream>"
+    )
+    lines = stream_canonical_lines(piped)
+    q = (
+        lines.writeStream.format("memory")
+        .queryName("sink1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.line for r in spark.sql("select * from sink1").collect()]
+    assert got == ["<http://e/a> <http://e/p> <http://e/o> <http://e/stream> ."]
+
+
+def test_stream_incremental_batches(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    (src / "b1.nq").write_text("<http://e/1> <http://e/p> <http://e/o> .\n")
+    quads = stream_parse_nquads(spark, str(src))
+    lines = stream_canonical_lines(quads)
+    q = lines.writeStream.format("memory").queryName("sink2").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) n from sink2").collect()[0].n == 1
+    # second file → second incremental run picks up only the new data
+    (src / "b2.nq").write_text("<http://e/2> <http://e/p> <http://e/o> .\n")
+    q2 = lines.writeStream.format("memory").queryName("sink3").trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert spark.sql("select count(*) n from sink3").collect()[0].n == 2
+
+
+def test_windowed_counts_batch_parity(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_event_counts(events, window="1 hour", watermark="2 hours")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert sum(r.n for r in rows) == events.count()
