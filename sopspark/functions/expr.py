@@ -258,6 +258,10 @@ def _compile_bool(n: Node, env: dict[str, Column], rd: bool) -> Column:
         if const is not None and _const_term(other) is None:
             t = _compile(other, env, rd)
             kind, value, dt, lang = const
+            # no explicit null guard: a NULL term gives NULL conjuncts →
+            # NULL result, which is exactly SPARQL's error value AND keeps
+            # the predicate a plain conjunction that parquet nested-field
+            # pushdown can translate (row-group skipping on p.value etc.)
             if kind == IRI:
                 eq = (t["kind"] == IRI) & (t["value"] == value)
             elif dt in NUMERIC_DTS and rd:
@@ -270,7 +274,6 @@ def _compile_bool(n: Node, env: dict[str, Column], rd: bool) -> Column:
                     & t["dt"].eqNullSafe(F.lit(d))
                     & t["lang"].eqNullSafe(F.lit(lang))
                 )
-            eq = F.when(t.isNull(), F.lit(None).cast("boolean")).otherwise(eq)
             return eq if op == "=" else ~eq
         eq = term_eq(_compile(a[0], env, rd), _compile(a[1], env, rd), recognize_datatypes=rd)
         return eq if op == "=" else ~eq
@@ -641,4 +644,6 @@ def compile_filter(src: str, env: dict[str, Column] | None = None, recognize_dat
     if env is None:
         env = {v: F.col(v) for v in ("s", "p", "o", "g")}
     node = parse_expr(src)
-    return F.coalesce(_compile_bool(node, env, recognize_datatypes), F.lit(False))
+    # no coalesce(..., false) wrapper: WHERE treats NULL (SPARQL error) as
+    # false anyway, and a bare conjunction stays pushdown-translatable
+    return _compile_bool(node, env, recognize_datatypes)
