@@ -129,9 +129,23 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     tmp.write(sys.stdin.read())
                     tmp.close()
                     path = tmp.name
-                fmt = args.format or ("ttl" if path.endswith((".ttl", ".trig")) else "nq")
+                ext_fmt = {
+                    ".ttl": "ttl", ".trig": "ttl", ".jsonld": "jsonld", ".json": "jsonld",
+                    ".rdf": "rdf", ".xml": "rdf", ".owl": "rdf",
+                }
+                fmt = args.format or next(
+                    (f for e, f in ext_fmt.items() if path.endswith(e)), "nq"
+                )
                 if fmt in ("ttl", "turtle", "trig", "text/turtle", "application/trig"):
                     df = parse_turtle(spark, path, base=args.base)
+                elif fmt in ("jsonld", "json", "application/ld+json"):
+                    from sopspark.sources.jsonld import parse_jsonld
+
+                    df = parse_jsonld(spark, path)
+                elif fmt in ("rdf", "xml", "rdfxml", "application/rdf+xml"):
+                    from sopspark.sources.rdfxml import parse_rdfxml
+
+                    df = parse_rdfxml(spark, path, base=args.base)
                 else:
                     df = parse_ntriples(spark, path)
                     if args.base:
@@ -203,7 +217,16 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 print("query: missing query text (-q FILE or inline)", file=sys.stderr)
                 return 2
             data = materialize_rdfs(df, args.regime) if args.regime != "simple" else df
-            res = sparql_query(data, qtext, recognize_datatypes=args.recognize_datatypes)
+            try:
+                res = sparql_query(data, qtext, recognize_datatypes=args.recognize_datatypes)
+            except Exception as e:
+                from sopspark.functions.sparql import SparqlError
+                from sopspark.functions.expr import ExprError
+
+                if isinstance(e, (SparqlError, ExprError)):
+                    print(f"query error: {e}", file=sys.stderr)
+                    return 2
+                raise
             if res.kind == "boolean":
                 if args.status:
                     return 0 if res.value else 1

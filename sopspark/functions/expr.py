@@ -65,9 +65,24 @@ NUMERIC_DTS = [
     )
 ]
 
+# integer-family subset of the tower: SUM over only these stays xsd:integer
+INTEGER_DTS = [d for d in NUMERIC_DTS if d.rsplit("#", 1)[-1] not in ("decimal", "float", "double")]
+
 
 class ExprError(ValueError):
     pass
+
+
+AGG_FUNCS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
+
+
+def contains_aggregate(n: "Node") -> bool:
+    if n.op == "call":
+        name = n.args[0].lower().removesuffix("_distinct")
+        if name in AGG_FUNCS:
+            return True
+        return any(contains_aggregate(a) for a in n.args[1])
+    return any(contains_aggregate(a) for a in n.args if isinstance(a, Node))
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +616,14 @@ class _P:
             if t == "false":
                 return Node("bool_const", (False,))
             self.expect("(")
+            if t.lower() == "count" and self.peek()[1] == "*":
+                self.next()
+                self.expect(")")
+                return Node("call", (t, (Node("star", ()),)))
+            distinct = False
+            if t.lower() in AGG_FUNCS and self.peek()[0] == "name" and self.peek()[1].upper() == "DISTINCT":
+                self.next()
+                distinct = True
             args = []
             if self.peek()[1] != ")":
                 args.append(self.expr())
@@ -608,7 +631,8 @@ class _P:
                     self.next()
                     args.append(self.expr())
             self.expect(")")
-            return Node("call", (t, tuple(args)))
+            name = t + ("_distinct" if distinct else "")
+            return Node("call", (name, tuple(args)))
         raise ExprError(f"unexpected token {t!r}")
 
 

@@ -72,6 +72,8 @@ class Query:
     order_by: list = field(default_factory=list)  # [(Node, asc)]
     limit: int | None = None
     offset: int | None = None
+    group_by: list = field(default_factory=list)  # [var name]
+    having: list = field(default_factory=list)  # [expr Node]
 
 
 class SparqlError(ValueError):
@@ -228,6 +230,17 @@ class _QP:
 
     def modifiers(self, q: Query):
         while True:
+            if self.kw("GROUP"):
+                if not self.kw("BY"):
+                    raise SparqlError("expected BY after GROUP")
+                while self.peek()[0] == "var":
+                    q.group_by.append(self.next()[1][1:])
+                continue
+            if self.kw("HAVING"):
+                self.expect("(")
+                q.having.append(self.expr_until_as(closers=(")",)))
+                self.expect(")")
+                continue
             if self.kw("ORDER"):
                 if not self.kw("BY"):
                     raise SparqlError("expected BY after ORDER")
@@ -533,6 +546,21 @@ def sparql_query(quads: DataFrame, query: str, recognize_datatypes: bool = True)
         return SparqlResult("boolean", value=sol.limit(1).count() > 0)
 
     if q.form == "select":
+        from sopspark.functions.expr import contains_aggregate
+
+        has_agg = q.group_by or any(
+            node is not None and contains_aggregate(node)
+            for v in q.variables
+            if v != "*"
+            for _, node in [v]
+        )
+        if has_agg:
+            out, names = _eval_aggregate(sol, q, recognize_datatypes)
+            if q.distinct:
+                out = out.dropDuplicates()
+            out = _apply_order_limit(out, q, recognize_datatypes)
+            return SparqlResult("bindings", df=out, variables=names)
+
         if q.variables == ["*"]:
             out = sol
             names = [c for c in sol.columns if not c.startswith("_anon")]
@@ -579,6 +607,99 @@ def sparql_query(quads: DataFrame, query: str, recognize_datatypes: bool = True)
         return SparqlResult("quads", df=out)
 
     raise SparqlError(f"unsupported form {q.form}")
+
+
+def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list[str]]:
+    """GROUP BY + aggregate projections → groupBy().agg() with map-side
+    partial aggregation; values stay TERM structs, numeric aggregates go
+    through ``num()``."""
+    from sopspark.functions.expr import AGG_FUNCS, INTEGER_DTS, _mk_literal, _num_term, num
+    from sopspark.terms import XSD
+
+    env = {c: F.col(c) for c in sol.columns}
+
+    def agg_col(node: Node, alias: str) -> Column:
+        if node.op != "call":
+            raise SparqlError("aggregate projection must be an aggregate call")
+        raw = node.args[0].lower()
+        name = raw.removesuffix("_distinct")
+        distinct = raw.endswith("_distinct")
+        if name not in AGG_FUNCS:
+            raise SparqlError(f"{node.args[0]}() is not an aggregate")
+        args = node.args[1]
+        if name == "count":
+            if args and args[0].op == "star":
+                inner = F.lit(1)
+            else:
+                inner = args[0].col(env, rd)
+            c = F.count_distinct(inner) if distinct else F.count(inner)
+            return _num_term(c.cast("double"), integer=True).alias(alias)
+        inner_t = args[0].col(env, rd)
+        if name in ("sum", "avg"):
+            v = num(inner_t)
+            if distinct:
+                if name == "avg":
+                    raise SparqlError("AVG(DISTINCT) is not supported")
+                c = F.sum_distinct(v)
+            else:
+                c = F.sum(v) if name == "sum" else F.avg(v)
+            if name == "sum":
+                # SPARQL: SUM over an integer-only group stays xsd:integer
+                all_int = F.bool_and(inner_t["dt"].isin(INTEGER_DTS))
+                return F.when(all_int, _num_term(c, integer=True)).otherwise(_num_term(c)).alias(alias)
+            return _num_term(c).alias(alias)
+        if name in ("min", "max"):
+            # numeric when possible, else codepoint order on the lexical form
+            key = F.struct(F.coalesce(num(inner_t), F.lit(0.0)).alias("n"), inner_t["value"].alias("v"))
+            c = F.min_by(inner_t, key) if name == "min" else F.max_by(inner_t, key)
+            return c.alias(alias)
+        if name == "sample":
+            return F.first(inner_t, ignorenulls=True).alias(alias)
+        if name == "group_concat":
+            return _mk_literal(F.concat_ws(" ", F.collect_list(inner_t["value"]))).alias(alias)
+        raise SparqlError(f"unsupported aggregate {name}")
+
+    names: list[str] = []
+    group_cols = list(q.group_by)
+    aggs: list[Column] = []
+    for v in q.variables:
+        if v == "*":
+            raise SparqlError("SELECT * with aggregates is not supported")
+        name, node = v
+        names.append(name)
+        if node is None:
+            if name not in group_cols:
+                raise SparqlError(f"?{name} must appear in GROUP BY")
+        else:
+            aggs.append(agg_col(node, name))
+
+    # HAVING(COUNT(?x) > n): hoist the aggregate calls into hidden agg
+    # columns and rewrite the predicate to reference them
+    from sopspark.functions.expr import contains_aggregate
+
+    hidden = 0
+    rewritten_having: list[Node] = []
+
+    def hoist(n: Node) -> Node:
+        nonlocal hidden
+        if n.op == "call" and n.args[0].lower().removesuffix("_distinct") in AGG_FUNCS:
+            alias = f"_hav{hidden}"
+            hidden += 1
+            aggs.append(agg_col(n, alias))
+            return Node("var", (alias,))
+        if n.op == "call":
+            return Node("call", (n.args[0], tuple(hoist(a) for a in n.args[1])))
+        return Node(n.op, tuple(hoist(a) if isinstance(a, Node) else a for a in n.args))
+
+    for h in q.having:
+        rewritten_having.append(hoist(h) if contains_aggregate(h) else h)
+
+    grouped = sol.groupBy(*[F.col(c) for c in group_cols]) if group_cols else sol.groupBy()
+    out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    for h in rewritten_having:
+        henv = {c: F.col(c) for c in out.columns}
+        out = out.where(F.coalesce(_compile_bool(h, henv, rd), F.lit(False)))
+    return out.select(*names), names
 
 
 def _apply_order_limit(out: DataFrame, q: Query, rd: bool) -> DataFrame:

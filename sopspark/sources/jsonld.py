@@ -1,0 +1,171 @@
+"""JSON-LD subset parser (``sop parse -f jsonld``, ``src/parse.rs:289-349``).
+
+Subset: inline ``@context`` with prefix / term→IRI mappings (string values
+and ``{"@id": ..., "@type": "@id"}`` definitions), node objects with
+``@id``/``@type``, nested node objects (blank nodes when unnamed), value
+objects (``@value``/``@language``/``@type``), arrays, top-level ``@graph``.
+Remote context fetching is out of scope (no network in the pipeline; the
+reference's context *cache* maps to a broadcast dict — pass ``contexts``).
+
+Like Turtle, the document is the unit of parallelism: one file = one parse
+task (``spark.read.text(wholetext=True)`` → ``mapInPandas``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sopspark.sources.ntriples import FLAT_SCHEMA, _flat_to_quads
+from sopspark.terms import BNODE, IRI, LITERAL, RDF_NS, XSD
+
+RDF_TYPE = RDF_NS + "type"
+_ABS = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class JsonLdError(ValueError):
+    pass
+
+
+class _Ctx:
+    def __init__(self, mapping: dict | None, parent: "_Ctx | None" = None):
+        self.terms: dict[str, dict] = dict(parent.terms) if parent else {}
+        if mapping:
+            for k, v in mapping.items():
+                if k.startswith("@"):
+                    continue
+                if isinstance(v, str):
+                    self.terms[k] = {"@id": v}
+                elif isinstance(v, dict) and "@id" in v:
+                    self.terms[k] = v
+
+    def expand(self, term: str) -> str | None:
+        if term in self.terms:
+            return self.terms[term]["@id"]
+        if ":" in term:
+            pfx, _, local = term.partition(":")
+            if pfx in self.terms:
+                return self.terms[pfx]["@id"] + local
+            if _ABS.match(term):
+                return term
+        return None
+
+    def is_id_term(self, term: str) -> bool:
+        return self.terms.get(term, {}).get("@type") == "@id"
+
+
+class _Parser:
+    def __init__(self):
+        self.quads: list[tuple] = []
+        self._bn = 0
+
+    def fresh(self) -> tuple:
+        self._bn += 1
+        return (BNODE, f"jb{self._bn}", None, None)
+
+    def node_subject(self, node: dict, ctx: _Ctx) -> tuple:
+        nid = node.get("@id")
+        if nid is None:
+            return self.fresh()
+        if nid.startswith("_:"):
+            return (BNODE, nid[2:], None, None)
+        return (IRI, ctx.expand(nid) or nid, None, None)
+
+    def parse_node(self, node: dict, ctx: _Ctx) -> tuple:
+        if "@context" in node:
+            ctx = _Ctx(node["@context"], ctx)
+        subj = self.node_subject(node, ctx)
+        for key, value in node.items():
+            if key in ("@context", "@id"):
+                continue
+            if key == "@type":
+                for t in value if isinstance(value, list) else [value]:
+                    self.quads.append((subj, (IRI, RDF_TYPE, None, None), (IRI, ctx.expand(t) or t, None, None), None))
+                continue
+            if key == "@graph":
+                for child in value if isinstance(value, list) else [value]:
+                    self.parse_node(child, ctx)
+                continue
+            if key.startswith("@"):
+                continue
+            pred_iri = ctx.expand(key)
+            if pred_iri is None:
+                continue  # non-IRI-mapped keys are dropped (expansion rule)
+            pred = (IRI, pred_iri, None, None)
+            for v in value if isinstance(value, list) else [value]:
+                obj = self.value_object(v, ctx, id_coercion=ctx.is_id_term(key))
+                if obj is not None:
+                    self.quads.append((subj, pred, obj, None))
+        return subj
+
+    def value_object(self, v, ctx: _Ctx, id_coercion: bool = False):
+        if isinstance(v, dict):
+            if "@value" in v:
+                val = v["@value"]
+                if isinstance(val, bool):
+                    return (LITERAL, "true" if val else "false", XSD + "boolean", None)
+                lang = v.get("@language")
+                dt = v.get("@type")
+                dt = ctx.expand(dt) or dt if dt else None
+                if isinstance(val, (int, float)) and dt is None:
+                    dt = XSD + ("integer" if isinstance(val, int) else "double")
+                return (LITERAL, str(val), dt, lang)
+            if set(v.keys()) <= {"@id"} and "@id" in v:
+                nid = v["@id"]
+                if nid.startswith("_:"):
+                    return (BNODE, nid[2:], None, None)
+                return (IRI, ctx.expand(nid) or nid, None, None)
+            return self.parse_node(v, ctx)  # nested node object
+        if isinstance(v, bool):
+            return (LITERAL, "true" if v else "false", XSD + "boolean", None)
+        if isinstance(v, int):
+            return (LITERAL, str(v), XSD + "integer", None)
+        if isinstance(v, float):
+            return (LITERAL, str(v), XSD + "double", None)
+        if isinstance(v, str):
+            if id_coercion:
+                return (IRI, ctx.expand(v) or v, None, None)
+            return (LITERAL, v, None, None)
+        return None
+
+
+def parse_jsonld_text(text: str, contexts: dict | None = None) -> list[tuple]:
+    doc = json.loads(text)
+    p = _Parser()
+    ctx = _Ctx(contexts)
+    nodes = doc if isinstance(doc, list) else [doc]
+    for node in nodes:
+        if not isinstance(node, dict):
+            raise JsonLdError("top-level JSON-LD must be object(s)")
+        p.parse_node(node, ctx)
+    return p.quads
+
+
+def parse_jsonld(
+    spark: SparkSession, paths: str | list[str], contexts: dict | None = None
+) -> DataFrame:
+    if isinstance(paths, str):
+        paths = [paths]
+    docs = spark.read.text(paths, wholetext=True).select(
+        F.col("value"), F.input_file_name().alias("src")
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f"{t}_{f}" for t in ("s", "p", "o", "g") for f in ("kind", "value", "dt", "lang")]
+        for pdf in pdfs:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    for s, p_, o, g in parse_jsonld_text(row["value"], contexts):
+                        flat = list(s) + list(p_) + list(o) + (list(g) if g else [None] * 4)
+                        rows.append(flat + [None, row["src"]])
+                except (JsonLdError, json.JSONDecodeError) as e:
+                    rows.append([None] * 16 + [f"parse error: {e}", row["src"]])
+            yield pd.DataFrame(rows, columns=cols + ["err", "src"])
+
+    return _flat_to_quads(docs.mapInPandas(run, schema=FLAT_SCHEMA)).drop("src")

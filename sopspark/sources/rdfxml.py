@@ -1,0 +1,144 @@
+"""RDF/XML subset parser (``sop parse -f rdf``, ``src/parse.rs:289-349``).
+
+Subset: ``rdf:RDF`` root (or a single description), ``rdf:Description`` and
+typed node elements, ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID``, property
+elements with ``rdf:resource`` / ``rdf:nodeID`` / literal content / nested
+descriptions / ``rdf:parseType="Resource"``, ``rdf:datatype``, ``xml:lang``
+(inherited), property attributes on node elements. Per-file parallelism
+like the other document formats.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sopspark.sources.ntriples import FLAT_SCHEMA, _flat_to_quads
+from sopspark.terms import BNODE, IRI, LITERAL, RDF_NS, XSD_STRING
+
+RDF = "{" + RDF_NS + "}"
+XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+RDF_TYPE = RDF_NS + "type"
+
+
+class RdfXmlError(ValueError):
+    pass
+
+
+def _expand(tag: str) -> str:
+    if tag.startswith("{"):
+        ns, _, local = tag[1:].partition("}")
+        return ns + local
+    raise RdfXmlError(f"unqualified element {tag!r}")
+
+
+class _Parser:
+    def __init__(self, base: str | None):
+        self.base = base
+        self.quads: list[tuple] = []
+        self._bn = 0
+
+    def fresh(self) -> tuple:
+        self._bn += 1
+        return (BNODE, f"xb{self._bn}", None, None)
+
+    def resolve(self, iri: str) -> str:
+        if self.base and not iri.startswith(("http:", "https:", "urn:", "file:")):
+            return urljoin(self.base, iri)
+        return iri
+
+    def node_subject(self, el: ET.Element) -> tuple:
+        about = el.get(RDF + "about")
+        rid = el.get(RDF + "ID")
+        nid = el.get(RDF + "nodeID")
+        if about is not None:
+            return (IRI, self.resolve(about), None, None)
+        if rid is not None:
+            return (IRI, self.resolve("#" + rid), None, None)
+        if nid is not None:
+            return (BNODE, nid, None, None)
+        return self.fresh()
+
+    def parse_node(self, el: ET.Element, lang: str | None) -> tuple:
+        lang = el.get(XML_LANG, lang)
+        subj = self.node_subject(el)
+        tag = _expand(el.tag)
+        if tag != RDF_NS + "Description":
+            self.quads.append((subj, (IRI, RDF_TYPE, None, None), (IRI, tag, None, None), None))
+        # property attributes (non-rdf, non-xml attrs on the node element)
+        for attr, val in el.attrib.items():
+            if attr.startswith(RDF) or attr == XML_LANG or not attr.startswith("{"):
+                continue
+            self.quads.append((subj, (IRI, _expand(attr), None, None), (LITERAL, val, None, lang), None))
+        for prop in el:
+            self.parse_property(subj, prop, lang)
+        return subj
+
+    def parse_property(self, subj: tuple, prop: ET.Element, lang: str | None):
+        lang = prop.get(XML_LANG, lang)
+        pred = (IRI, _expand(prop.tag), None, None)
+        res = prop.get(RDF + "resource")
+        nid = prop.get(RDF + "nodeID")
+        dt = prop.get(RDF + "datatype")
+        ptype = prop.get(RDF + "parseType")
+        children = list(prop)
+        if res is not None:
+            self.quads.append((subj, pred, (IRI, self.resolve(res), None, None), None))
+        elif nid is not None:
+            self.quads.append((subj, pred, (BNODE, nid, None, None), None))
+        elif ptype == "Resource":
+            inner = self.fresh()
+            self.quads.append((subj, pred, inner, None))
+            for sub in children:
+                self.parse_property(inner, sub, lang)
+        elif children:
+            obj = self.parse_node(children[0], lang)
+            self.quads.append((subj, pred, obj, None))
+        else:
+            text = prop.text or ""
+            d = None if dt == XSD_STRING else dt
+            self.quads.append(
+                (subj, pred, (LITERAL, text, d, lang if d is None else None), None)
+            )
+
+
+def parse_rdfxml_text(text: str, base: str | None = None) -> list[tuple]:
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as e:
+        raise RdfXmlError(str(e)) from e
+    p = _Parser(base)
+    if _expand(root.tag) == RDF_NS + "RDF":
+        for el in root:
+            p.parse_node(el, root.get(XML_LANG))
+    else:
+        p.parse_node(root, None)
+    return p.quads
+
+
+def parse_rdfxml(spark: SparkSession, paths: str | list[str], base: str | None = None) -> DataFrame:
+    if isinstance(paths, str):
+        paths = [paths]
+    docs = spark.read.text(paths, wholetext=True).select(
+        F.col("value"), F.input_file_name().alias("src")
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f"{t}_{f}" for t in ("s", "p", "o", "g") for f in ("kind", "value", "dt", "lang")]
+        for pdf in pdfs:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    for s, p_, o, g in parse_rdfxml_text(row["value"], base):
+                        flat = list(s) + list(p_) + list(o) + (list(g) if g else [None] * 4)
+                        rows.append(flat + [None, row["src"]])
+                except RdfXmlError as e:
+                    rows.append([None] * 16 + [f"parse error: {e}", row["src"]])
+            yield pd.DataFrame(rows, columns=cols + ["err", "src"])
+
+    return _flat_to_quads(docs.mapInPandas(run, schema=FLAT_SCHEMA)).drop("src")

@@ -1,0 +1,91 @@
+"""JSON-LD and RDF/XML subset parsers."""
+
+from sopspark.operators.serialize import collect_nq_lines
+from sopspark.sources.jsonld import parse_jsonld, parse_jsonld_text
+from sopspark.sources.rdfxml import parse_rdfxml, parse_rdfxml_text
+from sopspark.terms import BNODE, IRI, LITERAL
+
+JSONLD_DOC = """
+{
+  "@context": {
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "name": "http://xmlns.com/foaf/0.1/name",
+    "knows": {"@id": "http://xmlns.com/foaf/0.1/knows", "@type": "@id"}
+  },
+  "@id": "http://example.org/alice",
+  "@type": "foaf:Person",
+  "name": "Alice",
+  "knows": "http://example.org/bob",
+  "foaf:age": 30,
+  "foaf:nick": {"@value": "Ally", "@language": "en"},
+  "foaf:account": {"name": "alice_acct"}
+}
+"""
+
+RDFXML_DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:foaf="http://xmlns.com/foaf/0.1/">
+  <foaf:Person rdf:about="http://example.org/alice" xml:lang="en">
+    <foaf:name>Alice</foaf:name>
+    <foaf:knows rdf:resource="http://example.org/bob"/>
+    <foaf:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</foaf:age>
+    <foaf:based_near>
+      <rdf:Description rdf:about="http://example.org/paris"/>
+    </foaf:based_near>
+    <foaf:address rdf:parseType="Resource">
+      <foaf:city>Paris</foaf:city>
+    </foaf:address>
+  </foaf:Person>
+</rdf:RDF>
+"""
+
+
+def test_jsonld_text():
+    quads = parse_jsonld_text(JSONLD_DOC)
+    spo = {(s[1], p[1], (o[0], o[1], o[2], o[3])) for s, p, o, g in quads}
+    F = "http://xmlns.com/foaf/0.1/"
+    assert ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            (IRI, F + "Person", None, None)) in spo
+    assert ("http://example.org/alice", F + "name", (LITERAL, "Alice", None, None)) in spo
+    assert ("http://example.org/alice", F + "knows",
+            (IRI, "http://example.org/bob", None, None)) in spo
+    assert ("http://example.org/alice", F + "age",
+            (LITERAL, "30", "http://www.w3.org/2001/XMLSchema#integer", None)) in spo
+    assert ("http://example.org/alice", F + "nick", (LITERAL, "Ally", None, "en")) in spo
+    # nested node object became a bnode with its own triple
+    nested = [q for q in quads if q[0][0] == BNODE]
+    assert any(p[1] == F + "name" and o[1] == "alice_acct" for _, p, o, _ in nested)
+
+
+def test_rdfxml_text():
+    quads = parse_rdfxml_text(RDFXML_DOC)
+    spo = {(s[1] if s[0] == IRI else "_bn", p[1], o[1]) for s, p, o, g in quads}
+    F = "http://xmlns.com/foaf/0.1/"
+    assert ("http://example.org/alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", F + "Person") in spo
+    assert ("http://example.org/alice", F + "knows", "http://example.org/bob") in spo
+    assert ("http://example.org/alice", F + "based_near", "http://example.org/paris") in spo
+    # xml:lang inherited onto the plain literal
+    name = [o for s, p, o, g in quads if p[1] == F + "name"][0]
+    assert (name[1], name[3]) == ("Alice", "en")
+    # typed literal has no lang
+    age = [o for s, p, o, g in quads if p[1] == F + "age"][0]
+    assert age[2].endswith("#integer") and age[3] is None
+    # parseType=Resource bnode carries the nested property
+    assert ("_bn", F + "city", "Paris") in spo
+
+
+def test_distributed_parsers(spark, tmp_path):
+    j = tmp_path / "doc.jsonld"
+    j.write_text(JSONLD_DOC)
+    x = tmp_path / "doc.rdf"
+    x.write_text(RDFXML_DOC)
+    dj = parse_jsonld(spark, str(j))
+    dx = parse_rdfxml(spark, str(x))
+    assert dj.where("err is null").count() == 7
+    assert dx.where("err is null").count() == 7
+    # malformed docs land in the err channel, not as job failures
+    bad = tmp_path / "bad.jsonld"
+    bad.write_text("{ not json")
+    db = parse_jsonld(spark, str(bad))
+    errs = db.collect()
+    assert len(errs) == 1 and "parse error" in errs[0].err

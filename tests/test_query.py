@@ -161,3 +161,45 @@ def test_rdfs_entailment(spark):
     ) in spo  # rdfs11
     # simple regime is identity
     assert materialize_rdfs(df, "simple").count() == df.count()
+
+
+def test_aggregates(spark):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/score> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/a> <http://e/score> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/b> <http://e/score> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/b> <http://e/tag> "x" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = """
+    SELECT ?s (COUNT(?v) AS ?n) (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+    WHERE { ?s <http://e/score> ?v } GROUP BY ?s ORDER BY ?s
+    """
+    res = sparql_query(df, q)
+    got = [(r.s.value, r.n.value, float(r.total.value), float(r.mean.value)) for r in res.df.collect()]
+    assert got == [("http://e/a", "2", 8.0, 4.0), ("http://e/b", "1", 1.0, 1.0)]
+    # SUM over integer-only groups stays xsd:integer (value "8", not "8.0")
+    r0 = res.df.collect()[0]
+    assert r0.total.value == "8" and r0.total.dt.endswith("#integer")
+
+    # HAVING over an aggregate
+    q2 = """
+    SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <http://e/score> ?v }
+    GROUP BY ?s HAVING (COUNT(?v) > 1)
+    """
+    res2 = sparql_query(df, q2)
+    assert [(r.s.value, r.n.value) for r in res2.df.collect()] == [("http://e/a", "2")]
+
+    # global aggregate without GROUP BY + COUNT(*)
+    res3 = sparql_query(df, "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    assert res3.df.collect()[0].n.value == "4"
+
+    # MIN/MAX over numeric terms
+    res4 = sparql_query(
+        df,
+        "SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) WHERE { ?s <http://e/score> ?v }",
+    )
+    r4 = res4.df.collect()[0]
+    assert (r4.lo.value, r4.hi.value) == ("1", "5")
