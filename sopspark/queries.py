@@ -257,9 +257,112 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_language(docs).select("doc_id", "lang_pred").orderBy("doc_id")
 
 
+def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY / HAVING over the events quad view — exercises the
+    aggregate compiler (groupBy().agg() with map-side partial agg)."""
+    from sopspark.functions.sparql import sparql_query
+
+    quads = _events_quads(spark, sf_dir)
+    res = sparql_query(
+        quads,
+        f"SELECT ?s (COUNT(?o) AS ?n) (SUM(?o) AS ?total) "
+        f"WHERE {{ ?s <{EV}purchase> ?o }} GROUP BY ?s HAVING (COUNT(?o) > 2)",
+    )
+    return res.df.select(
+        F.col("s")["value"].alias("s"),
+        F.col("n")["value"].cast("bigint").alias("n"),
+        F.round(F.col("total")["value"].cast("double"), 6).alias("total"),
+    ).orderBy("s")
+
+
+def q_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL → left outer join: purchase users with their error values
+    (null when none)."""
+    from sopspark.functions.sparql import sparql_query
+
+    quads = _events_quads(spark, sf_dir)
+    res = sparql_query(
+        quads,
+        f"SELECT DISTINCT ?s ?e WHERE {{ ?s <{EV}purchase> ?o . "
+        f"OPTIONAL {{ ?s <{EV}error> ?e }} }}",
+    )
+    return res.df.select(
+        F.col("s")["value"].alias("s"),
+        F.round(F.col("e")["value"].cast("double"), 6).alias("e"),
+    ).distinct().orderBy("s", F.col("e").asc_nulls_first())
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over all pairs of the first 40 documents
+    (the precision pass of the dedup family; JVM-side array ops)."""
+    from sopspark.text.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).where(F.col("a") < F.col("b"))
+    out = ngram_jaccard_pairs(docs, pairs, k=3)
+    return (
+        out.where(F.col("jaccard") > 0)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine ≥ 0.4) — the exact
+    twin of the LSH near-dup path, oracle-checkable."""
+    from sopspark.text.similarity import embedding_near_dups_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        embedding_near_dups_exact(emb, threshold=0.4)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-3 SimHash near-dup pairs (rows-only check — DuckDB
+    has no xxhash64; band-join correctness is pinned by tests vs brute
+    force)."""
+    from sopspark.text.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("a", "b")
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the first 8 vectors (rows-only check;
+    recall vs the exact baseline is pinned by tests)."""
+    from sopspark.text.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_cosine_topk(emb, queries, k=5, nlist=8, nprobe=4).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
+    "sparql_agg": q_sparql_agg,
+    "sparql_optional": q_sparql_optional,
     "canonicalize_ground": q_canonicalize,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ivf_ann": q_ivf_ann,
     "exact_dedup": q_exact_dedup,
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
@@ -348,6 +451,45 @@ ORACLES: dict[str, str] = {
         FROM events a JOIN events b ON a.user_id = b.user_id
         WHERE a.event_type = 'purchase' AND b.event_type = 'error'
         ORDER BY 1
+    """,
+    "sparql_agg": """
+        SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 6) AS total
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 HAVING COUNT(*) > 2 ORDER BY 1
+    """,
+    "sparql_optional": """
+        SELECT DISTINCT 'http://example.org/user/' || CAST(a.user_id AS VARCHAR) AS s,
+               ROUND(b.value, 6) AS e
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id AND b.event_type = 'error'
+        WHERE a.event_type = 'purchase'
+        ORDER BY s, e NULLS FIRST
+    """,
+    "ngram_jaccard": """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+                FROM documents WHERE doc_id < 40)
+        )
+        SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+               ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                     / GREATEST(len(list_distinct(list_concat(a.g, b.g))), 1), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.g, b.g)) > 0
+        ORDER BY a, b
+    """,
+    "embedding_neardup": """
+        SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ORDER BY a, b
     """,
     "canonicalize_ground": """
         SELECT DISTINCT '<http://example.org/user/' || CAST(user_id AS VARCHAR)

@@ -5,6 +5,8 @@ from sopspark.text.dedup import (
     minhash_dedup,
     simhash,
     simhash_dedup,
+    simhash_hamming_pairs,
+    simhash_near_dup_pairs,
     ngram_jaccard_pairs,
 )
 from sopspark.text.analysis import (
@@ -13,7 +15,13 @@ from sopspark.text.analysis import (
     token_counts,
     fingerprint,
 )
-from sopspark.text.similarity import cosine_topk, lsh_cosine_topk, embedding_near_dups
+from sopspark.text.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+    ivf_cosine_topk,
+    embedding_near_dups,
+    embedding_near_dups_exact,
+)
 
 __all__ = [
     "exact_dedup",
@@ -22,6 +30,8 @@ __all__ = [
     "minhash_dedup",
     "simhash",
     "simhash_dedup",
+    "simhash_hamming_pairs",
+    "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "detect_language",
     "quality_score",
@@ -29,5 +39,7 @@ __all__ = [
     "fingerprint",
     "cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
     "embedding_near_dups",
+    "embedding_near_dups_exact",
 ]

@@ -208,13 +208,62 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact-fingerprint near-dup classes (Hamming-0); banded Hamming-k
-    extension = group by 16-bit fingerprint quarters."""
+    """Exact-fingerprint near-dup classes (Hamming-0); for Hamming-k see
+    :func:`simhash_near_dup_pairs`."""
     fp = simhash(df, text_col, id_col)
     return (
         fp.groupBy("fingerprint")
         .agg(F.min(id_col).alias("rep"), F.collect_list(id_col).alias("members"))
     )
+
+
+def simhash_hamming_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """All id pairs (a < b) whose 64-bit fingerprints are within Hamming
+    distance ``max_hamming``, via pigeonhole banding.
+
+    Split the 64 bits into ``max_hamming + 1`` disjoint bands: two words at
+    distance ≤ k must agree *exactly* on at least one band, so an equi-join
+    on (band, band_bits) finds every true pair — no cross join. Shuffle key
+    is the narrow (band, bits) pair; candidate verification is one
+    ``bit_count(a ^ b)``. This is the 100 TB path: cost ≈ Σ per-bucket²,
+    with buckets of width 64/(k+1) bits keeping collisions rare.
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    fp = fingerprints.select(F.col(id_col), F.col("fingerprint"))
+
+    def band_key(i: int):
+        lo = i * width
+        size = 64 - lo if i == bands - 1 else width
+        mask = -1 if size >= 64 else (1 << size) - 1  # -1 = all 64 bits (2^64-1 overflows long)
+        return F.shiftrightunsigned("fingerprint", lo).bitwiseAND(F.lit(mask).cast("bigint"))
+
+    banded = fp.select(
+        id_col,
+        "fingerprint",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), band_key(i).alias("bits")) for i in range(bands)])
+        ).alias("_bk"),
+    ).select(id_col, "fingerprint", F.col("_bk.band").alias("band"), F.col("_bk.bits").alias("bits"))
+    left = banded.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("_fa"), "band", "bits")
+    right = banded.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("_fb"), "band", "bits")
+    return (
+        left.join(right, on=["band", "bits"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate id pairs (a < b, Hamming ≤ k) over raw text."""
+    return simhash_hamming_pairs(simhash(df, text_col, id_col), max_hamming, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,126 @@ def lsh_cosine_topk(
     )
 
 
+def embedding_near_dups_exact(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cosine ≥ τ).
+
+    O(n²) — the correctness baseline / oracle for :func:`embedding_near_dups`.
+    At scale use the LSH variant; this one exists so every approximate path
+    has an exact twin to measure recall against.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(id_col, "_v", _norm_col(F.col("_v")).alias("_n"))
+    a = v.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = v.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def _kmeans_centroids(df: DataFrame, vec_col: str, nlist: int, seed: int, sample: int = 4096, iters: int = 8):
+    """Driver-side k-means on a bounded sample (nlist × dim floats — tiny).
+
+    Centroid training is the only driver-side step of IVF; at 100 TB the
+    sample cap keeps it constant-cost and the result broadcasts as literals.
+    """
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype="float64")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on normalized rows
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _nearest_centroids(vec, centroids, n: int):
+    """ids of the n nearest centroids by dot product (vec need not be
+    normalized — ranking is scale-invariant per vec). Pure Catalyst."""
+    dots = F.array(
+        *[
+            F.struct(
+                _dot(F.transform(vec, lambda x: x.cast("double")), F.array(*[F.lit(float(c)) for c in row])).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, row in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(dots)), 1, n)
+    return F.transform(top, lambda s: s["j"])
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k.
+
+    Index: every corpus vector is assigned to its nearest of ``nlist``
+    k-means centroids (one narrow shuffle key). Search: each query probes
+    its ``nprobe`` nearest centroid buckets and re-ranks exactly within
+    them — cost ≈ |queries| · nprobe/nlist · |corpus| instead of the full
+    cross join. ``nprobe == nlist`` degrades to exact brute force (recall
+    1.0), the property the tests pin.
+    """
+    cent = _kmeans_centroids(corpus, vec_col, nlist, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm_col(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("_cn"),
+        F.explode(_nearest_centroids(F.col(vec_col), cent, 1)).alias("_list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm_col(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("_qn"),
+        F.explode(_nearest_centroids(F.col(vec_col), cent, nprobe)).alias("_list"),
+    )
+    scored = (
+        q.join(c, on="_list")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(
+                    F.transform(F.col("_qv"), lambda x: x.cast("double")),
+                    F.transform(F.col("_cv"), lambda x: x.cast("double")),
+                )
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

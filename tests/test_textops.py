@@ -150,3 +150,58 @@ def test_multimodal_plumbing(spark):
         from sopspark.multimodal import decode_image
 
         decode_image(b"not an image", fake=False)
+
+
+def test_simhash_hamming_pairs_matches_bruteforce(spark, docs):
+    from sopspark.text.dedup import simhash_hamming_pairs, simhash_near_dup_pairs
+
+    fp = simhash(docs).cache()
+    for k in (0, 2, 3, 6):
+        banded = {(r.a, r.b, r.hamming) for r in simhash_hamming_pairs(fp, max_hamming=k).collect()}
+        a = fp.select(F.col("doc_id").alias("a"), F.col("fingerprint").alias("fa"))
+        b = fp.select(F.col("doc_id").alias("b"), F.col("fingerprint").alias("fb"))
+        brute = {
+            (r.a, r.b, r.h)
+            for r in a.crossJoin(b)
+            .where(F.col("a") < F.col("b"))
+            .withColumn("h", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+            .where(F.col("h") <= k)
+            .collect()
+        }
+        assert banded == brute, f"k={k}"
+    # exact dups are Hamming-0 pairs from raw text
+    pairs0 = {(r.a, r.b) for r in simhash_near_dup_pairs(docs, max_hamming=0).collect()}
+    assert (0, 1) in pairs0
+
+
+def test_embedding_near_dups_exact_and_ivf(spark):
+    from sopspark.text.similarity import (
+        cosine_topk,
+        embedding_near_dups_exact,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120).cache()
+    # exact near-dup pairs agree with a manual cross-join threshold
+    pairs = embedding_near_dups_exact(emb, threshold=0.3).collect()
+    assert all(r.a < r.b and r.cosine >= 0.3 for r in pairs)
+
+    queries = emb.limit(6)
+    exact = cosine_topk(emb, queries, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # full probe (nprobe == nlist) degrades to brute force: recall 1.0
+    full = ivf_cosine_topk(emb, queries, k=5, nlist=4, nprobe=4)
+    full_sets = {}
+    for r in full.collect():
+        full_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert full_sets == exact_sets
+
+    # partial probe keeps non-trivial recall on this corpus
+    part = ivf_cosine_topk(emb, queries, k=5, nlist=4, nprobe=2)
+    hits = sum(
+        r.neighbor_id in exact_sets.get(r.query_id, set()) for r in part.collect()
+    )
+    assert hits / (6 * 5) > 0.3
