@@ -18,6 +18,11 @@ plan:
     limit/offset. ASK → ``limit(1).count() > 0``
     (``src/query.rs:197-206``). CONSTRUCT → per-template projection,
     unioned (``src/query.rs:208-217``).
+  * GROUP BY / HAVING / aggregates → ``groupBy().agg()`` (map-side partial
+    aggregation for free); HAVING aggregates hoisted to hidden agg columns.
+  * Property paths (^ / | + * ?) → pair-relation algebra: ^ swaps, /
+    joins, | unions; + and * run a semi-naive distributed transitive
+    closure (frontier-only joins, localCheckpoint-truncated lineage).
 
 Evaluated forms mirror the surface the reference evidences
 (``README.md:150-180``, ``examples/persons.rq``) plus the obvious
@@ -93,7 +98,7 @@ _TOK = re.compile(
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<dtmark>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<punct>[{}().;,\[\]*=!<>|&+/-]+)
+  | (?P<punct>(?:[{}().;,\[\]*=!>|&+/^-]|<(?![^<>\s]*>)|\?(?!\w))+)
   | (?P<pname>[A-Za-z_][\w-]*)?:(?P<plocal>[\w.-]*)
   | (?P<name>[A-Za-z_]\w*)
     """,
@@ -321,11 +326,10 @@ class _QP:
         s = self.term()
         while True:
             k, v = self.peek()
-            if k == "name" and v == "a":
-                self.next()
-                p = ("term", (IRI, RDF_NS + "type", None, None))
-            else:
+            if k == "var":
                 p = self.term()
+            else:
+                p = self.path()
             while True:
                 o = self.term()
                 out.append(TriplePattern(s, p, o))
@@ -340,6 +344,67 @@ class _QP:
                 continue
             break
         return out
+
+    # --- property paths (SPARQL 1.1 §9, predicate position only) ---
+    def path(self) -> tuple:
+        """Parse a property path; a bare IRI collapses to a plain ("term",...)
+        predicate so simple BGPs take the ordinary scan/join route."""
+        node = self.path_alt()
+        if node[0] == "link":
+            return ("term", (IRI, node[1], None, None))
+        return ("path", node)
+
+    def path_alt(self) -> tuple:
+        left = self.path_seq()
+        while self.peek()[1] == "|":
+            self.next()
+            left = ("alt", left, self.path_seq())
+        return left
+
+    def path_seq(self) -> tuple:
+        left = self.path_elt()
+        while self.peek()[1] == "/":
+            self.next()
+            left = ("seq", left, self.path_elt())
+        return left
+
+    def path_elt(self) -> tuple:
+        p = self.path_primary()
+        v = self.peek()[1]
+        if v == "+":
+            self.next()
+            return ("oneplus", p)
+        if v == "*":
+            self.next()
+            return ("star", p)
+        if v == "?":
+            self.next()
+            return ("opt", p)
+        return p
+
+    def path_primary(self) -> tuple:
+        k, v = self.peek()
+        if v == "^":
+            self.next()
+            return ("inv", self.path_primary())
+        if v == "(":
+            self.next()
+            p = self.path_alt()
+            self.expect(")")
+            return p
+        if k == "name" and v == "a":
+            self.next()
+            return ("link", RDF_NS + "type")
+        if k == "iri":
+            self.next()
+            return ("link", v[1:-1])
+        if k == "pname":
+            self.next()
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise SparqlError(f"undefined prefix {pfx!r}")
+            return ("link", self.prefixes[pfx] + local)
+        raise SparqlError(f"unexpected token {v!r} in property path")
 
     def term(self) -> tuple:
         k, v = self.next()
@@ -492,6 +557,109 @@ def _scan_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
     return df.select(*[c.alias(v) for v, c in cols.items()])
 
 
+def _graph_scope(quads: DataFrame, graph: tuple | None) -> DataFrame:
+    """Restrict quads to the pattern's graph (path patterns need a fixed
+    scope: per-graph closures for GRAPH ?g are out of the subset)."""
+    if graph is None:
+        return quads.where(F.col("g").isNull())
+    if graph[0] == "var":
+        raise SparqlError("property paths inside GRAPH ?var are not supported")
+    return quads.where(F.col("g").eqNullSafe(_term_lit(graph[1])))
+
+
+def _path_identity(scoped: DataFrame) -> DataFrame:
+    """Zero-length path: every term appearing as subject or object relates
+    to itself (SPARQL 1.1 §18.4 ZeroLengthPath)."""
+    nodes = scoped.select(F.col("s").alias("_n")).unionByName(
+        scoped.select(F.col("o").alias("_n"))
+    ).distinct()
+    return nodes.select(F.col("_n").alias("_ps"), F.col("_n").alias("_po"))
+
+
+def _transitive_closure(base: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Distinct (_ps, _po) pairs → transitive closure, semi-naive: each round
+    extends only the frontier (pairs new last round) by one base hop, so work
+    is proportional to new facts, not the whole closure. localCheckpoint
+    truncates lineage per round; rounds ≈ graph diameter (≤ log₂ with
+    doubling — diameter hops suffice here and keep each join small)."""
+    edges = base.distinct().localCheckpoint()
+    closure = edges
+    frontier = edges
+    for _ in range(max_iter):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f._po").eqNullSafe(F.col("e._ps")))
+            .select(F.col("f._ps").alias("_ps"), F.col("e._po").alias("_po"))
+            .distinct()
+        )
+        new = nxt.subtract(closure).localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint()
+        frontier = new
+    return closure
+
+
+def _path_pairs(quads: DataFrame, path: tuple, graph: tuple | None) -> DataFrame:
+    """Property-path AST → DataFrame of (_ps, _po) term pairs.
+
+    link → filtered scan; ^ → swap; / → hop join; | → union-distinct;
+    + → semi-naive transitive closure; * / ? → closure/base ∪ identity.
+    """
+    op = path[0]
+    if op == "link":
+        scoped = _graph_scope(quads, graph)
+        return scoped.where(
+            F.col("p").eqNullSafe(_term_lit((IRI, path[1], None, None)))
+        ).select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+    if op == "inv":
+        inner = _path_pairs(quads, path[1], graph)
+        return inner.select(F.col("_po").alias("_ps"), F.col("_ps").alias("_po"))
+    if op == "seq":
+        a = _path_pairs(quads, path[1], graph)
+        b = _path_pairs(quads, path[2], graph)
+        return (
+            a.alias("a")
+            .join(b.alias("b"), F.col("a._po").eqNullSafe(F.col("b._ps")))
+            .select(F.col("a._ps").alias("_ps"), F.col("b._po").alias("_po"))
+            .distinct()
+        )
+    if op == "alt":
+        return _path_pairs(quads, path[1], graph).unionByName(
+            _path_pairs(quads, path[2], graph)
+        ).distinct()
+    if op == "oneplus":
+        return _transitive_closure(_path_pairs(quads, path[1], graph))
+    if op == "star":
+        plus = _transitive_closure(_path_pairs(quads, path[1], graph))
+        return plus.unionByName(_path_identity(_graph_scope(quads, graph))).distinct()
+    if op == "opt":
+        base = _path_pairs(quads, path[1], graph)
+        return base.unionByName(_path_identity(_graph_scope(quads, graph))).distinct()
+    raise SparqlError(f"unsupported path operator {op!r}")
+
+
+def _scan_path_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
+    """Triple pattern whose predicate is a property path → solution frame."""
+    pairs = _path_pairs(quads, tp.p[1], tp.graph)
+    cols: dict[str, Column] = {}
+    df = pairs
+    if tp.s[0] == "var":
+        cols[tp.s[1]] = F.col("_ps")
+    else:
+        df = df.where(F.col("_ps").eqNullSafe(_term_lit(tp.s[1])))
+    if tp.o[0] == "var":
+        if tp.o[1] in cols:
+            df = df.where(F.col("_po").eqNullSafe(F.col("_ps")))
+        else:
+            cols[tp.o[1]] = F.col("_po")
+    else:
+        df = df.where(F.col("_po").eqNullSafe(_term_lit(tp.o[1])))
+    if not cols:  # fully ground: keep a marker column for the semi-join
+        return df.limit(1).select(F.lit(1).alias("_anon_ground"))
+    return df.select(*[c.alias(v) for v, c in cols.items()])
+
+
 def _join_solutions(a: DataFrame | None, b: DataFrame, how: str = "inner") -> DataFrame:
     if a is None:
         return b
@@ -504,7 +672,10 @@ def _join_solutions(a: DataFrame | None, b: DataFrame, how: str = "inner") -> Da
 def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
     sol: DataFrame | None = None
     for tp in g.triples:
-        sol = _join_solutions(sol, _scan_pattern(quads, tp))
+        if tp.p[0] == "path":
+            sol = _join_solutions(sol, _scan_path_pattern(quads, tp))
+        else:
+            sol = _join_solutions(sol, _scan_pattern(quads, tp))
     for sub in g.subgroups:
         sub_sol = _eval_group(quads, sub)
         if sub_sol is not None:

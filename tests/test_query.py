@@ -203,3 +203,47 @@ def test_aggregates(spark):
     )
     r4 = res4.df.collect()[0]
     assert (r4.lo.value, r4.hi.value) == ("1", "5")
+
+
+def test_property_paths(spark):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    E = "http://e/"
+    rows = [
+        f'<{E}a> <{E}knows> <{E}b> .',
+        f'<{E}b> <{E}knows> <{E}c> .',
+        f'<{E}c> <{E}knows> <{E}d> .',
+        f'<{E}a> <{E}likes> <{E}x> .',
+        f'<{E}x> <{E}name> "Xavier" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+
+    def vals(q, col):
+        res = sparql_query(df, q)
+        return sorted(r[col].value for r in res.df.collect())
+
+    # sequence: a knows/knows ?x  → c
+    assert vals(f"SELECT ?x WHERE {{ <{E}a> <{E}knows>/<{E}knows> ?x }}", "x") == [E + "c"]
+    # inverse (X ^p Y ≡ Y p X): <b> ^knows ?x → who knows b → a
+    assert vals(f"SELECT ?x WHERE {{ <{E}b> ^<{E}knows> ?x }}", "x") == [E + "a"]
+    assert vals(f"SELECT ?x WHERE {{ ?x ^<{E}knows> <{E}b> }}", "x") == [E + "c"]
+    # alternative: a (knows|likes) ?x → b, x
+    assert vals(f"SELECT ?x WHERE {{ <{E}a> (<{E}knows>|<{E}likes>) ?x }}", "x") == [E + "b", E + "x"]
+    # one-or-more: a knows+ ?x → b, c, d (transitive closure)
+    assert vals(f"SELECT ?x WHERE {{ <{E}a> <{E}knows>+ ?x }}", "x") == [E + "b", E + "c", E + "d"]
+    # zero-or-more includes the subject itself
+    assert vals(f"SELECT ?x WHERE {{ <{E}a> <{E}knows>* ?x }}", "x") == [E + "a", E + "b", E + "c", E + "d"]
+    # zero-or-one
+    assert vals(f"SELECT ?x WHERE {{ <{E}a> <{E}knows>? ?x }}", "x") == [E + "a", E + "b"]
+    # sequence ending in a literal hop: a likes/name ?n → "Xavier"
+    assert vals(f"SELECT ?n WHERE {{ <{E}a> <{E}likes>/<{E}name> ?n }}", "n") == ["Xavier"]
+    # fully ground path acts as an ASK-like guard
+    res = sparql_query(df, f"ASK {{ <{E}a> <{E}knows>+ <{E}d> }}")
+    assert res.value is True
+    res2 = sparql_query(df, f"ASK {{ <{E}d> <{E}knows>+ <{E}a> }}")
+    assert res2.value is False
+    # combined with another pattern: who does a transitively know that knows d?
+    got = vals(
+        f"SELECT ?m WHERE {{ <{E}a> <{E}knows>+ ?m . ?m <{E}knows> <{E}d> }}", "m"
+    )
+    assert got == [E + "c"]
