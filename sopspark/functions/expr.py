@@ -197,13 +197,21 @@ class Node:
         return _compile(self, env, rd)
 
 
-def _num_term(c: Column, integer: bool = False) -> Column:
-    dt = XSD + ("integer" if integer else "double")
+def _num_term(c: Column, integer: bool = False, int_cond: Column | None = None) -> Column:
+    """numeric Column → typed literal term. ``int_cond`` switches the
+    datatype/format per row WITHOUT duplicating ``c``'s whole subtree on
+    both branches (Column trees are trees, not DAGs — branching the term
+    would double the codegen size; branching only dt/value keeps one copy)."""
+    if int_cond is not None:
+        dt = F.when(int_cond, F.lit(XSD + "integer")).otherwise(F.lit(XSD + "double"))
+        v = F.when(int_cond, c.cast("long").cast("string")).otherwise(c.cast("string"))
+        return F.when(c.isNotNull(), _mk_literal(v, dt)).otherwise(_null_term())
+    dt_s = XSD + ("integer" if integer else "double")
     v = F.when(
         c.isNotNull(),
         c.cast("long").cast("string") if integer else c.cast("string"),
     )
-    return F.when(c.isNotNull(), _mk_literal(v, F.lit(dt))).otherwise(_null_term())
+    return F.when(c.isNotNull(), _mk_literal(v, F.lit(dt_s))).otherwise(_null_term())
 
 
 # nodes whose value is always boolean — compiled natively to boolean Columns
@@ -253,15 +261,12 @@ def _compile_bool(n: Node, env: dict[str, Column], rd: bool) -> Column:
         return _compile_bool(a[i], env, rd)
 
     if op == "or":
-        l, r = b(0), b(1)
-        both_null = l.isNull() & r.isNull()
-        return F.when(both_null, F.lit(None).cast("boolean")).otherwise(
-            F.coalesce(l, F.lit(False)) | F.coalesce(r, F.lit(False))
-        )
+        # Spark SQL's Kleene logic IS SPARQL 17.4.1.5/6: T||err=T, F||err=err,
+        # F&&err=F, T&&err=err, !err=err — plain &/|/~ keep the predicate a
+        # bare conjunction (pushdown-translatable, small codegen tree)
+        return b(0) | b(1)
     if op == "and":
-        l, r = b(0), b(1)
-        any_false = l.eqNullSafe(F.lit(False)) | r.eqNullSafe(F.lit(False))
-        return F.when(any_false, F.lit(False)).otherwise(l & r)
+        return b(0) & b(1)
     if op == "not":
         return ~b(0)
     if op == "bool_const":
@@ -343,11 +348,18 @@ def _compile(n: Node, env: dict[str, Column], rd: bool) -> Column:
         return _mk_literal(F.lit("true" if a[0] else "false"), F.lit(XSD + "boolean"))
 
     if op == "neg":
-        return _num_term(-num(c(0)))
+        t = c(0)
+        return _num_term(-num(t), int_cond=t["dt"].isin(INTEGER_DTS))
     if op in ("+", "-", "*", "/"):
-        x, y = num(c(0)), num(c(1))
+        # integer op integer stays xsd:integer (SPARQL operator mapping);
+        # division always promotes to double
+        t0, t1 = c(0), c(1)
+        x, y = num(t0), num(t1)
         r = {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[op]
-        return _num_term(r)
+        if op == "/":
+            return _num_term(r)
+        both_int = t0["dt"].isin(INTEGER_DTS) & t1["dt"].isin(INTEGER_DTS)
+        return _num_term(r, int_cond=both_int)
     if op == "call":
         return _call(a[0], [(_compile(x, env, rd)) for x in a[1]], rd)
     raise ExprError(f"unknown op {op}")

@@ -65,6 +65,10 @@ class PatternGroup:
     optionals: list = field(default_factory=list)  # PatternGroup
     unions: list = field(default_factory=list)  # list[list[PatternGroup-ish]]
     subgroups: list = field(default_factory=list)
+    binds: list = field(default_factory=list)  # [(var, expr Node)]
+    values: list = field(default_factory=list)  # [(vars, rows)] rows=[[term|None]]
+    exists: list = field(default_factory=list)  # [(PatternGroup, bool positive)]
+    minuses: list = field(default_factory=list)  # [PatternGroup]
 
 
 @dataclass
@@ -279,6 +283,14 @@ class _QP:
                 self.next()
                 break
             if self.kw("FILTER"):
+                if self.kw("NOT"):
+                    if not self.kw("EXISTS"):
+                        raise SparqlError("expected EXISTS after FILTER NOT")
+                    g.exists.append((self.group(), False))
+                    continue
+                if self.kw("EXISTS"):
+                    g.exists.append((self.group(), True))
+                    continue
                 if self.peek()[1] == "(":
                     self.next()
                     node = self.expr_until_as(closers=(")",))
@@ -286,6 +298,23 @@ class _QP:
                 else:
                     node = self.expr_simple()
                 g.filters.append(node)
+                continue
+            if self.kw("BIND"):
+                self.expect("(")
+                node = self.expr_until_as()
+                if not self.kw("AS"):
+                    raise SparqlError("expected AS in BIND")
+                k2, v2 = self.next()
+                if k2 != "var":
+                    raise SparqlError("expected ?var after BIND ... AS")
+                self.expect(")")
+                g.binds.append((v2[1:], node))
+                continue
+            if self.kw("VALUES"):
+                g.values.append(self.values_block())
+                continue
+            if self.kw("MINUS"):
+                g.minuses.append(self.group())
                 continue
             if self.kw("OPTIONAL"):
                 g.optionals.append(self.group())
@@ -344,6 +373,45 @@ class _QP:
                 continue
             break
         return out
+
+    def values_block(self) -> tuple[list[str], list[list]]:
+        """VALUES ?x { ... } or VALUES (?x ?y) { (..) (..) } → (vars, rows);
+        UNDEF → None cell."""
+        vars_: list[str] = []
+        single = False
+        if self.peek()[0] == "var":
+            vars_.append(self.next()[1][1:])
+            single = True
+        else:
+            self.expect("(")
+            while self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            self.expect(")")
+        self.expect("{")
+        rows: list[list] = []
+
+        def cell():
+            if self.kw("UNDEF"):
+                return None
+            t = self.term()
+            if t[0] != "term":
+                raise SparqlError("VALUES cells must be constants or UNDEF")
+            return t[1]
+
+        while self.peek()[1] != "}":
+            if single:
+                rows.append([cell()])
+            else:
+                self.expect("(")
+                row = []
+                while self.peek()[1] != ")":
+                    row.append(cell())
+                self.expect(")")
+                if len(row) != len(vars_):
+                    raise SparqlError("VALUES row arity mismatch")
+                rows.append(row)
+        self.expect("}")
+        return vars_, rows
 
     # --- property paths (SPARQL 1.1 §9, predicate position only) ---
     def path(self) -> tuple:
@@ -687,10 +755,34 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         for p in parts[1:]:
             u = u.unionByName(p, allowMissingColumns=True)
         sol = _join_solutions(sol, u)
+    for vars_, rows in g.values:
+        spark = quads.sparkSession
+        schema = ", ".join(f"{v} struct<kind:tinyint,value:string,dt:string,lang:string>" for v in vars_)
+        vdf = spark.createDataFrame([tuple(r) for r in rows], schema)
+        sol = _join_solutions(sol, F.broadcast(vdf)) if sol is not None else vdf
+    if sol is None and (g.binds or g.filters or g.exists or g.minuses):
+        raise SparqlError("empty group pattern")
+    for var, node in g.binds:
+        env = {c: F.col(c) for c in sol.columns}
+        sol = sol.withColumn(var, node.col(env, True))
     for opt in g.optionals:
         opt_sol = _eval_group(quads, opt)
         if opt_sol is not None:
             sol = _join_solutions(sol, opt_sol, how="left")
+    for sub, positive in g.exists:
+        inner = _eval_group(quads, sub)
+        shared = [c for c in sol.columns if c in inner.columns]
+        if shared:
+            sol = sol.join(inner, on=shared, how="left_semi" if positive else "left_anti")
+        else:  # uncorrelated: constant guard over the whole solution set
+            nonempty = inner.limit(1).count() > 0
+            if nonempty != positive:
+                sol = sol.limit(0)
+    for m in g.minuses:
+        inner = _eval_group(quads, m)
+        shared = [c for c in sol.columns if c in inner.columns]
+        if shared:  # no shared domain → MINUS removes nothing (SPARQL 1.1 §8.3)
+            sol = sol.join(inner, on=shared, how="left_anti")
     if sol is None:
         raise SparqlError("empty group pattern")
     for fnode in g.filters:

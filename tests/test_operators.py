@@ -81,7 +81,7 @@ def test_map_error_drops_row(spark):
     # iri(?o + 1) errors on the non-numeric row → dropped (filter_map semantics)
     out = map_quads(df, o='iri(concat("http://e/n", str(?o + 1)))')
     rows = out.collect()
-    assert len(rows) == 1 and rows[0].o.value == "http://e/n13.0"
+    assert len(rows) == 1 and rows[0].o.value == "http://e/n13"
 
 
 def test_merge(spark):

@@ -247,3 +247,56 @@ def test_property_paths(spark):
         f"SELECT ?m WHERE {{ <{E}a> <{E}knows>+ ?m . ?m <{E}knows> <{E}d> }}", "m"
     )
     assert got == [E + "c"]
+
+
+def test_bind_values_minus_exists(spark):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    E = "http://e/"
+    rows = [
+        f'<{E}a> <{E}score> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        f'<{E}b> <{E}score> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        f'<{E}c> <{E}score> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        f'<{E}a> <{E}tag> "x" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+
+    # BIND: computed column usable in FILTER
+    res = sparql_query(
+        df,
+        f"SELECT ?s ?d WHERE {{ ?s <{E}score> ?v . BIND(?v * 2 AS ?d) FILTER(?d > 3) }}",
+    )
+    got = sorted((r.s.value, r.d.value) for r in res.df.collect())
+    assert got == [(E + "a", "6"), (E + "c", "4")]
+
+    # VALUES single var: restrict subjects (broadcast join)
+    res2 = sparql_query(
+        df,
+        f"SELECT ?s ?v WHERE {{ VALUES ?s {{ <{E}a> <{E}b> }} ?s <{E}score> ?v }}",
+    )
+    assert sorted(r.s.value for r in res2.df.collect()) == [E + "a", E + "b"]
+
+    # VALUES multi-var with UNDEF joins only bound columns... UNDEF row keeps null
+    res3 = sparql_query(
+        df,
+        f'SELECT ?s ?lbl WHERE {{ ?s <{E}score> ?v . '
+        f'VALUES (?s ?lbl) {{ (<{E}a> "alpha") (<{E}b> UNDEF) }} }}',
+    )
+    got3 = sorted((r.s.value, r.lbl.value if r.lbl else None) for r in res3.df.collect())
+    assert got3 == [(E + "a", "alpha"), (E + "b", None)]
+
+    # FILTER EXISTS / NOT EXISTS: semi / anti join on shared vars
+    res4 = sparql_query(
+        df, f"SELECT ?s WHERE {{ ?s <{E}score> ?v . FILTER EXISTS {{ ?s <{E}tag> ?t }} }}"
+    )
+    assert [r.s.value for r in res4.df.collect()] == [E + "a"]
+    res5 = sparql_query(
+        df, f"SELECT ?s WHERE {{ ?s <{E}score> ?v . FILTER NOT EXISTS {{ ?s <{E}tag> ?t }} }}"
+    )
+    assert sorted(r.s.value for r in res5.df.collect()) == [E + "b", E + "c"]
+
+    # MINUS: remove solutions sharing the domain
+    res6 = sparql_query(
+        df, f"SELECT ?s WHERE {{ ?s <{E}score> ?v . MINUS {{ ?s <{E}tag> ?t }} }}"
+    )
+    assert sorted(r.s.value for r in res6.df.collect()) == [E + "b", E + "c"]
