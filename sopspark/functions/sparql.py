@@ -83,6 +83,7 @@ class Query:
     offset: int | None = None
     group_by: list = field(default_factory=list)  # [var name]
     having: list = field(default_factory=list)  # [expr Node]
+    describe: list = field(default_factory=list)  # [("var",n)|("term",t)]
 
 
 class SparqlError(ValueError):
@@ -194,7 +195,19 @@ class _QP:
         if self.kw("CONSTRUCT"):
             return self.construct()
         if self.kw("DESCRIBE"):
-            raise SparqlError("DESCRIBE not supported")
+            resources: list = []
+            while self.peek()[0] in ("var", "iri", "pname"):
+                resources.append(self.term())
+            if not resources:
+                raise SparqlError("DESCRIBE needs at least one resource or variable")
+            where = PatternGroup()
+            if self.kw("WHERE") or self.peek()[1] == "{":
+                where = self.group()
+            elif any(r[0] == "var" for r in resources):
+                raise SparqlError("DESCRIBE ?var requires a WHERE clause")
+            q = Query("describe", [], False, where, describe=resources)
+            self.modifiers(q)
+            return q
         raise SparqlError(f"unsupported query form at {self.peek()[1]!r}")
 
     def select(self) -> Query:
@@ -803,6 +816,10 @@ def sparql_query(quads: DataFrame, query: str, recognize_datatypes: bool = True)
     """Evaluate a SPARQL subset query against a quad DataFrame."""
     ok = quads.where(F.col("err").isNull()) if "err" in quads.columns else quads
     q = parse_query(query)
+
+    if q.form == "describe":
+        return _eval_describe(ok, q)
+
     sol = _eval_group(ok, q.where)
 
     if q.form == "ask":
@@ -870,6 +887,36 @@ def sparql_query(quads: DataFrame, query: str, recognize_datatypes: bool = True)
         return SparqlResult("quads", df=out)
 
     raise SparqlError(f"unsupported form {q.form}")
+
+
+def _eval_describe(ok: DataFrame, q: Query) -> SparqlResult:
+    """DESCRIBE → subject-outgoing quads of each resource (the simple
+    description form; re-enters the pipeline like CONSTRUCT,
+    ``src/query.rs:133-136``). Resource set = constants ∪ distinct WHERE
+    bindings, broadcast for the semi-join against the corpus."""
+    res_parts: list[DataFrame] = []
+    consts = [r[1] for r in q.describe if r[0] == "term"]
+    if consts:
+        spark = ok.sparkSession
+        cdf = spark.createDataFrame(
+            [(c,) for c in consts],
+            "_r struct<kind:tinyint,value:string,dt:string,lang:string>",
+        )
+        res_parts.append(cdf)
+    var_names = [r[1] for r in q.describe if r[0] == "var"]
+    if var_names:
+        sol = _eval_group(ok, q.where)
+        for v in var_names:
+            if v not in sol.columns:
+                raise SparqlError(f"DESCRIBE ?{v} not bound in WHERE")
+            res_parts.append(sol.select(F.col(v).alias("_r")).distinct())
+    res = res_parts[0]
+    for p in res_parts[1:]:
+        res = res.unionByName(p)
+    out = ok.join(F.broadcast(res.distinct()), ok["s"].eqNullSafe(F.col("_r")), "left_semi")
+    if "err" not in out.columns:
+        out = out.withColumn("err", F.lit(None).cast("string"))
+    return SparqlResult("quads", df=out.dropDuplicates(["s", "p", "o", "g"]))
 
 
 def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list[str]]:

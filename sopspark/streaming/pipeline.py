@@ -41,6 +41,50 @@ def stream_canonical_lines(quads: DataFrame) -> DataFrame:
     return ok.select(nq_line(F.col("s"), F.col("p"), F.col("o"), F.col("g")).alias("line"))
 
 
+def stateful_turn_progress(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-conversation running (n_turns, max_turn_idx) maintained in the
+    state store across micro-batches, emitted (Update mode) every batch a
+    conversation receives data.
+
+    This is the streaming twin of the batch window-ordered turn assembly:
+    at 10^12-turn ingest the state is one small row per live conversation,
+    partitioned by conv_id (the natural shuffle key), and the state store
+    bounds memory independent of history length. Works on batch frames too
+    (falls back to a plain groupBy aggregate — same output schema).
+    """
+    if not turns.isStreaming:
+        return turns.groupBy(F.col(conv_col).alias("conv_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.max(idx_col).cast("bigint").alias("max_turn_idx"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf[idx_col].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n], "max_turn_idx": [mx]})
+
+    return turns.groupBy(conv_col).applyInPandasWithState(
+        update,
+        outputStructType="conv_id string, n_turns bigint, max_turn_idx bigint",
+        stateStructType="n bigint, mx bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

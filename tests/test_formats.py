@@ -89,3 +89,37 @@ def test_distributed_parsers(spark, tmp_path):
     db = parse_jsonld(spark, str(bad))
     errs = db.collect()
     assert len(errs) == 1 and "parse error" in errs[0].err
+
+
+def test_trig_graph_blocks():
+    from sopspark.sources.turtle import parse_turtle_text
+    from sopspark.terms import IRI
+
+    doc = """
+    @prefix ex: <http://e/> .
+    ex:s1 ex:p "default" .
+    ex:g1 { ex:s2 ex:p "in-g1" . }
+    GRAPH ex:g2 { ex:s3 ex:p "in-g2" ; ex:q ex:o . }
+    { ex:s4 ex:p "braced-default" . }
+    """
+    quads = parse_turtle_text(doc)
+    by_graph = {}
+    for s, p, o, g in quads:
+        by_graph.setdefault(g[1] if g else None, []).append((s[1], o[1]))
+    assert ("http://e/s1", "default") in by_graph[None]
+    assert ("http://e/s4", "braced-default") in by_graph[None]
+    assert by_graph["http://e/g1"] == [("http://e/s2", "in-g1")]
+    assert len(by_graph["http://e/g2"]) == 2
+
+
+def test_gz_transparent_read(spark, tmp_path):
+    import gzip
+
+    from sopspark.sources.ntriples import parse_ntriples
+
+    p = tmp_path / "data.nt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("<http://e/a> <http://e/p> <http://e/o> .\n")
+        f.write('<http://e/b> <http://e/p> "lit" .\n')
+    df = parse_ntriples(spark, str(p))
+    assert df.count() == 2 and df.where("err is not null").count() == 0

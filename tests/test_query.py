@@ -300,3 +300,21 @@ def test_bind_values_minus_exists(spark):
         df, f"SELECT ?s WHERE {{ ?s <{E}score> ?v . MINUS {{ ?s <{E}tag> ?t }} }}"
     )
     assert sorted(r.s.value for r in res6.df.collect()) == [E + "b", E + "c"]
+
+
+def test_describe(spark, fixtures_dir):
+    df = _social(spark, fixtures_dir)
+    # constant resource: all outgoing triples of alice
+    res = sparql_query(df, "DESCRIBE <http://example.org/alice>")
+    assert res.kind == "quads"
+    rows = res.df.collect()
+    assert all(r.s.value == "http://example.org/alice" for r in rows)
+    assert len(rows) >= 2  # name + knows at least
+
+    # variable resources from a WHERE clause
+    res2 = sparql_query(
+        df,
+        "DESCRIBE ?p WHERE { ?p <http://xmlns.com/foaf/0.1/name> ?n }",
+    )
+    subs = {r.s.value for r in res2.df.collect()}
+    assert subs == {"http://example.org/alice", "http://example.org/bob"}

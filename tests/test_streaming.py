@@ -59,3 +59,43 @@ def test_windowed_counts_batch_parity(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert sum(r.n for r in rows) == events.count()
+
+
+def test_stateful_turn_progress(spark, tmp_path):
+    from sopspark.streaming.pipeline import stateful_turn_progress
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    (src / "t1.csv").write_text("c1,0\nc1,1\nc2,0\n")
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int")
+        .option("header", "false")
+        .csv(str(src))
+    )
+    out = stateful_turn_progress(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("statesink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # second batch extends c1's state across micro-batches
+    (src / "t2.csv").write_text("c1,2\nc3,0\n")
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName("statesink2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = {r.conv_id: (r.n_turns, r.max_turn_idx) for r in spark.sql("select * from statesink2").collect()}
+    assert rows["c1"] == (3, 2)  # 2 turns from batch 1 + 1 from batch 2, state carried
+    assert rows["c3"] == (1, 0)
+
+    # batch fallback: same schema, totals match
+    batch = spark.createDataFrame([("c1", 0), ("c1", 1), ("c2", 5)], "conv_id string, turn_idx int")
+    got = {r.conv_id: (r.n_turns, r.max_turn_idx) for r in stateful_turn_progress(batch).collect()}
+    assert got == {"c1": (2, 1), "c2": (1, 5)}
