@@ -179,10 +179,25 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
 
             df = relativize(df, args.base, parents=args.parents)
         elif name == "serialize":
-            from sopspark.operators.serialize import collect_nq_lines, serialize_nquads
+            from sopspark.operators.serialize import (
+                collect_nq_lines,
+                serialize_nquads,
+                serialize_turtle,
+                to_turtle_blocks,
+            )
 
             triples_only = args.format in ("nt", "ntriples", "ttl", "turtle")
-            if args.output:
+            if args.format in ("ttl", "turtle"):
+                if args.output:
+                    serialize_turtle(df, args.output)
+                else:
+                    from sopspark.operators.serialize import DEFAULT_PREFIXES
+
+                    for p_, ns in sorted(DEFAULT_PREFIXES.items()):
+                        print(f"@prefix {p_}: <{ns}> .")
+                    for r in to_turtle_blocks(df).orderBy("sort_key").collect():
+                        print(r.block)
+            elif args.output:
                 serialize_nquads(df, args.output, triples_only=triples_only, single_file=True)
             else:
                 for line in collect_nq_lines(df, triples_only=triples_only, sort=False):

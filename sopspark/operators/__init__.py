@@ -6,7 +6,12 @@ from sopspark.operators.transforms import (
     relativize,
     validate,
 )
-from sopspark.operators.serialize import serialize_nquads, to_nq_lines
+from sopspark.operators.serialize import (
+    serialize_nquads,
+    serialize_turtle,
+    to_nq_lines,
+    to_turtle_blocks,
+)
 from sopspark.operators.filter_map import filter_quads, map_quads
 from sopspark.operators.dispatch import dispatch
 
@@ -18,6 +23,8 @@ __all__ = [
     "relativize",
     "validate",
     "serialize_nquads",
+    "serialize_turtle",
+    "to_turtle_blocks",
     "to_nq_lines",
     "filter_quads",
     "map_quads",

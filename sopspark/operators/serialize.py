@@ -54,3 +54,101 @@ def collect_nq_lines(df: DataFrame, triples_only: bool = False, sort: bool = Tru
     rows = lines.collect()
     out = [r["line"] for r in rows]
     return sorted(out) if sort else out
+
+
+# ---------------------------------------------------------------------------
+# Turtle writer (``sop serialize -f ttl -p PREFIXES``, src/serialize.rs:133-203)
+# ---------------------------------------------------------------------------
+
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+}
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _ttl_iri(value, prefixes: dict[str, str]):
+    """IRI string column → prefixed name when the namespace matches and the
+    local part is PN_LOCAL-safe, else ``<...>`` (term-level compression —
+    never rewrites inside literal text)."""
+    out = F.concat(F.lit("<"), value, F.lit(">"))
+    for pfx, ns in prefixes.items():
+        local = value.substr(F.lit(len(ns) + 1), F.length(value))
+        cond = value.startswith(ns) & local.rlike("^[A-Za-z_][A-Za-z0-9_-]*$")
+        out = F.when(cond, F.concat(F.lit(pfx + ":"), local)).otherwise(out)
+    return out
+
+
+def _ttl_term(t, prefixes: dict[str, str], predicate: bool = False):
+    from sopspark.terms import BNODE, IRI, LITERAL, escape_literal
+
+    iri_enc = _ttl_iri(t["value"], prefixes)
+    if predicate:
+        iri_enc = F.when(t["value"] == _RDF_TYPE, F.lit("a")).otherwise(iri_enc)
+    lit_enc = F.concat(
+        F.lit('"'),
+        escape_literal(t["value"]),
+        F.lit('"'),
+        F.when(t["lang"].isNotNull(), F.concat(F.lit("@"), t["lang"]))
+        .when(t["dt"].isNotNull(), F.concat(F.lit("^^"), _ttl_iri(t["dt"], prefixes)))
+        .otherwise(F.lit("")),
+    )
+    return (
+        F.when(t["kind"] == IRI, iri_enc)
+        .when(t["kind"] == BNODE, F.concat(F.lit("_:"), t["value"]))
+        .when(t["kind"] == LITERAL, lit_enc)
+    )
+
+
+def to_turtle_blocks(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Quad DataFrame → one Turtle block per subject (``;``/``,``-grouped),
+    sorted deterministically. Triples-only: named-graph quads are dropped
+    (``src/serialize.rs:205-227``). Fully distributed — two hash aggregates
+    (subject+predicate, then subject), no driver materialization."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    ok = df.where(F.col("err").isNull()) if "err" in df.columns else df
+    ok = ok.where(F.col("g").isNull())
+    enc = ok.select(
+        _ttl_term(F.col("s"), prefixes).alias("se"),
+        _ttl_term(F.col("p"), prefixes, predicate=True).alias("pe"),
+        _ttl_term(F.col("o"), prefixes).alias("oe"),
+    )
+    po = enc.groupBy("se", "pe").agg(
+        F.concat_ws(", ", F.sort_array(F.collect_set("oe"))).alias("os")
+    )
+    blocks = po.groupBy("se").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pe", "os"))),
+                lambda x: F.concat(x["pe"], F.lit(" "), x["os"]),
+            ),
+            " ;\n    ",
+        ).alias("body")
+    )
+    return blocks.select(
+        F.col("se").alias("sort_key"),
+        F.concat(F.col("se"), F.lit(" "), F.col("body"), F.lit(" .")).alias("block"),
+    )
+
+
+def serialize_turtle(
+    df: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    single_file: bool = True,
+) -> None:
+    """Write a Turtle document: @prefix header, then subject blocks in
+    code-point order (deterministic output for golden comparison)."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    spark = df.sparkSession
+    header = spark.createDataFrame(
+        [("", f"@prefix {p}: <{ns}> .") for p, ns in sorted(prefixes.items())],
+        "sort_key string, block string",
+    )
+    out = header.unionByName(to_turtle_blocks(df, prefixes)).orderBy("sort_key")
+    if single_file:
+        out = out.coalesce(1)
+    out.select("block").write.mode("overwrite").text(path)

@@ -109,3 +109,21 @@ def test_turtle_text_parser_units():
     assert ("http://e/a", "http://e/q", "42") in spo
     # collection produced rdf:first/rest cells
     assert any("22-rdf-syntax-ns#first" in q[1][1] for q in quads)
+
+
+def test_turtle_writer_roundtrip(spark, fixtures_dir, tmp_path):
+    import glob
+    import os
+
+    from sopspark.operators.serialize import collect_nq_lines, serialize_turtle
+    from sopspark.sources.turtle import parse_turtle
+
+    df = parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
+    out = str(tmp_path / "out_ttl")
+    serialize_turtle(df, out)
+    text = open(glob.glob(out + "/part-*")[0]).read()
+    assert text.startswith("@prefix")
+    assert "foaf:name" in text and " a foaf:Person" in text  # prefix + 'a' compression
+    # round-trip: re-parse the written Turtle, canonical lines identical
+    df2 = parse_turtle(spark, glob.glob(out + "/part-*")[0])
+    assert collect_nq_lines(df2) == collect_nq_lines(df)
