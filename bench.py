@@ -48,7 +48,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(200, int(200000 * sf)))))
+    # headline corpus sized so throughput is compute-bound, not fixed-cost
+    # bound (at 20k convs the 4 s wall is mostly scheduling overhead and
+    # understates turns/sec by >10x vs the 1M-conv scaling runs)
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", str(max(200, int(2_000_000 * sf)))))
 
     from sopspark.session import get_spark
 

@@ -187,15 +187,21 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
             )
 
             triples_only = args.format in ("nt", "ntriples", "ttl", "turtle")
-            if args.format in ("ttl", "turtle"):
-                if args.output:
-                    serialize_turtle(df, args.output)
-                else:
-                    from sopspark.operators.serialize import DEFAULT_PREFIXES
+            if args.format in ("ttl", "turtle", "trig"):
+                from sopspark.operators.serialize import (
+                    DEFAULT_PREFIXES,
+                    serialize_trig,
+                    to_trig_blocks,
+                )
 
+                blocks_fn = to_turtle_blocks if args.format != "trig" else to_trig_blocks
+                write_fn = serialize_turtle if args.format != "trig" else serialize_trig
+                if args.output:
+                    write_fn(df, args.output)
+                else:
                     for p_, ns in sorted(DEFAULT_PREFIXES.items()):
                         print(f"@prefix {p_}: <{ns}> .")
-                    for r in to_turtle_blocks(df).orderBy("sort_key").collect():
+                    for r in blocks_fn(df).orderBy("sort_key").collect():
                         print(r.block)
             elif args.output:
                 serialize_nquads(df, args.output, triples_only=triples_only, single_file=True)

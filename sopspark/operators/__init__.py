@@ -8,6 +8,7 @@ from sopspark.operators.transforms import (
 )
 from sopspark.operators.serialize import (
     serialize_nquads,
+    serialize_trig,
     serialize_turtle,
     to_nq_lines,
     to_turtle_blocks,
@@ -23,6 +24,7 @@ __all__ = [
     "relativize",
     "validate",
     "serialize_nquads",
+    "serialize_trig",
     "serialize_turtle",
     "to_turtle_blocks",
     "to_nq_lines",

@@ -134,6 +134,77 @@ def to_turtle_blocks(df: DataFrame, prefixes: dict[str, str] | None = None) -> D
     )
 
 
+def to_trig_blocks(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Quad DataFrame → TriG: default-graph subject blocks plus one
+    ``<g> { ... }`` block per named graph (same two-aggregate shape as
+    Turtle with the graph name prepended to every grouping key)."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    ok = df.where(F.col("err").isNull()) if "err" in df.columns else df
+    enc = ok.select(
+        F.when(F.col("g").isNotNull(), _ttl_term(F.col("g"), prefixes)).alias("ge"),
+        _ttl_term(F.col("s"), prefixes).alias("se"),
+        _ttl_term(F.col("p"), prefixes, predicate=True).alias("pe"),
+        _ttl_term(F.col("o"), prefixes).alias("oe"),
+    )
+    po = enc.groupBy("ge", "se", "pe").agg(
+        F.concat_ws(", ", F.sort_array(F.collect_set("oe"))).alias("os")
+    )
+    subj = po.groupBy("ge", "se").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pe", "os"))),
+                lambda x: F.concat(x["pe"], F.lit(" "), x["os"]),
+            ),
+            " ;\n    ",
+        ).alias("body")
+    ).select(
+        "ge",
+        "se",
+        F.concat(F.col("se"), F.lit(" "), F.col("body"), F.lit(" .")).alias("sblock"),
+    )
+    default = subj.where(F.col("ge").isNull()).select(
+        F.concat(F.lit("0"), F.col("se")).alias("sort_key"), F.col("sblock").alias("block")
+    )
+    named = (
+        subj.where(F.col("ge").isNotNull())
+        .groupBy("ge")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("se", "sblock"))),
+                    lambda x: x["sblock"],
+                ),
+                "\n",
+            ).alias("inner")
+        )
+        .select(
+            F.concat(F.lit("1"), F.col("ge")).alias("sort_key"),
+            F.concat(F.col("ge"), F.lit(" {\n"), F.col("inner"), F.lit("\n}")).alias("block"),
+        )
+    )
+    return default.unionByName(named)
+
+
+def serialize_trig(
+    df: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    single_file: bool = True,
+) -> None:
+    """Write a TriG document (prefix header, default graph first, then
+    named-graph blocks in code-point order)."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    spark = df.sparkSession
+    header = spark.createDataFrame(
+        [("", f"@prefix {p}: <{ns}> .") for p, ns in sorted(prefixes.items())],
+        "sort_key string, block string",
+    )
+    out = header.unionByName(to_trig_blocks(df, prefixes)).orderBy("sort_key")
+    if single_file:
+        out = out.coalesce(1)
+    out.select("block").write.mode("overwrite").text(path)
+
+
 def serialize_turtle(
     df: DataFrame,
     path: str,
