@@ -2,10 +2,10 @@
 """Two-parallelism scaling evidence (north_rule: efficiency ≥ 0.8, N → 4N).
 
 No real cluster exists in this sandbox, so the N-vs-4N executor criterion is
-evidenced by running the SAME job on the SAME input at local[2] and
-local[8] (one JVM, 2 vs 8 executor threads, all physical cores) and reporting throughput at
-both plus efficiency = tput(8)/(4·tput(2)) — throughput ratio adjusted for
-the 4× core ratio. Writes BENCH/BASELINE.md.
+evidenced by running the SAME job on the SAME input at local[N] and
+local[4N] (fresh taskset-pinned JVM per level, best of k interleaved runs)
+and reporting throughput at both plus efficiency = tput(4N)/(4·tput(N)).
+Writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -41,28 +41,37 @@ def run_at(cores: int, n_convs: int) -> dict:
     (heap sized for the level — spark.driver.memory only applies at JVM
     launch, so in-process session reuse would pin local[8] to the first
     JVM's heap and its GC pressure) and no cross-level JIT/page effects."""
+    import shutil
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
     code = _CHILD.format(repo=repo, cores=cores, n_convs=n_convs)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env, check=True
-    )
+    cmd = [sys.executable, "-c", code]
+    if shutil.which("taskset"):
+        # pin to a fixed contiguous core set: comparable cache/NUMA locality
+        # at both levels and no scheduler-migration noise in the ratio
+        cmd = ["taskset", "-c", f"0-{cores - 1}", *cmd]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
     time.sleep(2)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
-    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1000000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    # N=2 → levels (2, 8). N=1 keeps the fast level's wall long enough that
+    # the ~1 s of serial driver work (CC union-find, planning) stays <3% —
+    # the N-vs-4N criterion doesn't fix N, only the 4x ratio.
+    n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     # interleave levels and keep the best run per level: host load on this
     # shared box varies ~2x between runs, which would otherwise dominate the
     # 2-vs-8 ratio; best-of-k measures capacity, not ambient noise
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
-        lo_runs.append(run_at(2, n_convs))
-        hi_runs.append(run_at(8, n_convs))
+        lo_runs.append(run_at(n_cores, n_convs))
+        hi_runs.append(run_at(4 * n_cores, n_convs))
+    hi_cores = 4 * n_cores
     lo = max(lo_runs, key=lambda r: r["turns_per_sec"])
     hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
     efficiency = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
@@ -76,10 +85,9 @@ def main() -> None:
 
 north_rule criterion: throughput scaling efficiency ≥ 0.8 between N and 4N
 executors. Sandbox stand-in (no real cluster): same job, same input,
-`local[2]` vs `local[8]` — 2 vs 8 executor threads in one JVM, both
-within the physical-core budget (this box reports 32 logical CPUs = 16
-physical + SMT; beyond ~16 threads SMT sharing caps any CPU-bound job at
-~1.2x, so 8-vs-32 cannot evidence executor scaling — 2-vs-8 can).
+`local[{n_cores}]` vs `local[{hi_cores}]` — taskset-pinned to {n_cores} vs
+{hi_cores} CPUs in fresh JVMs (small core counts keep the measurement
+within the host's reliably-schedulable budget on this shared box).
 
 Job: full transcript→KG pipeline (window turn assembly → vectorized triple
 extraction → broadcast entity linking → owl:sameAs CC merge → graph
@@ -88,20 +96,24 @@ materialize + dedup) over the deterministic synthetic corpus
 
 | parallelism | turns/sec | wall (s) |
 |---|---|---|
-| local[2] (N) | {lo["turns_per_sec"]} | {lo["wall_sec"]} |
-| local[8] (4N) | {hi["turns_per_sec"]} | {hi["wall_sec"]} |
+| local[{n_cores}] (N) | {lo["turns_per_sec"]} | {lo["wall_sec"]} |
+| local[{hi_cores}] (4N) | {hi["turns_per_sec"]} | {hi["wall_sec"]} |
 
 **Scaling efficiency = throughput(4N) / (4 × throughput(N)) =
 {result["scaling_efficiency"]}** (target ≥ 0.8).
 
-Caveats: single-JVM thread scaling understates real multi-executor scaling
-for CPU-bound Arrow UDF stages (GIL-free — separate Python workers — but
-shared memory bandwidth, shared JVM GC, and shared page cache), so this is
-a conservative lower bound for the cluster case at fixed per-executor core
-count. Ambient host load on this shared sandbox varies up to ~2x between
-runs; each level reports its best of {repeats} interleaved runs so the
-ratio measures capacity rather than noise. Generated by
-`python scaling_bench.py` ({time.strftime("%Y-%m-%d")}).
+Methodology: each level runs in a fresh subprocess (own JVM + 24g heap)
+pinned with `taskset -c 0-(cores-1)` so the python UDF worker processes
+cannot escape the core budget — unpinned, a "local[2]" job really uses
+~4 CPUs (2 JVM task threads + 2 python workers), overstating N-level
+throughput and understating the ratio. Ambient host load on this shared
+sandbox varies up to ~2x between runs; each level reports its best of
+{repeats} interleaved runs so the ratio measures capacity rather than
+noise. Single-JVM thread scaling still understates real multi-executor
+scaling (shared memory bandwidth, shared GC, shared page cache), so this
+is a conservative lower bound for the cluster case at fixed per-executor
+core count. Generated by `python scaling_bench.py`
+({time.strftime("%Y-%m-%d")}).
 """
         )
 

@@ -69,6 +69,7 @@ class PatternGroup:
     values: list = field(default_factory=list)  # [(vars, rows)] rows=[[term|None]]
     exists: list = field(default_factory=list)  # [(PatternGroup, bool positive)]
     minuses: list = field(default_factory=list)  # [PatternGroup]
+    subselects: list = field(default_factory=list)  # [Query] — { SELECT ... }
 
 
 @dataclass
@@ -340,6 +341,13 @@ class _QP:
                 g.subgroups.append(sub)
                 continue
             if v == "{":
+                nk, nv = self.peek(1)
+                if nk in ("name", "pname") and nv.upper() == "SELECT":
+                    self.next()  # {
+                    self.kw("SELECT")
+                    g.subselects.append(self.select())
+                    self.expect("}")
+                    continue
                 first = self.group()
                 branches = [first]
                 while self.kw("UNION"):
@@ -761,6 +769,9 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         sub_sol = _eval_group(quads, sub)
         if sub_sol is not None:
             sol = _join_solutions(sol, sub_sol)
+    for subq in g.subselects:
+        inner, _ = _eval_select(_eval_group(quads, subq.where), subq, True)
+        sol = _join_solutions(sol, inner)
     for branches in g.unions:
         parts = [_eval_group(quads, b) for b in branches]
         parts = [p for p in parts if p is not None]
@@ -826,40 +837,7 @@ def sparql_query(quads: DataFrame, query: str, recognize_datatypes: bool = True)
         return SparqlResult("boolean", value=sol.limit(1).count() > 0)
 
     if q.form == "select":
-        from sopspark.functions.expr import contains_aggregate
-
-        has_agg = q.group_by or any(
-            node is not None and contains_aggregate(node)
-            for v in q.variables
-            if v != "*"
-            for _, node in [v]
-        )
-        if has_agg:
-            out, names = _eval_aggregate(sol, q, recognize_datatypes)
-            if q.distinct:
-                out = out.dropDuplicates()
-            out = _apply_order_limit(out, q, recognize_datatypes)
-            return SparqlResult("bindings", df=out, variables=names)
-
-        if q.variables == ["*"]:
-            out = sol
-            names = [c for c in sol.columns if not c.startswith("_anon")]
-            out = out.select(*names)
-        else:
-            exprs = []
-            names = []
-            for name, node in q.variables:
-                if node is None:
-                    exprs.append(F.col(name) if name in sol.columns else F.lit(None).cast(TERM_SQL_TYPE))
-                else:
-                    env = {c: F.col(c) for c in sol.columns}
-                    exprs.append(node.col(env, recognize_datatypes))
-                exprs[-1] = exprs[-1].alias(name)
-                names.append(name)
-            out = sol.select(*exprs)
-        if q.distinct:
-            out = out.dropDuplicates()
-        out = _apply_order_limit(out, q, recognize_datatypes)
+        out, names = _eval_select(sol, q, recognize_datatypes)
         return SparqlResult("bindings", df=out, variables=names)
 
     if q.form == "construct":
@@ -917,6 +895,43 @@ def _eval_describe(ok: DataFrame, q: Query) -> SparqlResult:
     if "err" not in out.columns:
         out = out.withColumn("err", F.lit(None).cast("string"))
     return SparqlResult("quads", df=out.dropDuplicates(["s", "p", "o", "g"]))
+
+
+def _eval_select(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list[str]]:
+    """Solution frame + SELECT clause → (projected bindings, names); shared
+    by top-level SELECT and ``{ SELECT ... }`` subqueries."""
+    from sopspark.functions.expr import contains_aggregate
+
+    has_agg = q.group_by or any(
+        node is not None and contains_aggregate(node)
+        for v in q.variables
+        if v != "*"
+        for _, node in [v]
+    )
+    if has_agg:
+        out, names = _eval_aggregate(sol, q, rd)
+        if q.distinct:
+            out = out.dropDuplicates()
+        return _apply_order_limit(out, q, rd), names
+
+    if q.variables == ["*"]:
+        names = [c for c in sol.columns if not c.startswith("_anon")]
+        out = sol.select(*names)
+    else:
+        exprs = []
+        names = []
+        for name, node in q.variables:
+            if node is None:
+                exprs.append(F.col(name) if name in sol.columns else F.lit(None).cast(TERM_SQL_TYPE))
+            else:
+                env = {c: F.col(c) for c in sol.columns}
+                exprs.append(node.col(env, rd))
+            exprs[-1] = exprs[-1].alias(name)
+            names.append(name)
+        out = sol.select(*exprs)
+    if q.distinct:
+        out = out.dropDuplicates()
+    return _apply_order_limit(out, q, rd), names
 
 
 def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list[str]]:

@@ -318,3 +318,28 @@ def test_describe(spark, fixtures_dir):
     )
     subs = {r.s.value for r in res2.df.collect()}
     assert subs == {"http://example.org/alice", "http://example.org/bob"}
+
+
+def test_subquery(spark):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    E = "http://e/"
+    rows = [
+        f'<{E}a> <{E}score> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        f'<{E}a> <{E}score> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        f'<{E}b> <{E}score> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        f'<{E}a> <{E}name> "Ann" .',
+        f'<{E}b> <{E}name> "Bo" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    # subquery computes per-subject totals; outer joins names and filters
+    q = f"""
+    SELECT ?n ?total WHERE {{
+      ?s <{E}name> ?n .
+      {{ SELECT ?s (SUM(?v) AS ?total) WHERE {{ ?s <{E}score> ?v }} GROUP BY ?s }}
+      FILTER(?total > 2)
+    }}
+    """
+    res = sparql_query(df, q)
+    got = [(r.n.value, r.total.value) for r in res.df.collect()]
+    assert got == [("Ann", "8")]
