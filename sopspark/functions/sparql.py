@@ -473,6 +473,30 @@ class _QP:
 
     def path_primary(self) -> tuple:
         k, v = self.peek()
+        if v == "!":
+            self.next()
+            fwd: list[str] = []
+            inv: list[str] = []
+
+            def member():
+                m = self.path_primary()
+                if m[0] == "link":
+                    fwd.append(m[1])
+                elif m[0] == "inv" and m[1][0] == "link":
+                    inv.append(m[1][1])
+                else:
+                    raise SparqlError("negated property set members must be IRIs or ^IRIs")
+
+            if self.peek()[1] == "(":
+                self.next()
+                member()
+                while self.peek()[1] == "|":
+                    self.next()
+                    member()
+                self.expect(")")
+            else:
+                member()
+            return ("nps", tuple(fwd), tuple(inv))
         if v == "^":
             self.next()
             return ("inv", self.path_primary())
@@ -665,13 +689,25 @@ def _path_identity(scoped: DataFrame) -> DataFrame:
     return nodes.select(F.col("_n").alias("_ps"), F.col("_n").alias("_po"))
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """localCheckpoint with a cache hop first: checkpointing some AQE /
+    nested-schema-pruned plans directly trips a Spark attribute-resolution
+    bug (NoSuchElementException: key not found: _ps#NN); caching hands the
+    checkpoint a fully resolved InMemoryRelation."""
+    cached = df.persist()
+    cached.count()
+    out = cached.localCheckpoint()
+    cached.unpersist()
+    return out
+
+
 def _transitive_closure(base: DataFrame, max_iter: int = 32) -> DataFrame:
     """Distinct (_ps, _po) pairs → transitive closure, semi-naive: each round
     extends only the frontier (pairs new last round) by one base hop, so work
     is proportional to new facts, not the whole closure. localCheckpoint
     truncates lineage per round; rounds ≈ graph diameter (≤ log₂ with
     doubling — diameter hops suffice here and keep each join small)."""
-    edges = base.distinct().localCheckpoint()
+    edges = _materialize(base.distinct())
     closure = edges
     frontier = edges
     for _ in range(max_iter):
@@ -681,10 +717,10 @@ def _transitive_closure(base: DataFrame, max_iter: int = 32) -> DataFrame:
             .select(F.col("f._ps").alias("_ps"), F.col("e._po").alias("_po"))
             .distinct()
         )
-        new = nxt.subtract(closure).localCheckpoint()
+        new = _materialize(nxt.subtract(closure))
         if new.isEmpty():
             break
-        closure = closure.unionByName(new).localCheckpoint()
+        closure = _materialize(closure.unionByName(new))
         frontier = new
     return closure
 
@@ -701,6 +737,26 @@ def _path_pairs(quads: DataFrame, path: tuple, graph: tuple | None) -> DataFrame
         return scoped.where(
             F.col("p").eqNullSafe(_term_lit((IRI, path[1], None, None)))
         ).select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+    if op == "nps":
+        # !(p1|..|^q1|..): forward edges whose predicate ∉ {p}, unioned with
+        # swapped edges whose predicate ∉ {q} (SPARQL 1.1 §9.1 NPS split)
+        fwd, inv = path[1], path[2]
+        scoped = _graph_scope(quads, graph)
+        parts = []
+        if fwd:
+            parts.append(
+                scoped.where(~F.col("p")["value"].isin(list(fwd)))
+                .select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+            )
+        if inv:
+            parts.append(
+                scoped.where(~F.col("p")["value"].isin(list(inv)))
+                .select(F.col("o").alias("_ps"), F.col("s").alias("_po"))
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.distinct() if len(parts) > 1 else out
     if op == "inv":
         inner = _path_pairs(quads, path[1], graph)
         return inner.select(F.col("_po").alias("_ps"), F.col("_ps").alias("_po"))

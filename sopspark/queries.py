@@ -354,10 +354,77 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _chain_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier→nation→region as IRI edges, plus a nation successor chain
+    (n_i → n_{i+1}) — the fixture for property-path queries."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def iri(col):
+        return F.struct(
+            F.lit(IRI).cast("tinyint").alias("kind"),
+            col.alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    g = F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>")
+    e1 = sup.select(
+        iri(F.concat(F.lit(EV), F.lit("s"), F.col("s_suppkey").cast("string"))).alias("s"),
+        iri(F.lit(EV + "in_nation")).alias("p"),
+        iri(F.concat(F.lit(EV), F.lit("n"), F.col("s_nationkey").cast("string"))).alias("o"),
+        g.alias("g"),
+        F.lit(None).cast("string").alias("err"),
+    )
+    e2 = nat.select(
+        iri(F.concat(F.lit(EV), F.lit("n"), F.col("n_nationkey").cast("string"))).alias("s"),
+        iri(F.lit(EV + "in_region")).alias("p"),
+        iri(F.concat(F.lit(EV), F.lit("r"), F.col("n_regionkey").cast("string"))).alias("o"),
+        g.alias("g"),
+        F.lit(None).cast("string").alias("err"),
+    )
+    e3 = nat.select(
+        iri(F.concat(F.lit(EV), F.lit("n"), F.col("n_nationkey").cast("string"))).alias("s"),
+        iri(F.lit(EV + "next")).alias("p"),
+        iri(F.concat(F.lit(EV), F.lit("n"), (F.col("n_nationkey") + 1).cast("string"))).alias("o"),
+        g.alias("g"),
+        F.lit(None).cast("string").alias("err"),
+    ).where(F.col("o")["value"] != F.lit(EV + "n25"))
+    return e1.unionByName(e2).unionByName(e3)
+
+
+def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence property path supplier→nation→region (two-hop join)."""
+    from sopspark.functions.sparql import sparql_query
+
+    quads = _chain_quads(spark, sf_dir)
+    res = sparql_query(
+        quads,
+        f"SELECT ?s ?r WHERE {{ ?s <{EV}in_nation>/<{EV}in_region> ?r }}",
+    )
+    return res.df.select(
+        F.col("s")["value"].alias("s"), F.col("r")["value"].alias("r")
+    ).orderBy("s", "r")
+
+
+def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`next`+ transitive closure over the 25-node nation chain — pins the
+    distributed semi-naive closure against DuckDB's recursive CTE."""
+    from sopspark.functions.sparql import sparql_query
+
+    quads = _chain_quads(spark, sf_dir)
+    res = sparql_query(quads, f"SELECT ?a ?b WHERE {{ ?a <{EV}next>+ ?b }}")
+    return res.df.select(
+        F.col("a")["value"].alias("a"), F.col("b")["value"].alias("b")
+    ).orderBy("a", "b")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
     "sparql_optional": q_sparql_optional,
+    "sparql_path": q_sparql_path,
+    "sparql_path_closure": q_sparql_path_closure,
     "canonicalize_ground": q_canonicalize,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -466,6 +533,24 @@ ORACLES: dict[str, str] = {
           ON a.user_id = b.user_id AND b.event_type = 'error'
         WHERE a.event_type = 'purchase'
         ORDER BY s, e NULLS FIRST
+    """,
+    "sparql_path": """
+        SELECT 'http://example.org/event/s' || CAST(s_suppkey AS VARCHAR) AS s,
+               'http://example.org/event/r' || CAST(n_regionkey AS VARCHAR) AS r
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s, r
+    """,
+    "sparql_path_closure": """
+        WITH RECURSIVE hop(a, b) AS (
+          SELECT n_nationkey, n_nationkey + 1 FROM nation WHERE n_nationkey + 1 <= 24
+          UNION
+          SELECT hop.a, n.n_nationkey + 1
+          FROM hop JOIN nation n ON hop.b = n.n_nationkey
+          WHERE n.n_nationkey + 1 <= 24
+        )
+        SELECT 'http://example.org/event/n' || CAST(a AS VARCHAR) AS a,
+               'http://example.org/event/n' || CAST(b AS VARCHAR) AS b
+        FROM hop ORDER BY a, b
     """,
     "ngram_jaccard": """
         WITH sh AS (

@@ -343,3 +343,25 @@ def test_subquery(spark):
     res = sparql_query(df, q)
     got = [(r.n.value, r.total.value) for r in res.df.collect()]
     assert got == [("Ann", "8")]
+
+
+def test_negated_property_set(spark):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    E = "http://e/"
+    rows = [
+        f'<{E}a> <{E}knows> <{E}b> .',
+        f'<{E}a> <{E}likes> <{E}c> .',
+        f'<{E}a> <{E}hates> <{E}d> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+
+    def vals(q):
+        return sorted(r.x.value for r in sparql_query(df, q).df.collect())
+
+    # single negated IRI
+    assert vals(f"SELECT ?x WHERE {{ <{E}a> !<{E}knows> ?x }}") == [E + "c", E + "d"]
+    # negated set
+    assert vals(f"SELECT ?x WHERE {{ <{E}a> !(<{E}knows>|<{E}likes>) ?x }}") == [E + "d"]
+    # inverse member: anything pointing at b via a predicate other than likes
+    assert vals(f"SELECT ?x WHERE {{ <{E}b> !(^<{E}likes>) ?x }}") == [E + "a"]
