@@ -489,6 +489,43 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
         return _mk_literal(_plain_string(args[0]), args[1]["value"])
     if n == "strlang":
         return _mk_literal(_plain_string(args[0]), None, _plain_string(args[1]))
+    if n in ("md5", "sha1", "sha256", "sha384", "sha512"):
+        s = _plain_string(args[0])
+        if n == "md5":
+            h = F.md5(s)
+        elif n == "sha1":
+            h = F.sha1(s)
+        else:
+            h = F.sha2(s, int(n[3:]))
+        return _mk_literal(h)
+    if n == "encode_for_uri":
+        # url_encode is form-encoding (space → '+'); SPARQL wants RFC 3986
+        return _mk_literal(F.regexp_replace(F.url_encode(_plain_string(args[0])), r"\+", "%20"))
+    if n in ("year", "month", "day", "hours", "minutes", "seconds"):
+        is_dt = (args[0]["kind"] == LITERAL) & (args[0]["dt"] == XSD + "dateTime")
+        ts = F.to_timestamp(F.when(is_dt, args[0]["value"]))
+        part = {
+            "year": F.year, "month": F.month, "day": F.dayofmonth,
+            "hours": F.hour, "minutes": F.minute,
+        }.get(n)
+        if n == "seconds":
+            # xsd:decimal seconds including the fraction
+            return _num_term(F.second(ts) + (F.unix_micros(ts) % 60_000_000 % 1_000_000) / 1e6)
+        return _num_term(part(ts).cast("double"), integer=True)
+    if n in ("tz", "timezone"):
+        lex = F.when((args[0]["kind"] == LITERAL) & (args[0]["dt"] == XSD + "dateTime"), args[0]["value"])
+        return _mk_literal(F.coalesce(F.regexp_extract(lex, r"(Z|[+-]\d{2}:\d{2})$", 1), F.lit("")))
+    if n == "bnode":
+        if args:  # BNODE(str): deterministic label from the string
+            lbl = F.concat(F.lit("eb"), F.substring(F.sha2(_plain_string(args[0]), 256), 1, 16))
+        else:  # BNODE(): fresh per row
+            lbl = F.concat(F.lit("eb"), F.monotonically_increasing_id().cast("string"))
+        return F.struct(
+            F.lit(BNODE).cast("tinyint").alias("kind"),
+            lbl.alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
     raise ExprError(f"unsupported function {name}()")
 
 

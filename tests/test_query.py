@@ -365,3 +365,33 @@ def test_negated_property_set(spark):
     assert vals(f"SELECT ?x WHERE {{ <{E}a> !(<{E}knows>|<{E}likes>) ?x }}") == [E + "d"]
     # inverse member: anything pointing at b via a predicate other than likes
     assert vals(f"SELECT ?x WHERE {{ <{E}b> !(^<{E}likes>) ?x }}") == [E + "a"]
+
+
+def test_hash_datetime_uri_functions(spark):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/when> "2024-03-05T14:30:15Z"^^<http://www.w3.org/2001/XMLSchema#dateTime> .',
+        '<http://e/a> <http://e/label> "hello world" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = """
+    SELECT (SHA256(?l) AS ?h) (ENCODE_FOR_URI(?l) AS ?u)
+           (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+           (HOURS(?t) AS ?hh) (MINUTES(?t) AS ?mi) (TZ(?t) AS ?tz)
+    WHERE { ?s <http://e/label> ?l . ?s <http://e/when> ?t }
+    """
+    res = sparql_query(df, q)
+    r = res.df.collect()[0]
+    import hashlib
+
+    assert r.h.value == hashlib.sha256(b"hello world").hexdigest()
+    assert r.u.value == "hello%20world"
+    assert (r.y.value, r.mo.value, r.d.value) == ("2024", "3", "5")
+    assert (r.hh.value, r.mi.value) == ("14", "30")
+    assert r.tz.value == "Z"
+
+    # BNODE(str) is deterministic and bnode-kinded
+    res2 = sparql_query(df, 'SELECT (BNODE(?l) AS ?b) WHERE { ?s <http://e/label> ?l }')
+    b = res2.df.collect()[0].b
+    assert b.kind == 1 and b.value.startswith("eb")
