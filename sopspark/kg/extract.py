@@ -60,53 +60,89 @@ MENTION_SCHEMA = (
 )
 
 
+_OUT_COLS = ["conv_id", "turn_idx", "m_id", "s_alias", "p", "o_alias", "o_lit", "o_etype"]
+
+
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized template extraction for one Arrow batch of turns."""
+    """Fully vectorized template extraction for one Arrow batch of turns:
+    one ``Series.str.extractall`` per template (regex loop runs in pandas'
+    C matcher), match-frame assembly by positional index take — NO
+    per-row Python. m_id = template_base + match ordinal (unique per
+    (turn, p) occurrence, which is all linking needs)."""
     from sopspark.kg.synth import PERSON_ALIAS_RE
 
-    out: list[tuple] = []
-    # pandas str.extractall per template is vectorized across the batch;
-    # per-match assembly is proportional to matches, not rows.
+    pdf = pdf.reset_index(drop=True)
     texts = pdf["text"].fillna("")
     prevs = pdf["prev_text"].fillna("")
-    conv = pdf["conv_id"].tolist()
-    tidx = pdf["turn_idx"].tolist()
+    conv = pdf["conv_id"]
+    tidx = pdf["turn_idx"].astype("int32")
+    parts: list[pd.DataFrame] = []
 
-    def add(i: int, m_id: int, s_alias, p, o_alias=None, o_lit=None, o_etype=None):
-        out.append((conv[i], int(tidx[i]), m_id, s_alias, p, o_alias, o_lit, o_etype))
+    def frame(ridx, m_id, s_alias, p, o_alias, o_lit, o_etype):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv.iloc[ridx].to_numpy(),
+                    "turn_idx": tidx.iloc[ridx].to_numpy(),
+                    "m_id": m_id,
+                    "s_alias": s_alias,
+                    "p": p,
+                    "o_alias": o_alias,
+                    "o_lit": o_lit,
+                    "o_etype": o_etype,
+                }
+            )
+        )
 
-    for template, pred, o_etype in (
-        (RE_KNOWS, KNOWS, "person"),
-        (RE_WORKS, WORKS_AT, "org"),
-        (RE_LIVES, LIVES_IN, "place"),
+    for t_base, template, pred, o_etype in (
+        (0, RE_KNOWS, KNOWS, "person"),
+        (1, RE_WORKS, WORKS_AT, "org"),
+        (2, RE_LIVES, LIVES_IN, "place"),
     ):
-        for i, text in enumerate(texts):
-            for j, m in enumerate(template.finditer(text)):
-                add(i, (m.start() << 4) | j & 0xF, m.group(1), pred, o_alias=m.group(2), o_etype=o_etype)
+        ext = texts.str.extractall(template)
+        if ext.empty:
+            continue
+        ridx = ext.index.get_level_values(0)
+        m_id = (t_base * 4096 + ext.index.get_level_values("match")).astype("int32")
+        frame(ridx, m_id, ext[0].to_numpy(), pred, ext[1].to_numpy(), None, o_etype)
 
-    for i, text in enumerate(texts):
-        for m in RE_AGE.finditer(text):
-            add(i, m.start() << 4, m.group(1), AGE, o_lit=m.group(2))
+    ext = texts.str.extractall(RE_AGE)
+    if not ext.empty:
+        ridx = ext.index.get_level_values(0)
+        m_id = (3 * 4096 + ext.index.get_level_values("match")).astype("int32")
+        frame(ridx, m_id, ext[0].to_numpy(), AGE, None, ext[1].to_numpy(), None)
 
     # pronoun coreference: subject = last person alias of the previous turn
-    for i, text in enumerate(texts):
-        pron_w = RE_PRON_WORKS.search(text)
-        pron_l = RE_PRON_LIVES.search(text)
-        if not (pron_w or pron_l):
+    # (findall → .str[-1] is the vectorized "last antecedent")
+    ante = prevs.str.findall(PERSON_ALIAS_RE).str[-1]
+    for t_base, template, pred, o_etype in (
+        (4, RE_PRON_WORKS, WORKS_AT, "org"),
+        (5, RE_PRON_LIVES, LIVES_IN, "place"),
+    ):
+        ext = texts.str.extractall(template)
+        if ext.empty:
             continue
-        antecedents = PERSON_ALIAS_RE.findall(prevs.iloc[i])
-        if not antecedents:
+        # first match per turn only (parity with the search() semantics)
+        ext = ext[ext.index.get_level_values("match") == 0]
+        ridx = ext.index.get_level_values(0)
+        subs = ante.iloc[ridx]
+        keep = subs.notna().to_numpy()
+        if not keep.any():
             continue
-        subj = antecedents[-1]
-        if pron_w:
-            add(i, pron_w.start() << 4, subj, WORKS_AT, o_alias=pron_w.group(1), o_etype="org")
-        if pron_l:
-            add(i, pron_l.start() << 4, subj, LIVES_IN, o_alias=pron_l.group(1), o_etype="place")
+        ridx = ridx[keep]
+        frame(
+            ridx,
+            pd.Series(t_base * 4096, index=range(len(ridx)), dtype="int32").to_numpy(),
+            subs.to_numpy()[keep],
+            pred,
+            ext[0].to_numpy()[keep],
+            None,
+            o_etype,
+        )
 
-    return pd.DataFrame(
-        out,
-        columns=["conv_id", "turn_idx", "m_id", "s_alias", "p", "o_alias", "o_lit", "o_etype"],
-    )
+    if not parts:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in _OUT_COLS})
+    return pd.concat(parts, ignore_index=True)[_OUT_COLS]
 
 
 def extract_triples(assembled: DataFrame) -> DataFrame:
