@@ -419,6 +419,24 @@ def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_dispatch_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dispatch: graphs under root 'p' (purchase) written out as per-graph
+    NT files (temp dir); the anti-filtered remainder flows on — exercises
+    the semi/anti split the reference's dispatch performs."""
+    import tempfile
+
+    from sopspark.operators.dispatch import dispatch
+
+    quads = map_quads(_events_quads(spark, sf_dir), g="iri(str(?p))")
+    rest = dispatch(quads, EV + "p", tempfile.mkdtemp(prefix="sopspark_dispatch_"))
+    return (
+        rest.select(F.col("g")["value"].alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("g")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -441,6 +459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_expr": q_map_expr,
     "merge_graphs": q_merge_graphs,
     "dedup": q_dedup,
+    "dispatch_remainder": q_dispatch_remainder,
     "turn_assembly": q_turn_assembly,
     "agg_pushdown": q_agg_pushdown,
     "broadcast_join": q_broadcast_join,
@@ -611,6 +630,12 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS s,
                'http://example.org/event/' || event_type AS p
         FROM events ORDER BY 1, 2
+    """,
+    "dispatch_remainder": """
+        SELECT 'http://example.org/event/' || event_type AS g,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type NOT LIKE 'p%'
+        GROUP BY 1 ORDER BY 1
     """,
     "turn_assembly": """
         SELECT CAST(event_id AS BIGINT) AS event_id,
