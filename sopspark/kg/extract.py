@@ -14,8 +14,9 @@ Scale notes:
     conversations are small (≤ dozens of turns) so no per-key skew.
   * extraction is embarrassingly parallel after the window; output rows are
     mention-level and explode ~2-3× the turn count.
-  * cross-turn coreference ("They work at X.") consumes ``lag(text)`` over
-    the window — this is why assembly must precede extraction and why
+  * cross-turn coreference ("They work at X.") consumes the previous
+    turn's last person alias via ``lag`` over the window — this is why
+    assembly must precede extraction and why
     arrival order (nondeterministic at scale, like the reference's
     multi-source interleaving, ``src/parse.rs:145-162``) can never leak
     into results.
@@ -42,15 +43,24 @@ RE_PRON_LIVES = re.compile(r"\bThey live in ([A-Z][a-z]+)\.")
 
 
 def assemble_turns(transcripts: DataFrame) -> DataFrame:
-    """Stable turn ordering + previous-turn context.
+    """Stable turn ordering + previous-turn coreference context.
 
-    Adds ``turn_ord`` (dense per-conversation ordinal) and ``prev_text``
-    (text of the previous turn) under ``Window.partitionBy(conv_id)
-    .orderBy(turn_idx, ts)`` — the stable ordering the input_hint demands.
+    Adds ``turn_ord`` (dense per-conversation ordinal) and ``prev_ante``
+    (the previous turn's last person-alias mention — the pronoun
+    antecedent) under ``Window.partitionBy(conv_id).orderBy(turn_idx, ts)``
+    — the stable ordering the input_hint demands. The antecedent is
+    extracted JVM-side (``regexp_extract_all`` inside codegen) so the
+    pandas extraction UDF ships one short string per turn instead of the
+    whole previous text — roughly half the Arrow volume on the hot path.
     """
+    from sopspark.kg.synth import PERSON_ALIAS_RE
+
     w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").asc(), F.col("ts").asc())
+    ante = F.try_element_at(
+        F.regexp_extract_all(F.col("text"), F.lit(PERSON_ALIAS_RE.pattern), 1), F.lit(-1)
+    )
     return transcripts.withColumn("turn_ord", F.row_number().over(w)).withColumn(
-        "prev_text", F.lag("text", 1).over(w)
+        "prev_ante", F.lag(ante, 1).over(w)
     )
 
 
@@ -69,11 +79,8 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     C matcher), match-frame assembly by positional index take — NO
     per-row Python. m_id = template_base + match ordinal (unique per
     (turn, p) occurrence, which is all linking needs)."""
-    from sopspark.kg.synth import PERSON_ALIAS_RE
-
     pdf = pdf.reset_index(drop=True)
     texts = pdf["text"].fillna("")
-    prevs = pdf["prev_text"].fillna("")
     conv = pdf["conv_id"]
     tidx = pdf["turn_idx"].astype("int32")
     parts: list[pd.DataFrame] = []
@@ -112,9 +119,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         m_id = (3 * 4096 + ext.index.get_level_values("match")).astype("int32")
         frame(ridx, m_id, ext[0].to_numpy(), AGE, None, ext[1].to_numpy(), None)
 
-    # pronoun coreference: subject = last person alias of the previous turn
-    # (findall → .str[-1] is the vectorized "last antecedent")
-    ante = prevs.str.findall(PERSON_ALIAS_RE).str[-1]
+    # pronoun coreference: subject = the previous turn's last person alias,
+    # already extracted JVM-side by assemble_turns (prev_ante)
+    ante = pdf["prev_ante"]
     for t_base, template, pred, o_etype in (
         (4, RE_PRON_WORKS, WORKS_AT, "org"),
         (5, RE_PRON_LIVES, LIVES_IN, "place"),
@@ -153,7 +160,7 @@ def extract_triples(assembled: DataFrame) -> DataFrame:
             if len(pdf):
                 yield _extract_batch(pdf)
 
-    cols = ["conv_id", "turn_idx", "text", "prev_text"]
+    cols = ["conv_id", "turn_idx", "text", "prev_ante"]
     return assembled.select(*cols).mapInPandas(run, schema=MENTION_SCHEMA)
 
 
