@@ -131,6 +131,7 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     path = tmp.name
                 ext_fmt = {
                     ".ttl": "ttl", ".trig": "ttl", ".jsonld": "jsonld", ".json": "jsonld",
+                    ".yamlld": "yamlld", ".yaml": "yamlld", ".yml": "yamlld",
                     ".rdf": "rdf", ".xml": "rdf", ".owl": "rdf",
                 }
                 fmt = args.format or next(
@@ -142,6 +143,10 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     from sopspark.sources.jsonld import parse_jsonld
 
                     df = parse_jsonld(spark, path)
+                elif fmt in ("yamlld", "yaml", "yml", "application/ld+yaml"):
+                    from sopspark.sources.jsonld import parse_yamlld
+
+                    df = parse_yamlld(spark, path)
                 elif fmt in ("rdf", "xml", "rdfxml", "application/rdf+xml"):
                     from sopspark.sources.rdfxml import parse_rdfxml
 

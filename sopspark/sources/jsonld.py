@@ -146,8 +146,32 @@ def parse_jsonld_text(text: str, contexts: dict | None = None) -> list[tuple]:
     return p.quads
 
 
-def parse_jsonld(
-    spark: SparkSession, paths: str | list[str], contexts: dict | None = None
+def parse_yamlld_text(text: str, contexts: dict | None = None) -> list[tuple]:
+    """YAML-LD = YAML→JSON bridge then JSON-LD expansion, mirroring the
+    reference's serde_yaml→serde_json hop (``src/parse.rs:395-399``)."""
+    try:
+        import yaml
+    except ImportError as e:  # pragma: no cover
+        raise JsonLdError("pyyaml not available for YAML-LD") from e
+    try:
+        doc = yaml.safe_load(text)
+    except yaml.YAMLError as e:
+        raise JsonLdError(f"yaml: {e}") from e
+    p = _Parser()
+    ctx = _Ctx(contexts)
+    nodes = doc if isinstance(doc, list) else [doc]
+    for node in nodes:
+        if not isinstance(node, dict):
+            raise JsonLdError("top-level YAML-LD must be mapping(s)")
+        p.parse_node(node, ctx)
+    return p.quads
+
+
+def _parse_docs(
+    spark: SparkSession,
+    paths: str | list[str],
+    parse_text,
+    contexts: dict | None,
 ) -> DataFrame:
     if isinstance(paths, str):
         paths = [paths]
@@ -161,7 +185,7 @@ def parse_jsonld(
             rows = []
             for _, row in pdf.iterrows():
                 try:
-                    for s, p_, o, g in parse_jsonld_text(row["value"], contexts):
+                    for s, p_, o, g in parse_text(row["value"], contexts):
                         flat = list(s) + list(p_) + list(o) + (list(g) if g else [None] * 4)
                         rows.append(flat + [None, row["src"]])
                 except (JsonLdError, json.JSONDecodeError) as e:
@@ -169,3 +193,15 @@ def parse_jsonld(
             yield pd.DataFrame(rows, columns=cols + ["err", "src"])
 
     return _flat_to_quads(docs.mapInPandas(run, schema=FLAT_SCHEMA)).drop("src")
+
+
+def parse_jsonld(
+    spark: SparkSession, paths: str | list[str], contexts: dict | None = None
+) -> DataFrame:
+    return _parse_docs(spark, paths, parse_jsonld_text, contexts)
+
+
+def parse_yamlld(
+    spark: SparkSession, paths: str | list[str], contexts: dict | None = None
+) -> DataFrame:
+    return _parse_docs(spark, paths, parse_yamlld_text, contexts)

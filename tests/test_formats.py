@@ -123,3 +123,33 @@ def test_gz_transparent_read(spark, tmp_path):
         f.write('<http://e/b> <http://e/p> "lit" .\n')
     df = parse_ntriples(spark, str(p))
     assert df.count() == 2 and df.where("err is not null").count() == 0
+
+
+def test_yamlld_text_and_distributed(spark, tmp_path):
+    from sopspark.sources.jsonld import parse_yamlld, parse_yamlld_text
+    from sopspark.terms import IRI, LITERAL
+
+    doc = """
+"@context":
+  ex: "http://e/"
+"@id": ex:a
+"@type": ex:Person
+ex:name: Alice
+ex:age:
+  "@value": 30
+  "@type": "http://www.w3.org/2001/XMLSchema#integer"
+"""
+    quads = parse_yamlld_text(doc)
+    spo = {(s[1], p[1], o[1]) for s, p, o, g in quads}
+    assert ("http://e/a", "http://e/name", "Alice") in spo
+    assert ("http://e/a", "http://e/age", "30") in spo
+
+    p = tmp_path / "d.yamlld"
+    p.write_text(doc)
+    df = parse_yamlld(spark, str(p))
+    assert df.count() == 3 and df.where("err is not null").count() == 0
+    # malformed yaml lands in the err channel, not a crash
+    bad = tmp_path / "bad.yamlld"
+    bad.write_text("@id: [unclosed")
+    df2 = parse_yamlld(spark, str(bad))
+    assert df2.where("err is not null").count() == 1
