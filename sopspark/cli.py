@@ -59,7 +59,9 @@ def _stage_parser(name: str) -> argparse.ArgumentParser:
         p.add_argument("-m", "--multiple", nargs="*", default=None)
     elif name == "filter":
         p.add_argument("expr")
-        p.add_argument("-d", "--recognize-datatypes", action="store_true", default=True)
+        # reference default: no -d → term-identity equality (42 != "042");
+        # -d opts into datatype-aware comparison (README.md:176-183)
+        p.add_argument("-d", "--recognize-datatypes", action="store_true", default=False)
     elif name == "map":
         p.add_argument("-s", default=None)
         p.add_argument("-p", default=None)
@@ -166,7 +168,7 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
         elif name == "filter":
             from sopspark.operators.filter_map import filter_quads
 
-            df = filter_quads(df, args.expr)
+            df = filter_quads(df, args.expr, recognize_datatypes=args.recognize_datatypes)
         elif name == "map":
             from sopspark.operators.filter_map import map_quads
 

@@ -337,7 +337,8 @@ class _QP:
                 gname = self.term()
                 sub = self.group()
                 for tp in _all_triples(sub):
-                    tp.graph = gname
+                    if tp.graph is None:  # inner GRAPH already set it
+                        tp.graph = gname
                 g.subgroups.append(sub)
                 continue
             if v == "{":
@@ -388,9 +389,12 @@ class _QP:
                     continue
                 break
             if self.peek()[1] == ";":
-                self.next()
-                if self.peek()[1] in (".", "}", ";"):
-                    continue
+                # (';' (verb objectList)?)* — trailing ';' before a
+                # terminator is legal and ends the predicate list.
+                while self.peek()[1] == ";":
+                    self.next()
+                if self.peek()[1] in (".", "}") or self.peek()[0] == "eof":
+                    break
                 continue
             break
         return out
@@ -610,6 +614,9 @@ class _QP:
 
 
 def _all_triples(g: PatternGroup):
+    """Every TriplePattern reachable from g, including those nested inside
+    FILTER (NOT) EXISTS, MINUS, and subselects — GRAPH scoping (the active
+    graph, SPARQL 1.1 §13.3) applies to all of them."""
     yield from g.triples
     for sub in g.subgroups:
         yield from _all_triples(sub)
@@ -618,6 +625,12 @@ def _all_triples(g: PatternGroup):
     for branches in g.unions:
         for b in branches:
             yield from _all_triples(b)
+    for sub, _positive in g.exists:
+        yield from _all_triples(sub)
+    for sub in g.minuses:
+        yield from _all_triples(sub)
+    for sq in g.subselects:
+        yield from _all_triples(sq.where)
 
 
 def parse_query(src: str) -> Query:

@@ -250,7 +250,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (rows-only check)."""
+    """Language-ID heuristic — pure Catalyst, DuckDB-oracle verified."""
     from sopspark.text.analysis import detect_language
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -340,13 +340,15 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 for the first 8 vectors (rows-only check;
-    recall vs the exact baseline is pinned by tests)."""
+    """IVF top-5 for the first 8 vectors at nprobe == nlist — every query
+    probes every inverted list, so the result is exactly brute force and the
+    cosine-top-k DuckDB oracle applies verbatim. The nprobe < nlist
+    approximate path is pinned by the recall tests."""
     from sopspark.text.similarity import ivf_cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
-    return ivf_cosine_topk(emb, queries, k=5, nlist=8, nprobe=4).select(
+    return ivf_cosine_topk(emb, queries, k=5, nlist=8, nprobe=8).select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
         F.round("cosine", 4).alias("cosine"),

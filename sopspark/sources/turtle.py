@@ -38,7 +38,7 @@ TOKEN_RE = re.compile(
   | (?P<longstr>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<string>\"(?:[^"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*')
   | (?P<iri><[^<>"{}|^`\\\s]*>)
-  | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<bnode>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<directive>@prefix|@base)
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<double>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
@@ -46,7 +46,7 @@ TOKEN_RE = re.compile(
   | (?P<integer>[+-]?\d+)
   | (?P<dtmark>\^\^)
   | (?P<punct>[;,.\[\]()={}])
-  | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_:%-][A-Za-z0-9_.:%-]*)?
+  | (?P<pname>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?:(?:[A-Za-z0-9_:%-](?:[A-Za-z0-9_.:%-]*[A-Za-z0-9_:%-])?)?
   | (?P<kw>[A-Za-z]+)
     """,
     re.VERBOSE,
@@ -188,9 +188,13 @@ class _Parser:
                 pred = self.term()
             self.object_list(subj, pred)
             if self.peek()[1] == ";":
-                self.next()
-                if self.peek()[1] in (".", ";", "]", "}"):
-                    continue
+                # Grammar: (';' (verb objectList)?)* — consume runs of ';'
+                # and stop (without erroring) on a terminator, so trailing
+                # semicolons (`<s> <p> <o> ; .`, `[ <q> <o> ; ]`) are legal.
+                while self.peek()[1] == ";":
+                    self.next()
+                if self.peek()[1] in (".", "]", "}") or self.peek()[0] == "eof":
+                    break
                 continue
             break
 

@@ -1,46 +1,38 @@
 """Text analysis operators: language ID, quality scoring, token counting,
-document fingerprinting. All Catalyst-native except the langid character-
-profile scorer (Arrow-batched pandas UDF — genuinely needs numpy)."""
+document fingerprinting. All Catalyst-native — no Python in the hot path."""
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
-# tiny public stopword profiles for the n-gram/stopword language heuristic
-_PROFILES = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
-    "fr": {"le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"},
-    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "für"},
-    "es": {"el", "la", "y", "de", "un", "una", "es", "que", "por", "en"},
-}
+# tiny public stopword profiles for the stopword-overlap language heuristic;
+# order matters: earlier profiles win score ties (en > fr > de > es)
+_PROFILES = [
+    ("en", ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]),
+    ("fr", ["le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"]),
+    ("de", ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "für"]),
+    ("es", ["el", "la", "y", "de", "un", "una", "es", "que", "por", "en"]),
+]
 
 
 def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Stopword-ratio language ID. Vectorized: one pandas UDF over Arrow
-    batches, token sets via numpy/pandas ops; 'und' when no profile hits."""
-
-    @pandas_udf("string")
-    def langid(texts: pd.Series) -> pd.Series:
-        toks = texts.fillna("").str.lower().str.split(r"\s+")
-
-        def score(tokens: list[str]) -> str:
-            if not tokens:
-                return "und"
-            s = set(tokens)
-            best, best_n = "und", 0
-            for lang, prof in _PROFILES.items():
-                n = len(s & prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-
-        return toks.map(score)
-
-    return df.withColumn(out_col, langid(F.col(text_col)))
+    """Stopword-overlap language ID, pure Catalyst (whole-stage codegen):
+    per language, count distinct-token overlap with its stopword profile via
+    ``array_intersect``; argmax with first-profile-wins tie-break; 'und'
+    when no profile hits."""
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    counts = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in prof])))
+        for lang, prof in _PROFILES
+    }
+    # first strict maximum in profile order (ties favor the earlier profile)
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang, _prof in _PROFILES:
+        pred = F.when(counts[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(counts[lang] > best, counts[lang]).otherwise(best)
+    return df.withColumn(out_col, pred)
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -111,6 +111,24 @@ def test_turtle_text_parser_units():
     assert any("22-rdf-syntax-ns#first" in q[1][1] for q in quads)
 
 
+def test_turtle_trailing_semicolon_and_dot():
+    # (';' (verb objectList)?)* — trailing ';' is legal Turtle
+    assert len(parse_turtle_text("<http://e/s> <http://e/p> <http://e/o> ; .")) == 1
+    quads = parse_turtle_text(
+        "@prefix q: <http://q/> . <http://e/s> <http://e/p> [ q:q q:o ; ] ."
+    )
+    assert len(quads) == 2
+    # a run of semicolons is also legal
+    assert len(parse_turtle_text("<http://e/s> <http://e/p> <http://e/o> ;; <http://e/q> <http://e/r> .")) == 2
+    # PN_LOCAL / bnode labels must not swallow the statement terminator '.'
+    quads = parse_turtle_text("@prefix ex: <http://ex/> . ex:s a ex:Person.")
+    assert quads[0][2][1] == "http://ex/Person"
+    quads = parse_turtle_text("@prefix ex: <http://ex/> . ex:a.b ex:p ex:o.c .")
+    assert quads[0][0][1] == "http://ex/a.b" and quads[0][2][1] == "http://ex/o.c"
+    quads = parse_turtle_text("<http://e/s> <http://e/p> _:b1. <http://e/s> <http://e/q> _:b.x .")
+    assert {q[2][1] for q in quads} == {"b1", "b.x"}
+
+
 def test_turtle_writer_roundtrip(spark, fixtures_dir, tmp_path):
     import glob
     import os

@@ -121,6 +121,44 @@ def test_graph_pattern(spark):
     assert [r.s.value for r in res2.df.collect()] == ["http://e/b"]
 
 
+def test_trailing_semicolon_in_triples_block(spark, fixtures_dir):
+    # legal per the SPARQL grammar's (';' (verb objectList)?)*
+    res = sparql_query(
+        _social(spark, fixtures_dir),
+        "SELECT ?s WHERE { ?s <http://xmlns.com/foaf/0.1/name> ?o ; }",
+    )
+    assert res.df.count() == 2
+    res2 = sparql_query(
+        _social(spark, fixtures_dir),
+        "SELECT ?s WHERE { ?s <http://xmlns.com/foaf/0.1/name> ?o ; . }",
+    )
+    assert res2.df.count() == 2
+
+
+def test_graph_scopes_exists_and_minus(spark):
+    rows = [
+        "<http://e/a> <http://e/p> <http://e/o> <http://e/g1> .",
+        '<http://e/a> <http://e/tag> "t" <http://e/g1> .',
+        "<http://e/b> <http://e/p> <http://e/o> <http://e/g1> .",
+        '<http://e/b> <http://e/tag> "t" .',  # default graph only
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    # EXISTS inside GRAPH must match against the named graph, not the default
+    res = sparql_query(
+        df,
+        "SELECT ?s WHERE { GRAPH <http://e/g1> { ?s <http://e/p> ?o . "
+        "FILTER EXISTS { ?s <http://e/tag> ?t } } }",
+    )
+    assert {r.s.value for r in res.df.collect()} == {"http://e/a"}
+    # MINUS inside GRAPH likewise
+    res2 = sparql_query(
+        df,
+        "SELECT ?s WHERE { GRAPH <http://e/g1> { ?s <http://e/p> ?o . "
+        "MINUS { ?s <http://e/tag> ?t } } }",
+    )
+    assert {r.s.value for r in res2.df.collect()} == {"http://e/b"}
+
+
 def test_computed_projection_and_distinct(spark, fixtures_dir):
     q = """
     PREFIX foaf: <http://xmlns.com/foaf/0.1/>
