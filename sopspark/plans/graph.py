@@ -45,12 +45,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("a") != F.col("b")).distinct()
 
 
-def _driver_union_find(rows: list[tuple[str, str]], spark) -> DataFrame:
+def _driver_union_find(rows: list[tuple], spark, dtype: str = "string") -> DataFrame:
     """Small-input physical plan: union-find on the driver — the CC analogue
     of broadcasting a small dimension instead of shuffling."""
-    parent: dict[str, str] = {}
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         while parent.setdefault(x, x) != x:
             parent[x] = parent[parent[x]]  # path halving
             x = parent[x]
@@ -68,7 +68,7 @@ def _driver_union_find(rows: list[tuple[str, str]], spark) -> DataFrame:
         if n < reps.get(r, r):
             reps[r] = n
     out = [(n, reps.get(find(n), find(n))) for n in parent]
-    return spark.createDataFrame(out, "node string, rep string")
+    return spark.createDataFrame(out, f"node {dtype}, rep {dtype}")
 
 
 def connected_components(
@@ -92,7 +92,8 @@ def connected_components(
     if driver_threshold > 0:
         head = e.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
-            return _driver_union_find([(r["a"], r["b"]) for r in head], edges.sparkSession)
+            dtype = dict(e.dtypes)["a"]  # keep numeric ids numeric (min = numeric min)
+            return _driver_union_find([(r["a"], r["b"]) for r in head], edges.sparkSession, dtype)
 
     e = e.localCheckpoint()
 

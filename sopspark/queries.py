@@ -153,18 +153,31 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import os as _os
+
+# committed deterministic corpus (synth_corpus(n_convs=300, seed=42) written
+# once to parquet) — both the Spark flagship query and its DuckDB oracle read
+# these same files, so the whole assembly→extract→link→sameAs-CC→materialize
+# pipeline is machine-verified end to end.
+KG_CORPUS_DIR = _os.path.normpath(
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "tests", "golden", "kg_corpus")
+)
+
+
 def q_kg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full transcript→KG pipeline on the deterministic synthetic corpus
-    (no DuckDB oracle — verified by the closed-form P/R tests)."""
+    """Full transcript→KG pipeline on the committed deterministic corpus,
+    DuckDB-oracle verified (regexp extraction + window lag + linking argmax
+    + recursive-CTE sameAs closure replicated in SQL)."""
     from sopspark.kg.canon import materialize_graph, sameas_closure
     from sopspark.kg.extract import assemble_turns, extract_triples
     from sopspark.kg.link import link_entities
-    from sopspark.kg.synth import alias_df, sameas_df, synth_corpus
 
-    transcripts, _ = synth_corpus(spark, n_convs=300, seed=42)
+    transcripts = spark.read.parquet(f"{KG_CORPUS_DIR}/transcripts.parquet")
+    alias = spark.read.parquet(f"{KG_CORPUS_DIR}/alias_dict.parquet")
+    sameas = spark.read.parquet(f"{KG_CORPUS_DIR}/sameas.parquet")
     mentions = extract_triples(assemble_turns(transcripts))
-    linked = link_entities(mentions, alias_df(spark))
-    quads = materialize_graph(linked, sameas_closure(sameas_df(spark)))
+    linked = link_entities(mentions, alias)
+    quads = materialize_graph(linked, sameas_closure(sameas))
     return quads.select(
         F.col("s")["value"].alias("s"),
         F.col("p")["value"].alias("p"),
@@ -233,20 +246,27 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup clustering over documents (no SQL oracle —
-    verified by closed-form tests; driver records rows-only)."""
+    """MinHash+LSH near-dup clustering over documents, hash_fn="md5": the
+    DuckDB oracle replicates the whole pipeline — shingles → universal-hash
+    lanes → banded buckets → signature-Jaccard → recursive-CTE connected
+    components. (The xxhash64 fast path runs in bench; same algebra.)"""
     from sopspark.text.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup(docs, threshold=0.7).orderBy("doc_id")
+    return minhash_dedup(
+        docs, num_perm=16, bands=4, threshold=0.7, hash_fn="md5"
+    ).orderBy("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only check)."""
+    """48-bit SimHash fingerprints with the md5-derived engine-shared hash —
+    DuckDB replicates the fingerprint bit-for-bit."""
     from sopspark.text.dedup import simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs).orderBy("doc_id")
+    return simhash(docs, bits=48, hash_fn="md5").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "fingerprint"
+    ).orderBy("doc_id")
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,13 +350,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded Hamming-3 SimHash near-dup pairs (rows-only check — DuckDB
-    has no xxhash64; band-join correctness is pinned by tests vs brute
-    force)."""
+    """Banded Hamming-3 SimHash near-dup pairs over the md5-derived 48-bit
+    fingerprint — pigeonhole band join replicated by the DuckDB oracle."""
     from sopspark.text.dedup import simhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("a", "b")
+    return simhash_near_dup_pairs(docs, max_hamming=3, bits=48, hash_fn="md5").select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("a", "b")
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,4 +689,246 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
     """,
+    # ivf_ann at nprobe == nlist is exactly brute force — same oracle as
+    # ann_cosine_topk (filled in below after the dict literal).
 }
+
+ORACLES["ivf_ann"] = ORACLES["ann_cosine_topk"]
+
+
+# --- engine-shared (md5-derived) hash oracles -------------------------------
+# These replicate the hash_fn="md5" pipelines exactly: the 48-bit base hash
+# is the first 12 hex chars of md5 (Spark: conv(substring(md5(x),1,12),16,10);
+# DuckDB: the strpos polynomial below — 16.0**(12-i) stays exact in doubles
+# because every partial sum < 2^53).
+
+def _md5hex48_sql(e: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1,13), i -> "
+        f"(strpos('0123456789abcdef', md5({e})[i:i]) - 1) * (16.0**(12-i)))) AS BIGINT)"
+    )
+
+
+def _langid_oracle_sql() -> str:
+    from sopspark.text.analysis import _PROFILES
+
+    def lst(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    counts = ",\n            ".join(
+        f"len(list_intersect(t, {lst(prof)})) AS n_{lang}" for lang, prof in _PROFILES
+    )
+    # first profile attaining the maximum wins (same tie-break as Spark)
+    langs = [lang for lang, _ in _PROFILES]
+    zero = " AND ".join(f"n_{l} = 0" for l in langs)
+    case = f"WHEN {zero} THEN 'und'\n"
+    for i, l in enumerate(langs[:-1]):
+        geq = " AND ".join(f"n_{l} >= n_{o}" for o in langs[i + 1:])
+        case += f"               WHEN {geq} THEN '{l}'\n"
+    case += f"               ELSE '{langs[-1]}'"
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+            {counts}
+          FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents)
+        )
+        SELECT doc_id,
+               CASE {case} END AS lang_pred
+        FROM c ORDER BY doc_id
+    """
+
+
+def _simhash_fp_ctes(bits: int = 48) -> str:
+    """CTEs computing the md5-derived SimHash fingerprint per doc."""
+    return f"""
+        tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents),
+        th AS (SELECT doc_id, {_md5hex48_sql('t')} AS h FROM tok),
+        votes AS (SELECT doc_id, i,
+                         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                  FROM th, UNNEST(range(0, {bits})) u(i) GROUP BY doc_id, i),
+        fp AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fingerprint
+               FROM votes GROUP BY doc_id)
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""
+        WITH {_simhash_fp_ctes(48)}
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, fingerprint FROM fp ORDER BY doc_id
+    """
+
+
+def _simhash_neardup_oracle_sql(max_hamming: int = 3, bits: int = 48) -> str:
+    bands = max_hamming + 1
+    width = bits // bands
+    mask = (1 << width) - 1
+    return f"""
+        WITH {_simhash_fp_ctes(bits)},
+        banded AS (SELECT doc_id, fingerprint, i AS band,
+                          (fingerprint >> (i * {width})) & {mask} AS bb
+                   FROM fp, UNNEST(range(0, {bands})) u(i))
+        SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS a,
+               CAST(r.doc_id AS BIGINT) AS b,
+               CAST(bit_count(xor(l.fingerprint, r.fingerprint)) AS INT) AS hamming
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bb = r.bb AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.fingerprint, r.fingerprint)) <= {max_hamming}
+        ORDER BY a, b
+    """
+
+
+def _minhash_dedup_oracle_sql(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.7,
+    max_bucket: int = 200, k: int = 3,
+) -> str:
+    from sopspark.text.dedup import MERSENNE31, lane_params
+
+    P = MERSENNE31
+    params = lane_params(num_perm)
+    lanes = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    r = num_perm // bands
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _md5hex48_sql(" || ',' || ".join(f"h{b * r + j}::VARCHAR" for j in range(r)))
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+        WITH RECURSIVE
+        tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+        gr AS (SELECT doc_id,
+                 CASE WHEN len(t) >= {k}
+                      THEN list_transform(range(1, len(t) - {k} + 2),
+                                          i -> array_to_string(t[i:i+{k - 1}], ' '))
+                      ELSE [array_to_string(t, ' ')] END AS grams
+               FROM tk),
+        sh AS (SELECT doc_id, unnest(grams) AS s FROM gr),
+        hs AS (SELECT doc_id, {_md5hex48_sql('s')} % {P} AS h FROM sh),
+        sig AS (SELECT doc_id,
+               {lanes}
+               FROM hs GROUP BY doc_id),
+        banded AS (
+          {band_selects}
+        ),
+        capped AS (SELECT doc_id, band, bh FROM (
+            SELECT doc_id, band, bh,
+                   ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk
+            FROM banded) WHERE rk <= {max_bucket}),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                 FROM capped l JOIN capped r
+                   ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+        ver AS (SELECT a, b FROM cand
+                JOIN sig sa ON sa.doc_id = cand.a
+                JOIN sig sb ON sb.doc_id = cand.b
+                WHERE ({eq_terms}) / {float(num_perm)} >= {threshold}),
+        sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+        reach(node, rep0) AS (
+          SELECT a, a FROM sym UNION SELECT b, b FROM sym
+          UNION
+          SELECT sym.b, reach.rep0 FROM reach JOIN sym ON sym.a = reach.node
+        ),
+        cc AS (SELECT node, MIN(rep0) AS rep FROM reach GROUP BY node)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(cc.rep, d.doc_id) AS BIGINT) AS rep
+        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        ORDER BY doc_id
+    """
+
+
+def _kg_flagship_oracle_sql() -> str:
+    """SQL replication of the transcript→KG pipeline over the committed
+    corpus parquet: regexp template extraction (incl. lag-based pronoun
+    antecedents), prior-argmax entity linking, recursive-CTE owl:sameAs
+    connected components, distinct (s, p, o) materialization."""
+    from sopspark.kg.synth import PERSON_ALIAS_RE
+    from sopspark.kg.vocab import AGE, KNOWS, LIVES_IN, WORKS_AT
+
+    tr = f"read_parquet('{KG_CORPUS_DIR}/transcripts.parquet')"
+    al = f"read_parquet('{KG_CORPUS_DIR}/alias_dict.parquet')"
+    sa = f"read_parquet('{KG_CORPUS_DIR}/sameas.parquet')"
+    apat = PERSON_ALIAS_RE.pattern
+
+    def pair_tmpl(pat: str, pred: str, etype: str) -> str:
+        return f"""
+          SELECT conv_id, u.z[1] AS s_alias, '{pred}' AS p,
+                 u.z[2] AS o_alias, NULL AS o_lit, '{etype}' AS o_etype
+          FROM turns, UNNEST(list_zip(regexp_extract_all(text, '{pat}', 1),
+                                      regexp_extract_all(text, '{pat}', 2))) AS u(z)"""
+
+    def pron_tmpl(pat: str, pred: str, etype: str) -> str:
+        return f"""
+          SELECT conv_id, prev_ante AS s_alias, '{pred}' AS p,
+                 regexp_extract(text, '{pat}', 1) AS o_alias, NULL AS o_lit,
+                 '{etype}' AS o_etype
+          FROM turns
+          WHERE prev_ante IS NOT NULL AND regexp_extract(text, '{pat}', 1) <> ''"""
+
+    mentions = "\n          UNION ALL".join(
+        [
+            pair_tmpl(r"\b([A-Z][a-z]+) knows ([A-Z][a-z]+)\.", KNOWS, "person"),
+            pair_tmpl(r"\b([A-Z][a-z]+) works at ([A-Z][A-Za-z ]+?)\.", WORKS_AT, "org"),
+            pair_tmpl(r"\b([A-Z][a-z]+) lives in ([A-Z][a-z]+)\.", LIVES_IN, "place"),
+            f"""
+          SELECT conv_id, u.z[1] AS s_alias, '{AGE}' AS p,
+                 NULL AS o_alias, u.z[2] AS o_lit, NULL AS o_etype
+          FROM turns, UNNEST(list_zip(regexp_extract_all(text, '\\b([A-Z][a-z]+) is (\\d+) years old\\.', 1),
+                                      regexp_extract_all(text, '\\b([A-Z][a-z]+) is (\\d+) years old\\.', 2))) AS u(z)""",
+            pron_tmpl(r"\bThey work at ([A-Z][A-Za-z ]+?)\.", WORKS_AT, "org"),
+            pron_tmpl(r"\bThey live in ([A-Z][a-z]+)\.", LIVES_IN, "place"),
+        ]
+    )
+    return f"""
+        WITH RECURSIVE
+        turns AS (
+          SELECT conv_id, turn_idx, text,
+                 LAG((regexp_extract_all(text, '{apat}', 1))[-1])
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_ante
+          FROM {tr}
+        ),
+        mentions AS ({mentions}
+        ),
+        pbest AS (SELECT alias, iri FROM (
+            SELECT alias, iri,
+                   ROW_NUMBER() OVER (PARTITION BY alias ORDER BY prior DESC, iri ASC) AS rk
+            FROM {al} WHERE etype = 'person') WHERE rk = 1),
+        obest AS (SELECT alias, etype, iri FROM (
+            SELECT alias, etype, iri,
+                   ROW_NUMBER() OVER (PARTITION BY alias, etype ORDER BY prior DESC, iri ASC) AS rk
+            FROM {al}) WHERE rk = 1),
+        linked AS (
+          SELECT pb.iri AS s, m.p, ob.iri AS o_iri, m.o_lit
+          FROM mentions m
+          JOIN pbest pb ON pb.alias = m.s_alias
+          LEFT JOIN obest ob ON ob.alias = m.o_alias AND ob.etype = m.o_etype
+          WHERE m.o_etype IS NULL OR ob.iri IS NOT NULL
+        ),
+        sym AS (SELECT iri_a AS a, iri_b AS b FROM {sa}
+                UNION SELECT iri_b, iri_a FROM {sa}),
+        reach(node, r) AS (
+          SELECT a, a FROM sym UNION SELECT b, b FROM sym
+          UNION
+          SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.node
+        ),
+        cc AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+        SELECT DISTINCT COALESCE(cs.rep, l.s) AS s, l.p AS p,
+               COALESCE(co.rep, l.o_iri, l.o_lit, '') AS o
+        FROM linked l
+        LEFT JOIN cc cs ON cs.node = l.s
+        LEFT JOIN cc co ON co.node = l.o_iri
+        ORDER BY s, p, o
+    """
+
+
+ORACLES["langid"] = _langid_oracle_sql()
+ORACLES["simhash"] = _simhash_oracle_sql()
+ORACLES["simhash_neardup"] = _simhash_neardup_oracle_sql()
+ORACLES["minhash_dedup"] = _minhash_dedup_oracle_sql()
+ORACLES["kg_flagship"] = _kg_flagship_oracle_sql()

@@ -26,6 +26,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# oracle-shared hash primitive
+# ---------------------------------------------------------------------------
+# The fast path hashes with xxhash64 (JVM codegen, no equivalent in DuckDB).
+# For machine-verified parity the pipelines also accept hash_fn="md5": a
+# 48-bit integer from the first 12 hex chars of md5, which DuckDB replicates
+# exactly as a strpos()-polynomial (see sopspark.queries.MD5_HEX48_SQL), plus
+# universal-hash lanes (a_i*h + b_i mod 2^31-1) from a fixed seeded table so
+# both engines evaluate the identical arithmetic.
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def md5_hash48(col: Column, seed: int | None = None) -> Column:
+    """Non-negative 48-bit int from md5's first 12 hex chars (engine-shared)."""
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint")
+
+
+def lane_params(num_perm: int, seed: int = 9176) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash params < 2^31-1, via an LCG —
+    identical literals are embedded in the DuckDB oracle SQL."""
+    params, x = [], seed
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = 1 + x % (MERSENNE31 - 1)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MERSENNE31
+        params.append((a, b))
+    return params
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -60,21 +91,33 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 64,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) via explode → num_perm min-aggs.
 
     The explode produces one row per (doc, shingle); the groupBy computes
     all permutations' minima in ONE hash aggregate with full map-side
     combine — shuffle volume is docs × num_perm longs, independent of text
-    size. Each shingle string is hashed ONCE (xxhash64); permutation i
-    re-hashes the resulting 8-byte long with seed i — 64 long-hashes per
-    shingle instead of 64 string-hashes (~6x faster at equal quality).
+    size. Each shingle string is hashed ONCE; permutation i derives from the
+    base hash — num_perm cheap ops per shingle instead of num_perm string
+    hashes (~6x faster at equal quality).
+
+    hash_fn="xxhash64" (default, fast JVM path) or "md5" (DuckDB-replicable
+    universal-hash lanes — the oracle-verified variant).
     """
     shingled = df.select(
         F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_s")
-    ).select(F.col(id_col), F.xxhash64("_s").alias("_h"))
-    aggs = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    sig = shingled.groupBy(id_col).agg(*aggs)
+    )
+    if hash_fn == "md5":
+        base = (md5_hash48(F.col("_s")) % MERSENNE31).alias("_h")
+        params = lane_params(num_perm)
+        lanes = [(F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31 for a, b in params]
+    else:
+        base = F.xxhash64("_s").alias("_h")
+        lanes = [F.xxhash64("_h", F.lit(i)) for i in range(num_perm)]
+    hashed = shingled.select(F.col(id_col), base)
+    aggs = [F.min(lane).alias(f"h{i}") for i, lane in enumerate(lanes)]
+    sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
 
 
@@ -84,6 +127,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     max_bucket: int = 200,
     num_perm: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: signature → ``bands`` band-hashes → explode → bucket
     self-join → distinct candidate pairs (a < b).
@@ -101,15 +145,19 @@ def minhash_lsh_pairs(
         first = signatures.select(F.size("sig").alias("n")).first()
         num_perm = int(first["n"]) if first else 64
     r = num_perm // bands
+
+    def band_hash(b: int) -> Column:
+        slots = [F.col("sig")[b * r + j] for j in range(r)]
+        if hash_fn == "md5":
+            return md5_hash48(F.concat_ws(",", *[s.cast("string") for s in slots]))
+        return F.xxhash64(*slots)
+
     banded = rows.select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -159,6 +207,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline → (id, rep) cluster assignment.
 
@@ -168,15 +217,16 @@ def minhash_dedup(
     """
     from sopspark.plans.graph import connected_components
 
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).localCheckpoint()
-    cand = minhash_lsh_pairs(sigs, id_col, bands, num_perm=num_perm)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, hash_fn).localCheckpoint()
+    cand = minhash_lsh_pairs(sigs, id_col, bands, num_perm=num_perm, hash_fn=hash_fn)
     verified = jaccard_of_signatures(cand, sigs, id_col).where(F.col("jaccard_est") >= threshold)
-    edges = verified.select(F.col("a").cast("string"), F.col("b").cast("string"))
+    # ids stay numeric through CC so the representative is the numeric min
+    edges = verified.select(F.col("a").cast("long"), F.col("b").cast("long"))
     cc = connected_components(edges)
-    ids = df.select(F.col(id_col).cast("string").alias("node"))
+    ids = df.select(F.col(id_col).cast("long").alias("node"))
     mapping = ids.join(cc, on="node", how="left").select(
-        F.col("node").cast("long").alias(id_col),
-        F.coalesce(F.col("rep"), F.col("node")).cast("long").alias("rep"),
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("rep"), F.col("node")).alias("rep"),
     )
     return mapping
 
@@ -185,12 +235,22 @@ def minhash_dedup(
 # simhash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash, Catalyst-only: per-token hash → per-bit vote sum →
-    sign. explode + one hash aggregate (map-side combined)."""
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash fingerprint, Catalyst-only: per-token hash → per-bit vote sum
+    → sign. explode + one hash aggregate (map-side combined).
+
+    hash_fn="md5" uses the 48-bit engine-shared hash (set bits=48 with it)
+    so the DuckDB oracle can replicate the fingerprint bit-for-bit."""
+    tok_hash = md5_hash48(F.col("_t")) if hash_fn == "md5" else F.xxhash64("_t")
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", tok_hash)
 
     def bit(i: int):
         return F.shiftleft(F.lit(1).cast("bigint"), i)
@@ -222,25 +282,25 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def simhash_hamming_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    fingerprints: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """All id pairs (a < b) whose 64-bit fingerprints are within Hamming
-    distance ``max_hamming``, via pigeonhole banding.
+    """All id pairs (a < b) whose ``bits``-wide fingerprints are within
+    Hamming distance ``max_hamming``, via pigeonhole banding.
 
-    Split the 64 bits into ``max_hamming + 1`` disjoint bands: two words at
-    distance ≤ k must agree *exactly* on at least one band, so an equi-join
-    on (band, band_bits) finds every true pair — no cross join. Shuffle key
-    is the narrow (band, bits) pair; candidate verification is one
-    ``bit_count(a ^ b)``. This is the 100 TB path: cost ≈ Σ per-bucket²,
-    with buckets of width 64/(k+1) bits keeping collisions rare.
+    Split the ``bits`` bits into ``max_hamming + 1`` disjoint bands: two
+    words at distance ≤ k must agree *exactly* on at least one band, so an
+    equi-join on (band, band_bits) finds every true pair — no cross join.
+    Shuffle key is the narrow (band, bits) pair; candidate verification is
+    one ``bit_count(a ^ b)``. This is the 100 TB path: cost ≈ Σ per-bucket²,
+    with buckets of width bits/(k+1) keeping collisions rare.
     """
     bands = max_hamming + 1
-    width = 64 // bands
+    width = bits // bands
     fp = fingerprints.select(F.col(id_col), F.col("fingerprint"))
 
     def band_key(i: int):
         lo = i * width
-        size = 64 - lo if i == bands - 1 else width
+        size = bits - lo if i == bands - 1 else width
         mask = -1 if size >= 64 else (1 << size) - 1  # -1 = all 64 bits (2^64-1 overflows long)
         return F.shiftrightunsigned("fingerprint", lo).bitwiseAND(F.lit(mask).cast("bigint"))
 
@@ -264,10 +324,16 @@ def simhash_hamming_pairs(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate id pairs (a < b, Hamming ≤ k) over raw text."""
-    return simhash_hamming_pairs(simhash(df, text_col, id_col), max_hamming, id_col)
+    fp = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    return simhash_hamming_pairs(fp, max_hamming, id_col, bits=bits)
 
 
 # ---------------------------------------------------------------------------
