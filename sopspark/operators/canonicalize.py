@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sopspark.operators.transforms import dedup
@@ -116,7 +116,9 @@ def _component_c14n(bnq: DataFrame, hash_name, depth_factor, permutation_limit) 
         .select("a", "b")
         .distinct()
     )
-    comp = connected_components(edges, driver_threshold=0)  # (node, rep)
+    # adaptive physical plan: union-find under the edge threshold, the
+    # distributed star iterations above it (same contract either way)
+    comp = connected_components(edges)  # (node, rep)
 
     # quad's component = component of its first bnode; bnodes absent from
     # the CC result are singletons (their only edge was a self edge) →
@@ -135,28 +137,53 @@ def _component_c14n(bnq: DataFrame, hash_name, depth_factor, permutation_limit) 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from sopspark.functions.rdfc10 import rdfc10_sort_keys
 
-        pyquads = []
-        for _, row in pdf.iterrows():
-            q = tuple(
+        pyquads = [
+            tuple(
                 (t["kind"], t["value"], t["dt"], t["lang"]) if t is not None else None
-                for t in (row["s"], row["p"], row["o"], row["g"])
+                for t in row
             )
-            pyquads.append(q)
+            for row in zip(pdf["s"], pdf["p"], pdf["o"], pdf["g"])
+        ]
         keys = rdfc10_sort_keys(pyquads, hash_name, depth_factor, permutation_limit)
         comp_id = pdf["_comp"].iloc[0]
         return pd.DataFrame(
             {"label": list(keys), "sort_key": [keys[k] + "|" + comp_id for k in keys]}
         )
 
-    keys_df = keyed.select("s", "p", "o", "g", "_comp").groupBy("_comp").applyInPandas(
-        kernel, schema="label string, sort_key string"
+    spark = keyed.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # explicit repartition (not the groupBy's implicit exchange) so AQE's
+    # small-shuffle coalescing can't squeeze the Python-heavy kernel stage
+    # onto fewer cores — per-row cost here is kernel CPU, not bytes
+    # localCheckpoint: repartitionByRange's bounds-sampling pass plus the
+    # real shuffle would otherwise each re-run the kernel
+    keys_df = (
+        keyed.select("s", "p", "o", "g", "_comp")
+        .repartition(n_parts, "_comp")
+        .groupBy("_comp")
+        .applyInPandas(kernel, schema="label string, sort_key string")
+        .localCheckpoint()
     )
 
-    # global numbering: row_number over the global key sort
-    w = Window.orderBy("sort_key")
-    mapping = keys_df.withColumn(
-        "_new", F.concat(F.lit("c14n"), (F.row_number().over(w) - F.lit(1)).cast("string"))
-    ).select("label", "_new")
+    # global numbering WITHOUT a single-task window: range-partition on the
+    # sort key (a distributed sort — each partition holds one key range in
+    # partition-index order), sort within partitions, then zipWithIndex
+    # assigns the global rank from per-partition offsets. Same deterministic
+    # total order (sort keys are globally unique: per-component canonical
+    # keys suffixed with the component id), no one-partition funnel.
+    # localCheckpoint before zipWithIndex: it runs two passes (partition
+    # counts, then the map) and the relabel joins broadcast the result —
+    # without it the kernel lineage would re-execute 3+ times.
+    sorted_labels = (
+        keys_df.repartitionByRange(n_parts, "sort_key")
+        .sortWithinPartitions("sort_key")
+        .select("label")
+        .localCheckpoint()
+    )
+    ranked = sorted_labels.rdd.zipWithIndex().map(lambda t: (t[0]["label"], t[1]))
+    mapping = spark.createDataFrame(ranked, "label string, _idx long").select(
+        "label", F.concat(F.lit("c14n"), F.col("_idx").cast("string")).alias("_new")
+    ).localCheckpoint()
 
     # relabel the three bnode-capable positions via joins
     relabeled = keyed.select("s", "p", "o", "g")

@@ -134,6 +134,68 @@ def mixed_df(spark):
     return parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
 
 
+def test_component_c14n_large_scale_distributed(spark):
+    """>100k bnode quads forces the distributed per-component path
+    (canonicalize.py driver_threshold), whose global label numbering must be
+    a deterministic permutation c14n0..c14nN-1 with no single-task funnel.
+    60k two-bnode chain components = 120k bnode quads, 120k labels."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sopspark.terms import BNODE, IRI
+
+    n = 60_000
+    idx = spark.range(n).select(F.col("id").cast("string").alias("i"))
+
+    def bn(prefix):
+        return F.struct(
+            F.lit(BNODE).cast("tinyint").alias("kind"),
+            F.concat(F.lit(prefix), F.col("i")).alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    def iri(val_col):
+        return F.struct(
+            F.lit(IRI).cast("tinyint").alias("kind"),
+            val_col.alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    g = F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>")
+    err = F.lit(None).cast("string")
+    q1 = idx.select(
+        bn("a").alias("s"), iri(F.lit("http://e/p")).alias("p"), bn("b").alias("o"),
+        g.alias("g"), err.alias("err"),
+    )
+    q2 = idx.select(
+        bn("b").alias("s"), iri(F.lit("http://e/p")).alias("p"),
+        iri(F.concat(F.lit("http://e/o"), F.col("i"))).alias("o"),
+        g.alias("g"), err.alias("err"),
+    )
+    df = q1.unionByName(q2)
+
+    lines = [r.line for r in canonicalize(df).collect()]
+    assert len(lines) == 2 * n
+    assert lines == sorted(lines)
+    labels = {m for l in lines for m in re.findall(r"_:c14n(\d+)", l)}
+    assert labels == {str(i) for i in range(2 * n)}  # exact 0..N-1 permutation
+
+
+def test_component_c14n_deterministic_across_runs(spark):
+    """The distributed numbering (range sort + zipWithIndex) must yield the
+    identical document on independent executions (fresh shuffles)."""
+    lines_in = [f"_:a{i} <http://e/p> _:b{i} ." for i in range(1500)] + [
+        f"_:b{i} <http://e/q> <http://e/o{i}> ." for i in range(1500)
+    ]
+    quads = parse_lines_df(spark.createDataFrame([(l,) for l in lines_in], ["value"]))
+    one = [r.line for r in canonicalize(quads, driver_threshold=0).collect()]
+    two = [r.line for r in canonicalize(quads, driver_threshold=0).collect()]
+    assert one == two and len(one) == 3000
+
+
 def test_driver_vs_component_paths_agree(spark, mixed_df):
     """cross-validation: the distributed per-component path must produce the
     same document as the exact driver path."""
