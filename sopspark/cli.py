@@ -57,6 +57,9 @@ def _stage_parser(name: str) -> argparse.ArgumentParser:
         p.add_argument("-b", "--base", default=None)
         p.add_argument("-g", "--graph", default=None)
         p.add_argument("-m", "--multiple", nargs="*", default=None)
+        # JSON-LD/YAML-LD remote contexts (src/parse.rs:102-121)
+        p.add_argument("-l", "--loader-local", default=None, metavar="DIR")
+        p.add_argument("-u", "--loader-urls", action="store_true")
     elif name == "filter":
         p.add_argument("expr")
         # reference default: no -d → term-identity equality (42 != "042");
@@ -119,9 +122,18 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
             from sopspark.sources.turtle import parse_turtle
             from sopspark.terms import iri_col
 
+            loader = None
+            if args.loader_local or args.loader_urls:
+                from sopspark.sources.jsonld import ContextLoader
+
+                loader = ContextLoader(args.loader_local, allow_urls=args.loader_urls)
             if args.multiple is not None:
                 paths = [a for a in args.multiple if a != "m-"]
                 df = parse_ntriples(spark, paths, scope_bnodes_per_file=True)
+            elif args.file.startswith(("http://", "https://")):
+                from sopspark.sources.http import parse_url
+
+                df = parse_url(spark, args.file, fmt=args.format, base=args.base, loader=loader)
             else:
                 path = args.file
                 if path == "-":
@@ -144,11 +156,11 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 elif fmt in ("jsonld", "json", "application/ld+json"):
                     from sopspark.sources.jsonld import parse_jsonld
 
-                    df = parse_jsonld(spark, path)
+                    df = parse_jsonld(spark, path, loader=loader)
                 elif fmt in ("yamlld", "yaml", "yml", "application/ld+yaml"):
                     from sopspark.sources.jsonld import parse_yamlld
 
-                    df = parse_yamlld(spark, path)
+                    df = parse_yamlld(spark, path, loader=loader)
                 elif fmt in ("rdf", "xml", "rdfxml", "application/rdf+xml"):
                     from sopspark.sources.rdfxml import parse_rdfxml
 

@@ -4,8 +4,14 @@ Subset: inline ``@context`` with prefix / term→IRI mappings (string values
 and ``{"@id": ..., "@type": "@id"}`` definitions), node objects with
 ``@id``/``@type``, nested node objects (blank nodes when unnamed), value
 objects (``@value``/``@language``/``@type``), arrays, top-level ``@graph``.
-Remote context fetching is out of scope (no network in the pipeline; the
-reference's context *cache* maps to a broadcast dict — pass ``contexts``).
+
+Remote contexts (string / list ``@context`` values) resolve through a
+:class:`ContextLoader` — the reference's ``-l DIR`` FsLoader cache
+(``src/parse.rs:412-448``: every file or subdirectory ``ITEM`` of DIR serves
+the ``https://ITEM/`` namespace) and ``-u`` URL fetching
+(``src/parse.rs:102-121``). The DIR cache is read ONCE on the driver into an
+in-memory dict that ships to executors with the task closure (context files
+are tiny); URL fetches are lazy and cached per executor.
 
 Like Turtle, the document is the unit of parallelism: one file = one parse
 task (``spark.read.text(wholetext=True)`` → ``mapInPandas``).
@@ -14,6 +20,7 @@ task (``spark.read.text(wholetext=True)`` → ``mapInPandas``).
 from __future__ import annotations
 
 import json
+import os
 import re
 from collections.abc import Iterator
 
@@ -32,17 +39,89 @@ class JsonLdError(ValueError):
     pass
 
 
+class ContextLoader:
+    """Resolves remote ``@context`` IRIs.
+
+    ``local_dir``: reference FsLoader semantics (``src/parse.rs:412-448``) —
+    each file or subdirectory ``ITEM`` of the directory is a cache for the
+    ``https://ITEM/`` namespace (a subdirectory serves its whole subtree; a
+    plain file serves exactly ``https://ITEM/``). Loaded eagerly driver-side.
+    ``allow_urls``: fetch unknown context IRIs over HTTP(S) — opt-in like the
+    reference's ``-u`` (``src/parse.rs:116-121``).
+    """
+
+    def __init__(self, local_dir: str | None = None, allow_urls: bool = False):
+        self.allow_urls = allow_urls
+        self.cache: dict[str, str] = {}  # context IRI -> raw document text
+        if local_dir and os.path.isdir(local_dir):
+            for item in sorted(os.listdir(local_dir)):
+                path = os.path.join(local_dir, item)
+                if os.path.isdir(path):
+                    for root, _dirs, files in os.walk(path):
+                        for fn in files:
+                            fp = os.path.join(root, fn)
+                            rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                            self.cache[f"https://{item}/{rel}"] = open(fp).read()
+                else:
+                    self.cache[f"https://{item}/"] = open(path).read()
+
+    def load(self, iri: str):
+        """context IRI → the document's ``@context`` value."""
+        text = self.cache.get(iri) or self.cache.get(iri.split("#")[0].split("?")[0])
+        if text is None:
+            if not self.allow_urls:
+                raise JsonLdError(f"unknown remote context {iri!r} (no -l cache entry; -u not set)")
+            import urllib.request
+
+            req = urllib.request.Request(iri, headers={"accept": "application/ld+json, application/json"})
+            with urllib.request.urlopen(req) as resp:  # noqa: S310 — opt-in via -u
+                text = resp.read().decode("utf-8")
+            self.cache[iri] = text
+        try:
+            doc = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise JsonLdError(f"remote context {iri!r} is not JSON: {e}") from e
+        if isinstance(doc, dict) and "@context" in doc:
+            return doc["@context"]
+        return doc
+
+
 class _Ctx:
-    def __init__(self, mapping: dict | None, parent: "_Ctx | None" = None):
+    def __init__(
+        self,
+        mapping,
+        parent: "_Ctx | None" = None,
+        loader: ContextLoader | None = None,
+    ):
         self.terms: dict[str, dict] = dict(parent.terms) if parent else {}
-        if mapping:
-            for k, v in mapping.items():
+        self.loader = loader if loader is not None else (parent.loader if parent else None)
+        for m in self._resolve(mapping, frozenset()):
+            for k, v in m.items():
                 if k.startswith("@"):
                     continue
                 if isinstance(v, str):
                     self.terms[k] = {"@id": v}
                 elif isinstance(v, dict) and "@id" in v:
                     self.terms[k] = v
+
+    def _resolve(self, mapping, seen: frozenset) -> list[dict]:
+        """@context value (dict | IRI string | list | None) → mapping dicts
+        in application order, resolving remote IRIs through the loader."""
+        out: list[dict] = []
+        for v in mapping if isinstance(mapping, list) else [mapping]:
+            if v is None:
+                continue
+            if isinstance(v, dict):
+                out.append(v)
+            elif isinstance(v, str):
+                if v in seen:
+                    raise JsonLdError(f"cyclic remote context {v!r}")
+                if self.loader is None:
+                    raise JsonLdError(f"remote context {v!r} but no context loader configured")
+                out.extend(self._resolve(self.loader.load(v), seen | {v}))
+            else:
+                raise JsonLdError(f"invalid @context entry: {v!r}")
+        return out
 
     def expand(self, term: str) -> str | None:
         if term in self.terms:
@@ -134,10 +213,12 @@ class _Parser:
         return None
 
 
-def parse_jsonld_text(text: str, contexts: dict | None = None) -> list[tuple]:
+def parse_jsonld_text(
+    text: str, contexts: dict | None = None, loader: ContextLoader | None = None
+) -> list[tuple]:
     doc = json.loads(text)
     p = _Parser()
-    ctx = _Ctx(contexts)
+    ctx = _Ctx(contexts, loader=loader)
     nodes = doc if isinstance(doc, list) else [doc]
     for node in nodes:
         if not isinstance(node, dict):
@@ -146,7 +227,9 @@ def parse_jsonld_text(text: str, contexts: dict | None = None) -> list[tuple]:
     return p.quads
 
 
-def parse_yamlld_text(text: str, contexts: dict | None = None) -> list[tuple]:
+def parse_yamlld_text(
+    text: str, contexts: dict | None = None, loader: ContextLoader | None = None
+) -> list[tuple]:
     """YAML-LD = YAML→JSON bridge then JSON-LD expansion, mirroring the
     reference's serde_yaml→serde_json hop (``src/parse.rs:395-399``)."""
     try:
@@ -158,7 +241,7 @@ def parse_yamlld_text(text: str, contexts: dict | None = None) -> list[tuple]:
     except yaml.YAMLError as e:
         raise JsonLdError(f"yaml: {e}") from e
     p = _Parser()
-    ctx = _Ctx(contexts)
+    ctx = _Ctx(contexts, loader=loader)
     nodes = doc if isinstance(doc, list) else [doc]
     for node in nodes:
         if not isinstance(node, dict):
@@ -172,6 +255,7 @@ def _parse_docs(
     paths: str | list[str],
     parse_text,
     contexts: dict | None,
+    loader: ContextLoader | None = None,
 ) -> DataFrame:
     if isinstance(paths, str):
         paths = [paths]
@@ -185,7 +269,7 @@ def _parse_docs(
             rows = []
             for _, row in pdf.iterrows():
                 try:
-                    for s, p_, o, g in parse_text(row["value"], contexts):
+                    for s, p_, o, g in parse_text(row["value"], contexts, loader):
                         flat = list(s) + list(p_) + list(o) + (list(g) if g else [None] * 4)
                         rows.append(flat + [None, row["src"]])
                 except (JsonLdError, json.JSONDecodeError) as e:
@@ -196,12 +280,18 @@ def _parse_docs(
 
 
 def parse_jsonld(
-    spark: SparkSession, paths: str | list[str], contexts: dict | None = None
+    spark: SparkSession,
+    paths: str | list[str],
+    contexts: dict | None = None,
+    loader: ContextLoader | None = None,
 ) -> DataFrame:
-    return _parse_docs(spark, paths, parse_jsonld_text, contexts)
+    return _parse_docs(spark, paths, parse_jsonld_text, contexts, loader)
 
 
 def parse_yamlld(
-    spark: SparkSession, paths: str | list[str], contexts: dict | None = None
+    spark: SparkSession,
+    paths: str | list[str],
+    contexts: dict | None = None,
+    loader: ContextLoader | None = None,
 ) -> DataFrame:
-    return _parse_docs(spark, paths, parse_yamlld_text, contexts)
+    return _parse_docs(spark, paths, parse_yamlld_text, contexts, loader)
