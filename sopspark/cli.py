@@ -205,8 +205,47 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 to_turtle_blocks,
             )
 
-            triples_only = args.format in ("nt", "ntriples", "ttl", "turtle")
-            if args.format in ("ttl", "turtle", "trig"):
+            if args.format in ("nq.gz", "nt.gz", "ttl.gz", "gz"):
+                # src/serialize.rs:148-152
+                print(
+                    "Compressed formats only supported for parsing. "
+                    "Use an external tool to compress sop's output instead",
+                    file=sys.stderr,
+                )
+                return 2
+            triples_only = args.format in ("nt", "ntriples", "ttl", "turtle", "rdf", "xml", "rdfxml")
+            if args.format in ("jsonld", "json", "yamlld", "yaml"):
+                from sopspark.operators.serialize import (
+                    collect_jsonld_text,
+                    serialize_jsonld,
+                    serialize_yamlld,
+                )
+
+                if args.format in ("yamlld", "yaml"):
+                    if args.output:
+                        serialize_yamlld(df, args.output)
+                    else:
+                        import json as _json
+
+                        import yaml as _yaml
+
+                        print(_yaml.safe_dump(_json.loads(collect_jsonld_text(df)), sort_keys=False), end="")
+                elif args.output:
+                    serialize_jsonld(df, args.output)
+                else:
+                    print(collect_jsonld_text(df))
+            elif args.format in ("rdf", "xml", "rdfxml"):
+                from sopspark.operators.serialize import serialize_rdfxml, to_rdfxml_blocks
+
+                if args.output:
+                    serialize_rdfxml(df, args.output)
+                else:
+                    print('<?xml version="1.0" encoding="utf-8"?>')
+                    print('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">')
+                    for r in to_rdfxml_blocks(df).orderBy("sort_key").collect():
+                        print(r.block)
+                    print("</rdf:RDF>")
+            elif args.format in ("ttl", "turtle", "trig"):
                 from sopspark.operators.serialize import (
                     DEFAULT_PREFIXES,
                     serialize_trig,

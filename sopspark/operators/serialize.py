@@ -223,3 +223,214 @@ def serialize_turtle(
     if single_file:
         out = out.coalesce(1)
     out.select("block").write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD / YAML-LD writers (src/serialize.rs:153-157,196-203)
+# ---------------------------------------------------------------------------
+
+
+def _json_escape(col):
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    return out
+
+
+def _json_subject_id(t):
+    from sopspark.terms import BNODE
+
+    return F.when(
+        t["kind"] == BNODE, F.concat(F.lit("_:"), t["value"])
+    ).otherwise(t["value"])
+
+
+def _json_object(t):
+    from sopspark.terms import LITERAL
+
+    ref = F.concat(F.lit('{"@id":"'), _json_escape(_json_subject_id(t)), F.lit('"}'))
+    lit = F.concat(
+        F.lit('{"@value":"'),
+        _json_escape(t["value"]),
+        F.lit('"'),
+        F.when(t["lang"].isNotNull(), F.concat(F.lit(',"@language":"'), t["lang"], F.lit('"')))
+        .when(t["dt"].isNotNull(), F.concat(F.lit(',"@type":"'), _json_escape(t["dt"]), F.lit('"')))
+        .otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return F.when(t["kind"] == LITERAL, lit).otherwise(ref)
+
+
+def to_jsonld_nodes(df: DataFrame) -> DataFrame:
+    """Quad DataFrame → (sort_key, block) with one expanded-form JSON-LD
+    node object per subject; named-graph quads become ``{"@id": g,
+    "@graph": [...]}`` wrapper objects — the same expanded shape sophia's
+    JsonLdSerializer emits (``src/serialize.rs:153-157``). Distributed:
+    three hash aggregates, no driver materialization."""
+    ok = df.where(F.col("err").isNull()) if "err" in df.columns else df
+    enc = ok.select(
+        F.when(F.col("g").isNotNull(), _json_escape(_json_subject_id(F.col("g")))).alias("ge"),
+        _json_escape(_json_subject_id(F.col("s"))).alias("se"),
+        _json_escape(F.col("p")["value"]).alias("pe"),
+        _json_object(F.col("o")).alias("oe"),
+    )
+    po = enc.groupBy("ge", "se", "pe").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("oe"))).alias("os")
+    )
+    nodes = po.groupBy("ge", "se").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pe", "os"))),
+                lambda x: F.concat(F.lit('"'), x["pe"], F.lit('":['), x["os"], F.lit("]")),
+            ),
+            ",",
+        ).alias("body")
+    ).select(
+        "ge",
+        "se",
+        F.concat(F.lit('{"@id":"'), F.col("se"), F.lit('",'), F.col("body"), F.lit("}")).alias("node"),
+    )
+    default = nodes.where(F.col("ge").isNull()).select(
+        F.concat(F.lit("0"), F.col("se")).alias("sort_key"), F.col("node").alias("block")
+    )
+    named = (
+        nodes.where(F.col("ge").isNotNull())
+        .groupBy("ge")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("se", "node"))), lambda x: x["node"]
+                ),
+                ",",
+            ).alias("inner")
+        )
+        .select(
+            F.concat(F.lit("1"), F.col("ge")).alias("sort_key"),
+            F.concat(
+                F.lit('{"@id":"'), F.col("ge"), F.lit('","@graph":['), F.col("inner"), F.lit("]}")
+            ).alias("block"),
+        )
+    )
+    return default.unionByName(named)
+
+
+def serialize_jsonld(df: DataFrame, path: str) -> None:
+    """Write an expanded-form JSON-LD document (a JSON array of node
+    objects). The node construction is distributed; the final comma
+    interleaving streams through one task (document formats are inherently
+    single-stream — the scalable bulk sink is NQ/NT)."""
+
+    def _doc(it):
+        yield "["
+        first = True
+        for row in it:
+            yield ("" if first else ",") + row.block
+            first = False
+        yield "]"
+
+    blocks = to_jsonld_nodes(df).orderBy("sort_key").coalesce(1)
+    lines = blocks.rdd.mapPartitions(_doc).map(lambda l: (l,))
+    df.sparkSession.createDataFrame(lines, "block string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def collect_jsonld_text(df: DataFrame) -> str:
+    """The JSON-LD document as one string (CLI stdout / YAML-LD bridge)."""
+    rows = to_jsonld_nodes(df).orderBy("sort_key").collect()
+    return "[" + ",".join(r.block for r in rows) + "]"
+
+
+def serialize_yamlld(df: DataFrame, path: str) -> None:
+    """YAML-LD = the JSON-LD document converted to YAML, mirroring the
+    reference's serde_json→serde_yaml hop (``src/serialize.rs:196-203``).
+    The document is materialized on the driver for the YAML dump — same
+    memory profile as the reference's in-memory json_buf."""
+    import json
+
+    import yaml
+
+    doc = json.loads(collect_jsonld_text(df))
+    with open(path, "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False, allow_unicode=True)
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML writer (src/serialize.rs:169-174)
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape(col, attr: bool = False):
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    if attr:
+        out = F.regexp_replace(out, '"', "&quot;")
+    return out
+
+
+def to_rdfxml_blocks(df: DataFrame) -> DataFrame:
+    """Quad DataFrame → one ``<rdf:Description>`` block per subject.
+    Triples-only format: named-graph quads are dropped (the reference's
+    ``serialize_triples`` warn-and-skip, ``src/serialize.rs:205-227``).
+    Predicate IRIs split at the last NCName; each property element carries
+    its own ``xmlns:n`` declaration, so no global prefix table is needed."""
+    from sopspark.terms import BNODE, LITERAL
+
+    ok = df.where(F.col("err").isNull()) if "err" in df.columns else df
+    ok = ok.where(F.col("g").isNull())
+    p = F.col("p")["value"]
+    local = F.regexp_extract(p, r"([A-Za-z_][A-Za-z0-9_.-]*)$", 1)
+    ns = F.expr("substring(p.value, 1, length(p.value) - length(regexp_extract(p.value, '([A-Za-z_][A-Za-z0-9_.-]*)$', 1)))")
+    o = F.col("o")
+    obj_attr = F.when(
+        o["kind"] == BNODE, F.concat(F.lit(' rdf:nodeID="'), _xml_escape(o["value"], True), F.lit('"/>'))
+    ).otherwise(F.concat(F.lit(' rdf:resource="'), _xml_escape(o["value"], True), F.lit('"/>')))
+    lit_attrs = (
+        F.when(o["lang"].isNotNull(), F.concat(F.lit(' xml:lang="'), o["lang"], F.lit('"')))
+        .when(o["dt"].isNotNull(), F.concat(F.lit(' rdf:datatype="'), _xml_escape(o["dt"], True), F.lit('"')))
+        .otherwise(F.lit(""))
+    )
+    open_tag = F.concat(F.lit("    <n:"), local, F.lit(' xmlns:n="'), _xml_escape(ns, True), F.lit('"'))
+    prop = F.when(
+        o["kind"] == LITERAL,
+        F.concat(open_tag, lit_attrs, F.lit(">"), _xml_escape(o["value"]), F.lit("</n:"), local, F.lit(">")),
+    ).otherwise(F.concat(open_tag, obj_attr))
+
+    s = F.col("s")
+    s_attr = F.when(
+        s["kind"] == BNODE, F.concat(F.lit(' rdf:nodeID="'), _xml_escape(s["value"], True), F.lit('"'))
+    ).otherwise(F.concat(F.lit(' rdf:about="'), _xml_escape(s["value"], True), F.lit('"')))
+
+    enc = ok.select(
+        _json_subject_id(s).alias("se"),
+        F.concat(F.lit("  <rdf:Description"), s_attr, F.lit(">")).alias("open"),
+        prop.alias("pe"),
+    )
+    blocks = enc.groupBy("se", "open").agg(
+        F.array_join(F.sort_array(F.collect_list("pe")), "\n").alias("body")
+    )
+    return blocks.select(
+        F.col("se").alias("sort_key"),
+        F.concat(F.col("open"), F.lit("\n"), F.col("body"), F.lit("\n  </rdf:Description>")).alias("block"),
+    )
+
+
+def serialize_rdfxml(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """Write an RDF/XML document (rdf:RDF wrapper + per-subject blocks in
+    code-point order)."""
+    spark = df.sparkSession
+    wrap = spark.createDataFrame(
+        [
+            ("", '<?xml version="1.0" encoding="utf-8"?>\n'
+                 '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'),
+            ("￿", "</rdf:RDF>"),  # sorts after every subject key
+        ],
+        "sort_key string, block string",
+    )
+    out = wrap.unionByName(to_rdfxml_blocks(df)).orderBy("sort_key")
+    if single_file:
+        out = out.coalesce(1)
+    out.select("block").write.mode("overwrite").text(path)

@@ -142,6 +142,7 @@ class _Parser:
     def __init__(self):
         self.quads: list[tuple] = []
         self._bn = 0
+        self.graph: tuple | None = None  # active named graph (via @graph)
 
     def fresh(self) -> tuple:
         self._bn += 1
@@ -164,11 +165,17 @@ class _Parser:
                 continue
             if key == "@type":
                 for t in value if isinstance(value, list) else [value]:
-                    self.quads.append((subj, (IRI, RDF_TYPE, None, None), (IRI, ctx.expand(t) or t, None, None), None))
+                    self.quads.append((subj, (IRI, RDF_TYPE, None, None), (IRI, ctx.expand(t) or t, None, None), self.graph))
                 continue
             if key == "@graph":
+                # @graph under a node with @id = a named graph; anonymous /
+                # top-level @graph = the default graph (JSON-LD 1.1 §9.4)
+                prev = self.graph
+                if node.get("@id") is not None:
+                    self.graph = subj
                 for child in value if isinstance(value, list) else [value]:
                     self.parse_node(child, ctx)
+                self.graph = prev
                 continue
             if key.startswith("@"):
                 continue
@@ -179,7 +186,7 @@ class _Parser:
             for v in value if isinstance(value, list) else [value]:
                 obj = self.value_object(v, ctx, id_coercion=ctx.is_id_term(key))
                 if obj is not None:
-                    self.quads.append((subj, pred, obj, None))
+                    self.quads.append((subj, pred, obj, self.graph))
         return subj
 
     def value_object(self, v, ctx: _Ctx, id_coercion: bool = False):

@@ -169,3 +169,93 @@ def test_trig_writer_roundtrip(spark, tmp_path):
 
     df2 = parse_turtle(spark, glob.glob(out + "/part-*")[0])
     assert collect_nq_lines(df2) == collect_nq_lines(df)
+
+
+def test_jsonld_writer_roundtrip(spark, fixtures_dir, tmp_path):
+    import glob
+    import json
+    import os
+
+    from sopspark.operators.serialize import collect_nq_lines, serialize_jsonld
+    from sopspark.sources.jsonld import parse_jsonld
+    from sopspark.sources.turtle import parse_turtle
+
+    df = parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
+    out = str(tmp_path / "out_jsonld")
+    serialize_jsonld(df, out)
+    text = open(glob.glob(out + "/part-*")[0]).read()
+    json.loads(text)  # valid JSON document
+    df2 = parse_jsonld(spark, glob.glob(out + "/part-*")[0])
+    assert collect_nq_lines(df2) == collect_nq_lines(df)
+
+
+def test_jsonld_writer_named_graph_roundtrip(spark, tmp_path):
+    import glob
+
+    from sopspark.operators.serialize import collect_nq_lines, serialize_jsonld
+    from sopspark.sources.jsonld import parse_jsonld
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        "<http://e/a> <http://e/p> <http://e/o> <http://e/g1> .",
+        '<http://e/b> <http://e/p> "lit"@en <http://e/g1> .',
+        '<http://e/c> <http://e/p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    out = str(tmp_path / "out_gjsonld")
+    serialize_jsonld(df, out)
+    df2 = parse_jsonld(spark, glob.glob(out + "/part-*")[0])
+    assert collect_nq_lines(df2) == collect_nq_lines(df)
+
+
+def test_yamlld_writer_roundtrip(spark, fixtures_dir, tmp_path):
+    import os
+
+    from sopspark.operators.serialize import collect_nq_lines, serialize_yamlld
+    from sopspark.sources.jsonld import parse_yamlld
+    from sopspark.sources.turtle import parse_turtle
+
+    df = parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
+    out = str(tmp_path / "out.yamlld")
+    serialize_yamlld(df, out)
+    df2 = parse_yamlld(spark, out)
+    assert collect_nq_lines(df2) == collect_nq_lines(df)
+
+
+def test_rdfxml_writer_roundtrip(spark, fixtures_dir, tmp_path):
+    import glob
+    import os
+
+    from sopspark.operators.serialize import collect_nq_lines, serialize_rdfxml
+    from sopspark.sources.rdfxml import parse_rdfxml
+    from sopspark.sources.turtle import parse_turtle
+
+    df = parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
+    out = str(tmp_path / "out_rdfxml")
+    serialize_rdfxml(df, out)
+    text = open(glob.glob(out + "/part-*")[0]).read()
+    assert text.startswith('<?xml version="1.0"')
+    df2 = parse_rdfxml(spark, glob.glob(out + "/part-*")[0])
+    assert collect_nq_lines(df2) == collect_nq_lines(df)
+
+
+def test_rdfxml_writer_escapes_and_lang(spark, tmp_path):
+    import glob
+
+    from sopspark.operators.serialize import collect_nq_lines, serialize_rdfxml
+    from sopspark.sources.ntriples import parse_lines_df
+    from sopspark.sources.rdfxml import parse_rdfxml
+
+    rows = [
+        '<http://e/a> <http://e/p> "a < b & c"@en .',
+        '<http://e/a> <http://e/n> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        "<http://e/a> <http://e/q> _:bn1 .",
+        '_:bn1 <http://e/p> "x" .',
+        "<http://e/drop> <http://e/p> <http://e/o> <http://e/g> .",  # named graph dropped
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    out = str(tmp_path / "out_x")
+    serialize_rdfxml(df, out)
+    df2 = parse_rdfxml(spark, glob.glob(out + "/part-*")[0])
+    expected = [l for l in collect_nq_lines(df) if "drop" not in l]
+    assert collect_nq_lines(df2) == expected
