@@ -64,9 +64,18 @@ def bnode_suffix(df: DataFrame, suffix: Column | str) -> DataFrame:
 # RFC-3986 resolution has no Catalyst builtin)
 # ---------------------------------------------------------------------------
 
-def _resolve_series(values: pd.Series, base: str) -> pd.Series:
+def _resolver(base: str):
     import re
 
+    abs_re = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+    def one(v: str) -> str:
+        return v if abs_re.match(v) else urljoin(base, v)
+
+    return one
+
+
+def _resolve_series(values: pd.Series, base: str) -> pd.Series:
     absolute = values.str.match(r"^[A-Za-z][A-Za-z0-9+.-]*:")
     out = values.copy()
     rel = values.notna() & ~absolute.fillna(False)
@@ -75,15 +84,14 @@ def _resolve_series(values: pd.Series, base: str) -> pd.Series:
     return out
 
 
-def _relativize_series(values: pd.Series, base: str, parents: int) -> pd.Series:
-    """Rewrite absolute IRIs under ``base`` as relative references, bounded by
-    ``parents`` levels of ``../`` — semantics of ``src/relativize.rs:69-103``
-    (only absolute IRIs are rewritten, ``src/relativize.rs:94-101``)."""
+def _relativizer(base: str, parents: int):
+    """Scalar IRI relativizer — semantics of ``src/relativize.rs:69-103``
+    (only absolute IRIs under ``base`` are rewritten)."""
     import re
 
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*:(?://[^/?#]*)?)([^?#]*)", base)
     if not m:
-        return values
+        return lambda v: v
     root, base_path = m.group(1), m.group(2)
     base_dir_parts = base_path.split("/")[:-1]
 
@@ -111,25 +119,55 @@ def _relativize_series(values: pd.Series, base: str, parents: int) -> pd.Series:
             return v
         return out if out else v
 
-    rewritable = values.notna() & values.str.startswith(root)
+    def one(v: str) -> str:
+        return rel_one(v) if v.startswith(root) else v
+
+    return one
+
+
+def _relativize_series(values: pd.Series, base: str, parents: int) -> pd.Series:
+    one = _relativizer(base, parents)
     out = values.copy()
+    rewritable = values.notna()
     if rewritable.any():
-        out[rewritable] = values[rewritable].map(rel_one)
+        out[rewritable] = values[rewritable].map(one)
     return out
 
 
-def _iri_rewrite(df: DataFrame, fn) -> DataFrame:
+def _iri_rewrite(df: DataFrame, fn, scalar_fn) -> DataFrame:
     """Apply a pandas Series→Series rewrite to the IRI value of every term
-    position (graph included), leaving non-IRI terms untouched."""
+    position (graph included). Quoted triples (RDF-star) recurse: the same
+    scalar rewrite applies to every IRI inside the quoted encoding, like the
+    reference's recursive ``absolutize_term`` (``src/absolutize.rs:71-83``).
+    Non-IRI terms are untouched."""
+    from sopspark.terms import IRI as K_IRI
+    from sopspark.terms import QUOTED
 
     @pandas_udf("string")
     def rewrite(values: pd.Series) -> pd.Series:
         return fn(values)
 
+    @pandas_udf("string")
+    def rewrite_quoted(values: pd.Series) -> pd.Series:
+        from sopspark.sources.ntriples import map_quoted_value
+
+        def term_fn(t: tuple) -> tuple:
+            if t[0] == K_IRI:
+                return (K_IRI, scalar_fn(t[1]), t[2], t[3])
+            return t
+
+        return values.map(
+            lambda v: map_quoted_value(v, term_fn) if isinstance(v, str) and v.startswith("<<") else v
+        )
+
     out = df
     for tag in ("s", "p", "o", "g"):
         t = F.col(tag)
-        new_val = F.when(t["kind"] == IRI, rewrite(t["value"])).otherwise(t["value"])
+        new_val = (
+            F.when(t["kind"] == IRI, rewrite(t["value"]))
+            .when(t["kind"] == QUOTED, rewrite_quoted(t["value"]))
+            .otherwise(t["value"])
+        )
         rebuilt = F.struct(
             t["kind"].alias("kind"),
             new_val.alias("value"),
@@ -143,9 +181,11 @@ def _iri_rewrite(df: DataFrame, fn) -> DataFrame:
 def absolutize(df: DataFrame, base: str) -> DataFrame:
     """``sop absolutize BASE`` — resolve every relative IRI against ``base``
     (``src/absolutize.rs:29-34,59-83``)."""
-    return _iri_rewrite(df, lambda v: _resolve_series(v, base))
+    return _iri_rewrite(df, lambda v: _resolve_series(v, base), _resolver(base))
 
 
 def relativize(df: DataFrame, base: str, parents: int = 0) -> DataFrame:
     """``sop relativize BASE -p N`` (``src/relativize.rs:37-43,69-103``)."""
-    return _iri_rewrite(df, lambda v: _relativize_series(v, base, parents))
+    return _iri_rewrite(
+        df, lambda v: _relativize_series(v, base, parents), _relativizer(base, parents)
+    )

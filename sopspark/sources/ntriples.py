@@ -74,6 +74,157 @@ def unescape_literal(s: str) -> str:
     return _UNESCAPE_RE.sub(sub, s)
 
 
+# ---------------------------------------------------------------------------
+# RDF-star quoted triples (N-Triples-star / N-Quads-star)
+#
+# A quoted triple `<< s p o >>` may appear in subject or object position and
+# nest arbitrarily (src/common/quad_handler.rs:68-73 recurses the same way).
+# The flat term struct can't nest, so a quoted triple is stored as
+# kind=QUOTED with value = its full canonical `<< ... >>` NT encoding —
+# rewrites recurse through :func:`map_quoted_value`, serialization passes it
+# through verbatim (terms.nt_term). Lines containing `<<` take this Python
+# slow path; everything else stays on the vectorized regex fast path.
+# ---------------------------------------------------------------------------
+
+from sopspark.terms import QUOTED, py_nt_term
+
+
+class NtStarError(ValueError):
+    pass
+
+
+def _scan_term(s: str, i: int) -> tuple[str, int]:
+    """Return (term_text, next_index) for the term starting at s[i]."""
+    n = len(s)
+    if s.startswith("<<", i):
+        depth, j = 0, i
+        while j < n:
+            if s.startswith("<<", j):
+                depth += 1
+                j += 2
+            elif s.startswith(">>", j):
+                depth -= 1
+                j += 2
+                if depth == 0:
+                    return s[i:j], j
+            elif s[j] == '"':
+                j += 1
+                while j < n and s[j] != '"':
+                    j += 2 if s[j] == "\\" else 1
+                j += 1
+            else:
+                j += 1
+        raise NtStarError(f"unterminated quoted triple at {s[i:i+40]!r}")
+    if s[i] == '"':
+        j = i + 1
+        while j < n and s[j] != '"':
+            j += 2 if s[j] == "\\" else 1
+        if j >= n:
+            raise NtStarError(f"unterminated literal at {s[i:i+40]!r}")
+        j += 1
+        if s.startswith("@", j):
+            while j < n and not s[j].isspace():
+                j += 1
+        elif s.startswith("^^<", j):
+            j = s.index(">", j) + 1
+        return s[i:j], j
+    if s[i] == "<":
+        try:
+            j = s.index(">", i) + 1
+        except ValueError:
+            raise NtStarError(f"unterminated IRI at {s[i:i+40]!r}") from None
+        return s[i:j], j
+    j = i
+    while j < n and not s[j].isspace():
+        j += 1
+    return s[i:j], j
+
+
+def _scan_terms(body: str) -> list[str]:
+    out, i, n = [], 0, len(body)
+    while i < n:
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        t, i = _scan_term(body, i)
+        out.append(t)
+    return out
+
+
+_LANG_RE = re.compile(r"^[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*$")
+
+
+def parse_term_str(text: str) -> tuple:
+    """One N-Triples-star term string → (kind, value, dt, lang) tuple.
+    Quoted triples re-encode canonically (inner terms normalized)."""
+    if text.startswith("<<") and text.endswith(">>"):
+        inner = _scan_terms(text[2:-2])
+        if len(inner) != 3:
+            raise NtStarError(f"quoted triple needs 3 terms: {text!r}")
+        terms = [parse_term_str(t) for t in inner]
+        enc = " ".join(py_nt_term(t) for t in terms)
+        return (QUOTED, f"<< {enc} >>", None, None)
+    if text.startswith("<") and text.endswith(">"):
+        return (IRI, text[1:-1], None, None)
+    if text.startswith("_:"):
+        return (BNODE, text[2:], None, None)
+    if text.startswith("?"):
+        return (VARIABLE, text[1:], None, None)
+    if text.startswith('"'):
+        j = 1
+        while j < len(text) and text[j] != '"':
+            j += 2 if text[j] == "\\" else 1
+        if j >= len(text):
+            raise NtStarError(f"bad literal {text!r}")
+        lex = unescape_literal(text[1:j])
+        rest = text[j + 1:]
+        if rest == "":
+            return (LITERAL, lex, None, None)
+        if rest.startswith("@") and _LANG_RE.match(rest[1:]):
+            return (LITERAL, lex, None, rest[1:])
+        if rest.startswith("^^<") and rest.endswith(">"):
+            dt = rest[3:-1]
+            return (LITERAL, lex, None if dt == XSD_STRING else dt, None)
+        raise NtStarError(f"bad literal suffix {rest!r}")
+    raise NtStarError(f"unrecognized term {text!r}")
+
+
+def parse_star_line(line: str) -> tuple:
+    """One NT/NQ-star statement line → (s, p, o, g|None) term tuples."""
+    body = line.strip()
+    if "#" in body:  # trailing comment (only outside literals — scan finds it)
+        # cheap check: strip a trailing comment that follows the final '.'
+        m = re.match(r"^(.*\.)\s*#.*$", body)
+        if m:
+            body = m.group(1)
+    if not body.endswith("."):
+        raise NtStarError(f"missing statement terminator: {line[:80]!r}")
+    terms = _scan_terms(body[:-1])
+    if len(terms) not in (3, 4):
+        raise NtStarError(f"expected 3 or 4 terms, got {len(terms)}: {line[:80]!r}")
+    parsed = [parse_term_str(t) for t in terms]
+    if len(parsed) == 3:
+        return parsed[0], parsed[1], parsed[2], None
+    return parsed[0], parsed[1], parsed[2], parsed[3]
+
+
+def map_quoted_value(value: str, term_fn) -> str:
+    """Apply ``term_fn`` (term tuple → term tuple) to every term inside a
+    quoted-triple encoding, recursing through nested quoted triples — the
+    structured rewrite the reference does in ``quad_handler.rs:68-73`` /
+    ``absolutize.rs:76-81``."""
+
+    def walk(t: tuple) -> tuple:
+        if t[0] == QUOTED:
+            inner = _scan_terms(t[1][2:-2])
+            mapped = [walk(parse_term_str(x)) for x in inner]
+            return (QUOTED, "<< " + " ".join(py_nt_term(x) for x in mapped) + " >>", None, None)
+        return term_fn(t)
+
+    return walk((QUOTED, value, None, None))[1]
+
+
 FLAT_FIELDS = []
 for _t in ("s", "p", "o", "g"):
     FLAT_FIELDS += [
@@ -126,6 +277,23 @@ def _decode_position(ext: pd.DataFrame, tag: str) -> tuple[pd.Series, pd.Series,
     return kind, value, dt, lang
 
 
+_FLAT_COLS = [f"{t}_{f}" for t in ("s", "p", "o", "g") for f in ("kind", "value", "dt", "lang")]
+
+
+def _parse_star_rows(lines: pd.Series, src: pd.Series) -> pd.DataFrame:
+    """Slow path for the rare lines containing quoted triples (or literal
+    '<<' text): per-row recursive scanner."""
+    rows = []
+    for line, sc in zip(lines, src):
+        try:
+            s, p, o, g = parse_star_line(line)
+            flat = list(s) + list(p) + list(o) + (list(g) if g else [None] * 4)
+            rows.append(flat + [None, sc])
+        except NtStarError as e:
+            rows.append([None] * 16 + [f"parse error: {e}", sc])
+    return pd.DataFrame(rows, columns=_FLAT_COLS + ["err", "src"])
+
+
 def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     lines = pdf["value"]
     src = pdf["src"] if "src" in pdf.columns else pd.Series([""] * len(pdf), index=pdf.index)
@@ -134,6 +302,18 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     work = ~blank
     out_lines = lines[work]
     out_src = src[work]
+
+    star = out_lines.str.contains("<<", regex=False)
+    if star.any():
+        slow = _parse_star_rows(out_lines[star], out_src[star])
+        out_lines, out_src = out_lines[~star], out_src[~star]
+        if len(out_lines) == 0:
+            return slow
+        return pd.concat([_parse_fast(out_lines, out_src), slow], ignore_index=True)
+    return _parse_fast(out_lines, out_src)
+
+
+def _parse_fast(out_lines: pd.Series, out_src: pd.Series) -> pd.DataFrame:
     ext = out_lines.str.extract(LINE_RE)
 
     cols: dict[str, pd.Series] = {}
@@ -210,7 +390,25 @@ def suffix_bnodes(df: DataFrame, suffix_col: Column) -> DataFrame:
             t["dt"].alias("dt"),
             t["lang"].alias("lang"),
         )
-        return F.when(t.isNotNull() & (t["kind"] == BNODE), rewritten).otherwise(t)
+        # quoted triples: rewrite the bnode labels inside the encoding,
+        # recursion-free because terms are space-delimited at every depth
+        # (quad_handler.rs:68-73 semantics). Stays JVM-side — a `_:x` inside
+        # a quoted *literal's* text is the one accepted false positive.
+        quoted = F.struct(
+            t["kind"].alias("kind"),
+            F.regexp_replace(
+                t["value"],
+                F.lit(r"(^|\s)(_:[^\s]+)"),
+                F.concat(F.lit("$1$2_"), suffix_col),
+            ).alias("value"),
+            t["dt"].alias("dt"),
+            t["lang"].alias("lang"),
+        )
+        return (
+            F.when(t.isNotNull() & (t["kind"] == BNODE), rewritten)
+            .when(t.isNotNull() & (t["kind"] == QUOTED), quoted)
+            .otherwise(t)
+        )
 
     out = df
     for tag in ("s", "p", "o", "g"):

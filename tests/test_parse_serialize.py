@@ -259,3 +259,61 @@ def test_rdfxml_writer_escapes_and_lang(spark, tmp_path):
     df2 = parse_rdfxml(spark, glob.glob(out + "/part-*")[0])
     expected = [l for l in collect_nq_lines(df) if "drop" not in l]
     assert collect_nq_lines(df2) == expected
+
+
+def test_rdf_star_parse_serialize_roundtrip(spark):
+    from sopspark.terms import QUOTED
+
+    rows = [
+        '<< <http://e/s> <http://e/p> "v" >> <http://e/said> <http://e/alice> .',
+        "<http://e/x> <http://e/cites> << _:b <http://e/p> << <http://e/i> <http://e/q> <http://e/j> >> >> .",
+        "<http://e/plain> <http://e/p> <http://e/o> .",
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    got = df.collect()
+    assert all(r.err is None for r in got)
+    bykind = {r.s.value: r for r in got}
+    q = bykind['<< <http://e/s> <http://e/p> "v" >>']
+    assert q.s.kind == QUOTED and q.o.value == "http://e/alice"
+    nested = [r for r in got if r.s.value == "http://e/x"][0]
+    assert nested.o.kind == QUOTED and "<< <http://e/i> <http://e/q> <http://e/j> >>" in nested.o.value
+    # round-trip: canonical lines re-parse to the identical quad set
+    lines = collect_nq_lines(df)
+    df2 = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    assert collect_nq_lines(df2) == lines
+    # canonical re-encoding normalizes whitespace + escapes inside << >>
+    assert '<< <http://e/s> <http://e/p> "v" >> <http://e/said> <http://e/alice> .' in lines
+
+
+def test_rdf_star_bnode_suffix_recurses(spark):
+    from sopspark.operators.transforms import bnode_suffix
+
+    rows = [
+        "<< _:a <http://e/p> _:b >> <http://e/said> _:a .",
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    out = bnode_suffix(df, "X1").collect()[0]
+    assert out.o.value == "a_X1"  # plain bnode position
+    assert out.s.value == "<< _:a_X1 <http://e/p> _:b_X1 >>"  # inside the quoted triple
+
+
+def test_rdf_star_absolutize_recurses(spark):
+    from sopspark.operators.transforms import absolutize, relativize
+
+    rows = ["<< <s1> <http://e/p> <o1> >> <http://e/said> <who> ."]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    out = absolutize(df, "http://base/dir/").collect()[0]
+    assert out.o.value == "http://base/dir/who"
+    assert out.s.value == "<< <http://base/dir/s1> <http://e/p> <http://base/dir/o1> >>"
+    # and back
+    rel = relativize(absolutize(df, "http://base/dir/"), "http://base/dir/").collect()[0]
+    assert rel.s.value == "<< <s1> <http://e/p> <o1> >>"
+
+
+def test_rdf_star_bad_lines_err_channel(spark):
+    rows = [
+        "<< <http://e/s> <http://e/p> >> <http://e/said> <http://e/a> .",  # 2-term quoted
+        "<< <http://e/s> <http://e/p> <http://e/o> <http://e/said> <http://e/a> .",  # unterminated
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    assert all(r.err is not None for r in df.collect())
