@@ -255,22 +255,30 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 blocks_fn = to_turtle_blocks if args.format != "trig" else to_trig_blocks
                 write_fn = serialize_turtle if args.format != "trig" else serialize_trig
                 if args.output:
-                    write_fn(df, args.output)
+                    # CLI -o mirrors the reference's single output stream
+                    write_fn(df, args.output, single_file=True)
                 else:
                     for p_, ns in sorted(DEFAULT_PREFIXES.items()):
                         print(f"@prefix {p_}: <{ns}> .")
-                    for r in blocks_fn(df).orderBy("sort_key").collect():
+                    for r in blocks_fn(df).orderBy("sort_key").toLocalIterator():
                         print(r.block)
             elif args.output:
                 serialize_nquads(df, args.output, triples_only=triples_only, single_file=True)
             else:
-                for line in collect_nq_lines(df, triples_only=triples_only, sort=False):
+                from sopspark.operators.serialize import iter_nq_lines
+
+                for line in iter_nq_lines(df, triples_only=triples_only):
                     print(line)
             terminal = i == len(stages) - 1
             # tee semantics: with more stages, the same df flows on
         elif name == "canonicalize":
-            from sopspark.operators.canonicalize import canonicalize
+            from sopspark.operators.canonicalize import canonicalize, parse_c14n_function
 
+            try:
+                parse_c14n_function(args.c14n_function)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
             lines = canonicalize(df, hash_name=args.hash_function.replace("-", ""))
             if args.output:
                 lines.coalesce(1).write.mode("overwrite").text(args.output + ".dir")
@@ -281,7 +289,7 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 shutil.move(part, args.output)
                 shutil.rmtree(args.output + ".dir")
             else:
-                for r in lines.collect():
+                for r in lines.toLocalIterator():
                     print(r.line)
             terminal = True
         elif name == "query":
@@ -346,10 +354,11 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
             return 2
 
     if not terminal and df is not None:
-        # default sink: N-Quads on stdout (src/common/quad_handler.rs:32-36)
-        from sopspark.operators.serialize import collect_nq_lines
+        # default sink: N-Quads on stdout (src/common/quad_handler.rs:32-36),
+        # streamed partition-by-partition — driver memory stays flat
+        from sopspark.operators.serialize import iter_nq_lines
 
-        for line in collect_nq_lines(df, sort=False):
+        for line in iter_nq_lines(df):
             print(line)
     return 0
 

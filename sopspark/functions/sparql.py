@@ -684,22 +684,30 @@ def _scan_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
 
 
 def _graph_scope(quads: DataFrame, graph: tuple | None) -> DataFrame:
-    """Restrict quads to the pattern's graph (path patterns need a fixed
-    scope: per-graph closures for GRAPH ?g are out of the subset)."""
+    """Restrict quads to the pattern's graph. ``GRAPH ?var`` keeps all named
+    graphs — the pair relation then carries the graph as ``_pg`` so closures
+    run independently per graph (one partition key added, same algebra)."""
     if graph is None:
         return quads.where(F.col("g").isNull())
     if graph[0] == "var":
-        raise SparqlError("property paths inside GRAPH ?var are not supported")
+        return quads.where(F.col("g").isNotNull())
     return quads.where(F.col("g").eqNullSafe(_term_lit(graph[1])))
 
 
-def _path_identity(scoped: DataFrame) -> DataFrame:
+def _per_graph(graph: tuple | None) -> bool:
+    return graph is not None and graph[0] == "var"
+
+
+def _path_identity(scoped: DataFrame, per_graph: bool = False) -> DataFrame:
     """Zero-length path: every term appearing as subject or object relates
-    to itself (SPARQL 1.1 §18.4 ZeroLengthPath)."""
-    nodes = scoped.select(F.col("s").alias("_n")).unionByName(
-        scoped.select(F.col("o").alias("_n"))
+    to itself (SPARQL 1.1 §18.4 ZeroLengthPath) — per named graph when the
+    pattern sits under GRAPH ?var."""
+    pg = [F.col("g").alias("_pg")] if per_graph else []
+    nodes = scoped.select(*pg, F.col("s").alias("_n")).unionByName(
+        scoped.select(*pg, F.col("o").alias("_n"))
     ).distinct()
-    return nodes.select(F.col("_n").alias("_ps"), F.col("_n").alias("_po"))
+    keep = ["_pg"] if per_graph else []
+    return nodes.select(*keep, F.col("_n").alias("_ps"), F.col("_n").alias("_po"))
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -714,20 +722,26 @@ def _materialize(df: DataFrame) -> DataFrame:
     return out
 
 
-def _transitive_closure(base: DataFrame, max_iter: int = 32) -> DataFrame:
+def _transitive_closure(base: DataFrame, max_iter: int = 32, per_graph: bool = False) -> DataFrame:
     """Distinct (_ps, _po) pairs → transitive closure, semi-naive: each round
     extends only the frontier (pairs new last round) by one base hop, so work
     is proportional to new facts, not the whole closure. localCheckpoint
     truncates lineage per round; rounds ≈ graph diameter (≤ log₂ with
-    doubling — diameter hops suffice here and keep each join small)."""
+    doubling — diameter hops suffice here and keep each join small).
+    ``per_graph``: pairs carry ``_pg`` and hops never cross graphs — the join
+    key simply grows by the graph column."""
     edges = _materialize(base.distinct())
     closure = edges
     frontier = edges
     for _ in range(max_iter):
+        cond = F.col("f._po").eqNullSafe(F.col("e._ps"))
+        if per_graph:
+            cond = cond & F.col("f._pg").eqNullSafe(F.col("e._pg"))
+        keep = [F.col("f._pg").alias("_pg")] if per_graph else []
         nxt = (
             frontier.alias("f")
-            .join(edges.alias("e"), F.col("f._po").eqNullSafe(F.col("e._ps")))
-            .select(F.col("f._ps").alias("_ps"), F.col("e._po").alias("_po"))
+            .join(edges.alias("e"), cond)
+            .select(*keep, F.col("f._ps").alias("_ps"), F.col("e._po").alias("_po"))
             .distinct()
         )
         new = _materialize(nxt.subtract(closure))
@@ -745,11 +759,14 @@ def _path_pairs(quads: DataFrame, path: tuple, graph: tuple | None) -> DataFrame
     + → semi-naive transitive closure; * / ? → closure/base ∪ identity.
     """
     op = path[0]
+    per = _per_graph(graph)
+    pg_sel = [F.col("g").alias("_pg")] if per else []
+    pg_keep = [F.col("_pg")] if per else []
     if op == "link":
         scoped = _graph_scope(quads, graph)
         return scoped.where(
             F.col("p").eqNullSafe(_term_lit((IRI, path[1], None, None)))
-        ).select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+        ).select(*pg_sel, F.col("s").alias("_ps"), F.col("o").alias("_po"))
     if op == "nps":
         # !(p1|..|^q1|..): forward edges whose predicate ∉ {p}, unioned with
         # swapped edges whose predicate ∉ {q} (SPARQL 1.1 §9.1 NPS split)
@@ -759,12 +776,12 @@ def _path_pairs(quads: DataFrame, path: tuple, graph: tuple | None) -> DataFrame
         if fwd:
             parts.append(
                 scoped.where(~F.col("p")["value"].isin(list(fwd)))
-                .select(F.col("s").alias("_ps"), F.col("o").alias("_po"))
+                .select(*pg_sel, F.col("s").alias("_ps"), F.col("o").alias("_po"))
             )
         if inv:
             parts.append(
                 scoped.where(~F.col("p")["value"].isin(list(inv)))
-                .select(F.col("o").alias("_ps"), F.col("s").alias("_po"))
+                .select(*pg_sel, F.col("o").alias("_ps"), F.col("s").alias("_po"))
             )
         out = parts[0]
         for p_ in parts[1:]:
@@ -772,14 +789,18 @@ def _path_pairs(quads: DataFrame, path: tuple, graph: tuple | None) -> DataFrame
         return out.distinct() if len(parts) > 1 else out
     if op == "inv":
         inner = _path_pairs(quads, path[1], graph)
-        return inner.select(F.col("_po").alias("_ps"), F.col("_ps").alias("_po"))
+        return inner.select(*pg_keep, F.col("_po").alias("_ps"), F.col("_ps").alias("_po"))
     if op == "seq":
         a = _path_pairs(quads, path[1], graph)
         b = _path_pairs(quads, path[2], graph)
+        cond = F.col("a._po").eqNullSafe(F.col("b._ps"))
+        if per:
+            cond = cond & F.col("a._pg").eqNullSafe(F.col("b._pg"))
+        keep = [F.col("a._pg").alias("_pg")] if per else []
         return (
             a.alias("a")
-            .join(b.alias("b"), F.col("a._po").eqNullSafe(F.col("b._ps")))
-            .select(F.col("a._ps").alias("_ps"), F.col("b._po").alias("_po"))
+            .join(b.alias("b"), cond)
+            .select(*keep, F.col("a._ps").alias("_ps"), F.col("b._po").alias("_po"))
             .distinct()
         )
     if op == "alt":
@@ -787,30 +808,39 @@ def _path_pairs(quads: DataFrame, path: tuple, graph: tuple | None) -> DataFrame
             _path_pairs(quads, path[2], graph)
         ).distinct()
     if op == "oneplus":
-        return _transitive_closure(_path_pairs(quads, path[1], graph))
+        return _transitive_closure(_path_pairs(quads, path[1], graph), per_graph=per)
     if op == "star":
-        plus = _transitive_closure(_path_pairs(quads, path[1], graph))
-        return plus.unionByName(_path_identity(_graph_scope(quads, graph))).distinct()
+        plus = _transitive_closure(_path_pairs(quads, path[1], graph), per_graph=per)
+        return plus.unionByName(_path_identity(_graph_scope(quads, graph), per)).distinct()
     if op == "opt":
         base = _path_pairs(quads, path[1], graph)
-        return base.unionByName(_path_identity(_graph_scope(quads, graph))).distinct()
+        return base.unionByName(_path_identity(_graph_scope(quads, graph), per)).distinct()
     raise SparqlError(f"unsupported path operator {op!r}")
 
 
 def _scan_path_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
     """Triple pattern whose predicate is a property path → solution frame."""
     pairs = _path_pairs(quads, tp.p[1], tp.graph)
-    cols: dict[str, Column] = {}
+    cols: dict[str, Column] = {}  # var name -> pair-relation column
+    bound: dict[str, str] = {}  # var name -> _pg/_ps/_po (for repeat vars)
     df = pairs
+
+    def bind(var: str, pos: str):
+        nonlocal df
+        if var in bound:
+            df = df.where(F.col(pos).eqNullSafe(F.col(bound[var])))
+        else:
+            bound[var] = pos
+            cols[var] = F.col(pos)
+
+    if _per_graph(tp.graph):
+        bind(tp.graph[1], "_pg")
     if tp.s[0] == "var":
-        cols[tp.s[1]] = F.col("_ps")
+        bind(tp.s[1], "_ps")
     else:
         df = df.where(F.col("_ps").eqNullSafe(_term_lit(tp.s[1])))
     if tp.o[0] == "var":
-        if tp.o[1] in cols:
-            df = df.where(F.col("_po").eqNullSafe(F.col("_ps")))
-        else:
-            cols[tp.o[1]] = F.col("_po")
+        bind(tp.o[1], "_po")
     else:
         df = df.where(F.col("_po").eqNullSafe(_term_lit(tp.o[1])))
     if not cols:  # fully ground: keep a marker column for the semi-join

@@ -36,6 +36,32 @@ from sopspark.operators.transforms import dedup
 from sopspark.terms import BNODE, QUAD_COLS, nq_line
 
 
+import re as _re
+
+# c14n function selection — the reference's exact flag grammar
+# (src/canonicalize/c14n_function.rs:16-28): RDFC / RDFC1 / RDFC10 /
+# RDFC-1.0 / ... and Sophia / Sophia-C14N, case-insensitive.
+_RDFC_RE = _re.compile(r"^RDFC-?(1(\.?0)?)?$", _re.I)
+_SOPHIA_RE = _re.compile(r"^Sophia(-C14N)?$", _re.I)
+
+
+def parse_c14n_function(s: str) -> str:
+    """Flag value → 'rdfc10' | 'sophia', mirroring c14n_function.rs FromStr.
+
+    'sophia' selects the legacy Sophia-C14N entry point
+    (src/canonicalize.rs:101-120). The legacy algorithm itself lives in the
+    sophia *dependency*, not the reference repo; this engine accepts the
+    flag for CLI parity and applies its own deterministic canonical labeling
+    (the RDFC-1.0 kernel) — documented divergence: legacy label strings are
+    not byte-identical to sophia's.
+    """
+    if _RDFC_RE.match(s):
+        return "rdfc10"
+    if _SOPHIA_RE.match(s):
+        return "sophia"
+    raise ValueError(f"Unrecognized c14n function {s}")
+
+
 def _is_bnode(tag: str):
     t = F.col(tag)
     return t.isNotNull() & (t["kind"] == BNODE)

@@ -56,6 +56,13 @@ def collect_nq_lines(df: DataFrame, triples_only: bool = False, sort: bool = Tru
     return sorted(out) if sort else out
 
 
+def iter_nq_lines(df: DataFrame, triples_only: bool = False):
+    """Stream canonical lines to the driver one partition at a time
+    (``toLocalIterator`` — driver memory stays flat regardless of size)."""
+    for row in to_nq_lines(df, triples_only=triples_only).toLocalIterator():
+        yield row["line"]
+
+
 # ---------------------------------------------------------------------------
 # Turtle writer (``sop serialize -f ttl -p PREFIXES``, src/serialize.rs:133-203)
 # ---------------------------------------------------------------------------
@@ -185,44 +192,67 @@ def to_trig_blocks(df: DataFrame, prefixes: dict[str, str] | None = None) -> Dat
     return default.unionByName(named)
 
 
+def _write_blocks(
+    df: DataFrame, blocks: DataFrame, path: str, prefixes: dict[str, str], single_file: bool
+) -> None:
+    """Write (sort_key, block) rows as a Turtle-family document.
+
+    ``single_file=False`` (the scale default): a distributed range-
+    partitioned sort, with the ``@prefix`` header REPEATED at the top of
+    every partition so each part file is a self-contained valid document —
+    no driver funnel, no coalesce(1). ``single_file=True`` mirrors the
+    reference's single output stream (one task; use only for CLI-sized
+    data)."""
+    spark = df.sparkSession
+    header_lines = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]
+    if single_file:
+        header = spark.createDataFrame(
+            [("", l) for l in header_lines], "sort_key string, block string"
+        )
+        out = header.unionByName(blocks).orderBy("sort_key").coalesce(1)
+        out.select("block").write.mode("overwrite").text(path)
+        return
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    sorted_blocks = (
+        blocks.repartitionByRange(n_parts, "sort_key")
+        .sortWithinPartitions("sort_key")
+        .select("block")
+    )
+
+    def _part(it):
+        first = True
+        for row in it:
+            if first:
+                yield from ((l,) for l in header_lines)
+                first = False
+            yield (row.block,)
+
+    rdd = sorted_blocks.rdd.mapPartitions(_part)
+    spark.createDataFrame(rdd, "block string").write.mode("overwrite").text(path)
+
+
 def serialize_trig(
     df: DataFrame,
     path: str,
     prefixes: dict[str, str] | None = None,
-    single_file: bool = True,
+    single_file: bool = False,
 ) -> None:
     """Write a TriG document (prefix header, default graph first, then
     named-graph blocks in code-point order)."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
-    spark = df.sparkSession
-    header = spark.createDataFrame(
-        [("", f"@prefix {p}: <{ns}> .") for p, ns in sorted(prefixes.items())],
-        "sort_key string, block string",
-    )
-    out = header.unionByName(to_trig_blocks(df, prefixes)).orderBy("sort_key")
-    if single_file:
-        out = out.coalesce(1)
-    out.select("block").write.mode("overwrite").text(path)
+    _write_blocks(df, to_trig_blocks(df, prefixes), path, prefixes, single_file)
 
 
 def serialize_turtle(
     df: DataFrame,
     path: str,
     prefixes: dict[str, str] | None = None,
-    single_file: bool = True,
+    single_file: bool = False,
 ) -> None:
     """Write a Turtle document: @prefix header, then subject blocks in
     code-point order (deterministic output for golden comparison)."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
-    spark = df.sparkSession
-    header = spark.createDataFrame(
-        [("", f"@prefix {p}: <{ns}> .") for p, ns in sorted(prefixes.items())],
-        "sort_key string, block string",
-    )
-    out = header.unionByName(to_turtle_blocks(df, prefixes)).orderBy("sort_key")
-    if single_file:
-        out = out.coalesce(1)
-    out.select("block").write.mode("overwrite").text(path)
+    _write_blocks(df, to_turtle_blocks(df, prefixes), path, prefixes, single_file)
 
 
 # ---------------------------------------------------------------------------

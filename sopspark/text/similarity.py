@@ -192,7 +192,9 @@ def _kmeans_centroids(df: DataFrame, vec_col: str, nlist: int, seed: int, sample
 
 def _nearest_centroids(vec, centroids, n: int):
     """ids of the n nearest centroids by dot product (vec need not be
-    normalized — ranking is scale-invariant per vec). Pure Catalyst."""
+    normalized — ranking is scale-invariant per vec). Pure Catalyst literal
+    expressions — use only for small nlist (codegen size grows with nlist);
+    ties break toward the larger centroid id (reverse of ascending sort)."""
     dots = F.array(
         *[
             F.struct(
@@ -204,6 +206,42 @@ def _nearest_centroids(vec, centroids, n: int):
     )
     top = F.slice(F.reverse(F.array_sort(dots)), 1, n)
     return F.transform(top, lambda s: s["j"])
+
+
+# above this many centroids, literal-expression assignment would blow up
+# whole-stage codegen — switch to a broadcast centroid table + rank
+_CENTROID_LITERAL_MAX = 256
+
+
+def _assign_lists(df: DataFrame, out_id: str, vec_col: str, cent, n: int) -> DataFrame:
+    """(id, vec, norm, _list) rows assigning each vector to its ``n`` nearest
+    centroids. Small nlist: literal-expression argmax inside codegen. Large
+    nlist: broadcast the centroid table and rank with a per-vector window —
+    the same dot products, linear plan size. Tie-break matches the literal
+    path (higher centroid id wins)."""
+    base = df.select(
+        F.col("_id_").alias(out_id),
+        F.col("_vec_").alias("_v"),
+        _norm_col(F.transform(F.col("_vec_"), lambda x: x.cast("double"))).alias("_n"),
+    )
+    if len(cent) <= _CENTROID_LITERAL_MAX:
+        return base.withColumn(
+            "_list", F.explode(_nearest_centroids(F.col("_v"), cent, n))
+        )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in row]) for j, row in enumerate(cent)],
+        "_list int, _cvec array<double>",
+    )
+    scored = base.crossJoin(F.broadcast(cdf)).withColumn(
+        "_cd", _dot(F.transform(F.col("_v"), lambda x: x.cast("double")), F.col("_cvec"))
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("_cd").desc(), F.col("_list").desc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .select(out_id, "_v", "_n", "_list")
+    )
 
 
 def ivf_cosine_topk(
@@ -226,18 +264,14 @@ def ivf_cosine_topk(
     1.0), the property the tests pin.
     """
     cent = _kmeans_centroids(corpus, vec_col, nlist, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _norm_col(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("_cn"),
-        F.explode(_nearest_centroids(F.col(vec_col), cent, 1)).alias("_list"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _norm_col(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("_qn"),
-        F.explode(_nearest_centroids(F.col(vec_col), cent, nprobe)).alias("_list"),
-    )
+    c = _assign_lists(
+        corpus.select(F.col(id_col).alias("_id_"), F.col(vec_col).alias("_vec_")),
+        "neighbor_id", vec_col, cent, 1,
+    ).select("neighbor_id", F.col("_v").alias("_cv"), F.col("_n").alias("_cn"), "_list")
+    q = _assign_lists(
+        queries.select(F.col(id_col).alias("_id_"), F.col(vec_col).alias("_vec_")),
+        "query_id", vec_col, cent, nprobe,
+    ).select("query_id", F.col("_v").alias("_qv"), F.col("_n").alias("_qn"), "_list")
     scored = (
         q.join(c, on="_list")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -115,3 +115,37 @@ def test_cli_dispatch(spark, capsys, tmp_path, fixtures_dir):
     assert (dest / "g1.nt").exists()
     assert len((dest / "g1.nt").read_text().strip().splitlines()) == 2
     assert out == []  # everything dispatched; remainder empty
+
+
+def test_c14n_function_flag_parity():
+    """Flag grammar parity with src/canonicalize/c14n_function.rs tests."""
+    import pytest
+
+    from sopspark.operators.canonicalize import parse_c14n_function
+
+    for s in ("RDFC", "RDFC1", "RDFC10", "RDFC1.0", "RDFC-1", "RDFC-10", "RDFC-1.0", "rdfc10"):
+        assert parse_c14n_function(s) == "rdfc10"
+    for s in ("Sophia", "sophia", "Sophia-C14N", "sophia-c14n"):
+        assert parse_c14n_function(s) == "sophia"
+    with pytest.raises(ValueError, match="Unrecognized c14n function"):
+        parse_c14n_function("md5-c14n")
+
+
+def test_cli_canonicalize_sophia_flag(spark, tmp_path, fixtures_dir):
+    import os
+
+    from sopspark.cli import run_pipeline_cli
+
+    out = str(tmp_path / "c14n.nq")
+    rc = run_pipeline_cli(
+        ["parse", os.path.join(fixtures_dir, "sample.nt"), "!",
+         "canonicalize", "-f", "sophia", "-o", out],
+        spark=spark,
+    )
+    assert rc == 0 and open(out).read().strip() != ""
+    rc2 = run_pipeline_cli(
+        ["parse", os.path.join(fixtures_dir, "sample.nt"), "!",
+         "canonicalize", "-f", "bogus", "-o", out],
+        spark=spark,
+    )
+    assert rc2 == 2

@@ -138,13 +138,23 @@ def test_turtle_writer_roundtrip(spark, fixtures_dir, tmp_path):
 
     df = parse_turtle(spark, os.path.join(fixtures_dir, "social.ttl"))
     out = str(tmp_path / "out_ttl")
-    serialize_turtle(df, out)
+    serialize_turtle(df, out, single_file=True)
     text = open(glob.glob(out + "/part-*")[0]).read()
     assert text.startswith("@prefix")
     assert "foaf:name" in text and " a foaf:Person" in text  # prefix + 'a' compression
     # round-trip: re-parse the written Turtle, canonical lines identical
     df2 = parse_turtle(spark, glob.glob(out + "/part-*")[0])
     assert collect_nq_lines(df2) == collect_nq_lines(df)
+    # distributed default: every part file is a self-contained Turtle doc
+    # (header repeated per partition) and the directory parses to the same set
+    out2 = str(tmp_path / "out_ttl_dist")
+    serialize_turtle(df, out2)
+    parts = glob.glob(out2 + "/part-*")
+    for p in parts:
+        body = open(p).read()
+        assert body == "" or body.startswith("@prefix")
+    df3 = parse_turtle(spark, [p for p in parts if open(p).read()])
+    assert collect_nq_lines(df3) == collect_nq_lines(df)
 
 
 def test_trig_writer_roundtrip(spark, tmp_path):
@@ -161,7 +171,7 @@ def test_trig_writer_roundtrip(spark, tmp_path):
     ]
     df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
     out = str(tmp_path / "out_trig")
-    serialize_trig(df, out)
+    serialize_trig(df, out, single_file=True)
     text = open(glob.glob(out + "/part-*")[0]).read()
     assert "<http://e/g1> {" in text and "<http://e/g2> {" in text
     # round-trip through the TriG-capable Turtle parser: same canonical quads

@@ -159,6 +159,35 @@ def test_graph_scopes_exists_and_minus(spark):
     assert {r.s.value for r in res2.df.collect()} == {"http://e/b"}
 
 
+def test_property_path_inside_graph_var(spark):
+    rows = [
+        "<http://e/a> <http://e/next> <http://e/b> <http://e/g1> .",
+        "<http://e/b> <http://e/next> <http://e/c> <http://e/g1> .",
+        "<http://e/a> <http://e/next> <http://e/c> <http://e/g2> .",
+        "<http://e/x> <http://e/next> <http://e/y> .",  # default graph: not visible
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    res = sparql_query(
+        df, "SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a <http://e/next>+ ?b } }"
+    )
+    got = {(r.g.value, r.a.value, r.b.value) for r in res.df.collect()}
+    # closures are PER GRAPH: g1's two-hop chain closes within g1 only;
+    # g2 has the single direct edge; the default-graph edge is invisible
+    assert got == {
+        ("http://e/g1", "http://e/a", "http://e/b"),
+        ("http://e/g1", "http://e/b", "http://e/c"),
+        ("http://e/g1", "http://e/a", "http://e/c"),
+        ("http://e/g2", "http://e/a", "http://e/c"),
+    }
+    # sequence path under GRAPH ?var: two hops must stay inside one graph
+    res2 = sparql_query(
+        df,
+        "SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a <http://e/next>/<http://e/next> ?b } }",
+    )
+    got2 = {(r.g.value, r.a.value, r.b.value) for r in res2.df.collect()}
+    assert got2 == {("http://e/g1", "http://e/a", "http://e/c")}
+
+
 def test_computed_projection_and_distinct(spark, fixtures_dir):
     q = """
     PREFIX foaf: <http://xmlns.com/foaf/0.1/>

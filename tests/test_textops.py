@@ -205,3 +205,17 @@ def test_embedding_near_dups_exact_and_ivf(spark):
         r.neighbor_id in exact_sets.get(r.query_id, set()) for r in part.collect()
     )
     assert hits / (6 * 5) > 0.3
+
+
+def test_ivf_large_nlist_broadcast_path(spark):
+    """nlist above the literal-expression cap takes the broadcast-join
+    centroid assignment (no codegen blowup); nprobe == nlist stays exact."""
+    from sopspark.text.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where("vec_id < 4")
+    approx = ivf_cosine_topk(emb, queries, k=5, nlist=4096, nprobe=4096)
+    exact = cosine_topk(emb, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert a == e  # probing every list degenerates to brute force
