@@ -27,6 +27,8 @@ identity behavior.
 
 from __future__ import annotations
 
+import datetime as _dt
+import os
 import re
 from dataclasses import dataclass
 
@@ -526,6 +528,39 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
             F.lit(None).cast("string").alias("dt"),
             F.lit(None).cast("string").alias("lang"),
         )
+    if n == "now":
+        # SPARQL 17.4.5.1: NOW() is one fixed instant for the whole query
+        # execution — pinned at compile time so every row (and every NOW()
+        # occurrence) sees the same value. SOPSPARK_NOW (xsd:dateTime text)
+        # overrides it for reproducible runs/tests.
+        pin = os.environ.get("SOPSPARK_NOW")
+        if pin is None:
+            pin = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+        return _mk_literal(F.lit(pin), F.lit(XSD + "dateTime"))
+    if n in ("uuid", "struuid"):
+        # Fresh value per row, RFC-4122 v4 shape. Derived from a 128-bit hash
+        # of the per-row monotonic id + a salt, so runs are reproducible under
+        # a fixed partitioning (documented divergence from true randomness;
+        # the reference's uuid4 is unreproducible by design). Two UUID()
+        # occurrences in one query share the per-row value.
+        salt = os.environ.get("SOPSPARK_UUID_SEED", "0")
+        hx = F.sha2(
+            F.concat_ws(":", F.lit(salt), F.monotonically_increasing_id().cast("string")), 256
+        )
+        u = F.concat(
+            F.substring(hx, 1, 8), F.lit("-"),
+            F.substring(hx, 9, 4), F.lit("-4"),
+            F.substring(hx, 14, 3), F.lit("-8"),
+            F.substring(hx, 18, 3), F.lit("-"),
+            F.substring(hx, 21, 12),
+        )
+        if n == "uuid":
+            return _mk_iri(F.concat(F.lit("urn:uuid:"), u))
+        return _mk_literal(u)
+    if n == "rand":
+        # xsd:double in [0,1); seeded (SOPSPARK_RAND_SEED, default 42) so the
+        # same job re-run over the same partitioning reproduces its output.
+        return _num_term(F.rand(int(os.environ.get("SOPSPARK_RAND_SEED", "42"))))
     raise ExprError(f"unsupported function {name}()")
 
 

@@ -72,18 +72,21 @@ def extract_features(
     Errors (undecodable payloads) land in the ``err`` column — the same
     inline quarantine channel the RDF parser uses."""
 
+    def one(aid, payload):
+        try:
+            img = decode_image(bytes(payload), fake=fake)
+            small = resize_image(img, 4, 4)
+            feat = small.astype("float32").reshape(-1)[:feat_dim]
+            feat = np.pad(feat, (0, max(0, feat_dim - feat.size)))
+            return (aid, feat.tolist(), feat_dim, None)
+        except Exception as e:  # quarantine, don't kill the job
+            return (aid, None, None, f"decode error: {e}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                try:
-                    img = decode_image(bytes(row["payload"]), fake=fake)
-                    small = resize_image(img, 4, 4)
-                    feat = small.astype("float32").reshape(-1)[:feat_dim]
-                    feat = np.pad(feat, (0, max(0, feat_dim - feat.size)))
-                    out.append((row["asset_id"], feat.tolist(), feat_dim, None))
-                except Exception as e:  # quarantine, don't kill the job
-                    out.append((row["asset_id"], None, None, f"decode error: {e}"))
+            # decoding is inherently per-asset; iterate over raw numpy buffers
+            # (zip of .values) — no pandas Series boxing per row (iterrows)
+            out = [one(a, p) for a, p in zip(pdf["asset_id"].values, pdf["payload"].values)]
             yield pd.DataFrame(out, columns=["asset_id", "feature", "feat_dim", "err"])
 
     return assets.select("asset_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -96,16 +99,19 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) ->
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                dur = row["duration_ms"] or 0
+            cols = zip(
+                pdf["asset_id"].values, pdf["payload"].values, pdf["duration_ms"].values
+            )
+            for aid, payload, dur in cols:
                 if not fake:
-                    out.append((row["asset_id"], None, None, "decode error: no video codec"))
+                    out.append((aid, None, None, "decode error: no video codec"))
                     continue
-                n = max(1, int(dur) // every_ms)
-                base = bytes(row["payload"])
-                for i in range(n):
-                    tag = hashlib.sha256(base + i.to_bytes(4, "big")).digest()[:16]
-                    out.append((row["asset_id"], i, tag, None))
+                n = max(1, int(dur or 0) // every_ms)
+                base = bytes(payload)
+                out.extend(
+                    (aid, i, hashlib.sha256(base + i.to_bytes(4, "big")).digest()[:16], None)
+                    for i in range(n)
+                )
             yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame_payload", "err"])
 
     return assets.where(F.col("modality") == "video").select(

@@ -462,3 +462,36 @@ def test_hash_datetime_uri_functions(spark):
     res2 = sparql_query(df, 'SELECT (BNODE(?l) AS ?b) WHERE { ?s <http://e/label> ?l }')
     b = res2.df.collect()[0].b
     assert b.kind == 1 and b.value.startswith("eb")
+
+
+def test_now_uuid_rand_builtins(spark, monkeypatch):
+    """NOW/UUID/STRUUID/RAND: deterministic variants of the reference's
+    nondeterministic builtins (src/query.rs delegates to sophia's SPARQL
+    engine, which implements SPARQL 17.4.5.1-2)."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    monkeypatch.setenv("SOPSPARK_NOW", "2026-01-02T03:04:05.000Z")
+    rows = [
+        '<http://e/a> <http://e/label> "x" .',
+        '<http://e/b> <http://e/label> "y" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = "SELECT (NOW() AS ?n) (UUID() AS ?u) (STRUUID() AS ?su) (RAND() AS ?r) WHERE { ?s <http://e/label> ?l }"
+    got = sparql_query(df, q).df.collect()
+    assert len(got) == 2
+    import re as _re
+
+    uuid_re = _re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$")
+    for r in got:
+        # NOW() pinned, same instant for every row
+        assert r.n.value == "2026-01-02T03:04:05.000Z"
+        assert r.n.dt.endswith("dateTime")
+        # UUID() is an IRI, STRUUID a plain literal, both RFC-4122 v4 shaped
+        assert r.u.kind == 0 and r.u.value.startswith("urn:uuid:")
+        assert uuid_re.match(r.u.value[len("urn:uuid:"):])
+        assert r.su.kind == 2 and uuid_re.match(r.su.value)
+        # RAND() is an xsd:double in [0,1)
+        assert r.r.dt.endswith("double") and 0.0 <= float(r.r.value) < 1.0
+    # fresh per row
+    assert got[0].u.value != got[1].u.value
+    assert got[0].su.value != got[1].su.value
