@@ -75,6 +75,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # shingles + minhash
 # ---------------------------------------------------------------------------
 
+def _spread_for_explode(df: DataFrame) -> DataFrame:
+    """Rebalance the doc table before a ~tokens-per-doc× explode.
+
+    The shingle/token explode amplifies each input split by the average
+    document length, so partitioning must be decided on the *post*-explode
+    volume: a single small parquet file (or a 128 MB scan split of a 100 TB
+    table, which explodes to gigabytes) would otherwise pin the whole
+    hash-aggregate stage on too few cores. A round-robin shuffle of the
+    narrow (id, text) projection is cheap relative to the explode it feeds;
+    inputs already split finer than the cluster's parallelism pass through
+    untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _word_shingles(text_col: str, k: int) -> Column:
     """Word k-grams as an array column, Catalyst-only."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -105,7 +122,7 @@ def minhash_signatures(
     hash_fn="xxhash64" (default, fast JVM path) or "md5" (DuckDB-replicable
     universal-hash lanes — the oracle-verified variant).
     """
-    shingled = df.select(
+    shingled = _spread_for_explode(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_s")
     )
     if hash_fn == "md5":
@@ -248,7 +265,7 @@ def simhash(
     hash_fn="md5" uses the 48-bit engine-shared hash (set bits=48 with it)
     so the DuckDB oracle can replicate the fingerprint bit-for-bit."""
     tok_hash = md5_hash48(F.col("_t")) if hash_fn == "md5" else F.xxhash64("_t")
-    toks = df.select(
+    toks = _spread_for_explode(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
     ).withColumn("_h", tok_hash)
 
