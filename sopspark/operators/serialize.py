@@ -107,6 +107,9 @@ def _ttl_term(t, prefixes: dict[str, str], predicate: bool = False):
         F.when(t["kind"] == IRI, iri_enc)
         .when(t["kind"] == BNODE, F.concat(F.lit("_:"), t["value"]))
         .when(t["kind"] == LITERAL, lit_enc)
+        # QUOTED carries its canonical NT `<< ... >>` encoding, which is
+        # valid Turtle-star verbatim (no prefix compression inside)
+        .otherwise(t["value"])
     )
 
 

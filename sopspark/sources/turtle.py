@@ -25,7 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sopspark.sources.ntriples import FLAT_SCHEMA, _flat_to_quads, unescape_literal
-from sopspark.terms import BNODE, IRI, LITERAL, RDF_NS, XSD, XSD_STRING
+from sopspark.terms import (
+    BNODE,
+    IRI,
+    LITERAL,
+    QUOTED,
+    RDF_NS,
+    XSD,
+    XSD_STRING,
+    py_nt_term,
+)
 
 RDF_TYPE = RDF_NS + "type"
 RDF_FIRST = RDF_NS + "first"
@@ -45,6 +54,7 @@ TOKEN_RE = re.compile(
   | (?P<decimal>[+-]?\d*\.\d+)
   | (?P<integer>[+-]?\d+)
   | (?P<dtmark>\^\^)
+  | (?P<tstar><<|>>)
   | (?P<punct>[;,.\[\]()={}])
   | (?P<pname>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?:(?:[A-Za-z0-9_:%-](?:[A-Za-z0-9_.:%-]*[A-Za-z0-9_:%-])?)?
   | (?P<kw>[A-Za-z]+)
@@ -236,6 +246,19 @@ class _Parser:
 
     def term(self) -> tuple:
         k, v = self.next()
+        if k == "tstar" and v == "<<":
+            # Turtle-star quoted triple (sophia parses these via the same
+            # recursive term handling as the line formats,
+            # quad_handler.rs:68-73); encoded as kind=QUOTED with the
+            # canonical NT `<< s p o >>` form, matching ntriples.py.
+            s = self.term()
+            p = self.term()
+            o = self.term()
+            kk, vv = self.next()
+            if vv != ">>":
+                raise TurtleError(f"expected '>>', got {vv!r}")
+            enc = " ".join(py_nt_term(t) for t in (s, p, o))
+            return (QUOTED, f"<< {enc} >>", None, None)
         if k == "iri":
             return (IRI, self.resolve(v[1:-1]), None, None)
         if k == "bnode":

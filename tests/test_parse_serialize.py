@@ -295,6 +295,43 @@ def test_rdf_star_parse_serialize_roundtrip(spark):
     assert '<< <http://e/s> <http://e/p> "v" >> <http://e/said> <http://e/alice> .' in lines
 
 
+def test_turtle_star_quoted_triples():
+    """Turtle-star `<< s p o >>` terms (sophia parses these recursively,
+    quad_handler.rs:68-73) — subject and object positions, nesting,
+    prefixed names + literals inside the quoted triple."""
+    from sopspark.terms import QUOTED
+
+    quads = parse_turtle_text(
+        """
+        @prefix ex: <http://e/> .
+        << ex:s ex:p "v" >> ex:said ex:alice .
+        ex:x ex:cites << _:b ex:p << ex:i ex:q ex:j >> >> .
+        """
+    )
+    assert len(quads) == 2
+    s0, _, o0, _ = quads[0]
+    assert s0[0] == QUOTED and s0[1] == '<< <http://e/s> <http://e/p> "v" >>'
+    assert o0[1] == "http://e/alice"
+    _, _, o1, _ = quads[1]
+    assert o1[0] == QUOTED
+    assert o1[1] == "<< _:b <http://e/p> << <http://e/i> <http://e/q> <http://e/j> >> >>"
+
+
+def test_turtle_star_writer_roundtrip(spark, tmp_path):
+    """Quoted triples survive a Turtle write → parse round-trip (the NT
+    `<< ... >>` encoding is valid Turtle-star verbatim)."""
+    import glob as _glob
+
+    from sopspark.operators.serialize import serialize_turtle
+
+    rows = ['<< <http://e/s> <http://e/p> "v" >> <http://e/said> <http://e/alice> .']
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    out = str(tmp_path / "out_star")
+    serialize_turtle(df, out, single_file=True)
+    df2 = parse_turtle(spark, _glob.glob(out + "/part-*")[0])
+    assert collect_nq_lines(df2) == collect_nq_lines(df)
+
+
 def test_rdf_star_bnode_suffix_recurses(spark):
     from sopspark.operators.transforms import bnode_suffix
 
