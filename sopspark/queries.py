@@ -269,6 +269,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation gauntlet (exact-dedup rep ∘ langid ∘ quality floor
+    ∘ token budget) — one shuffle end to end; DuckDB-oracle verified."""
+    from sopspark.text.analysis import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_documents(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang_pred",
+        "quality",
+        F.col("ws_tokens").cast("int").alias("ws_tokens"),
+        "dup_count",
+    ).orderBy("doc_id")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic — pure Catalyst, DuckDB-oracle verified."""
     from sopspark.text.analysis import detect_language
@@ -480,6 +495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "langid": q_langid,
+    "docs_curation": q_docs_curation,
     "filter_expr": q_filter_expr,
     "map_expr": q_map_expr,
     "merge_graphs": q_merge_graphs,
@@ -709,7 +725,9 @@ def _md5hex48_sql(e: str) -> str:
     )
 
 
-def _langid_oracle_sql() -> str:
+def _langid_case_parts() -> tuple[str, str]:
+    """(stopword-count select list, winning-language CASE) shared by the
+    langid and curation oracles — identical tie-break to the Spark side."""
     from sopspark.text.analysis import _PROFILES
 
     def lst(words):
@@ -726,6 +744,11 @@ def _langid_oracle_sql() -> str:
         geq = " AND ".join(f"n_{l} >= n_{o}" for o in langs[i + 1:])
         case += f"               WHEN {geq} THEN '{l}'\n"
     case += f"               ELSE '{langs[-1]}'"
+    return counts, case
+
+
+def _langid_oracle_sql() -> str:
+    counts, case = _langid_case_parts()
     return f"""
         WITH c AS (
           SELECT doc_id,
@@ -736,6 +759,53 @@ def _langid_oracle_sql() -> str:
         SELECT doc_id,
                CASE {case} END AS lang_pred
         FROM c ORDER BY doc_id
+    """
+
+
+def _curation_oracle_sql(
+    lang: str = "en", min_quality: float = 0.75, min_tokens: int = 10, max_tokens: int = 5000
+) -> str:
+    counts, case = _langid_case_parts()
+    return f"""
+        WITH rep AS (
+          SELECT doc_id, text,
+                 MIN(doc_id) OVER (PARTITION BY text) AS rep_id,
+                 COUNT(*) OVER (PARTITION BY text) AS dup_count
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id,
+            {counts}
+          FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+                FROM rep)
+        ),
+        f AS (
+          SELECT doc_id,
+                 length(text) AS nc,
+                 length(regexp_split_to_array(text, '\\s+')) AS n_words,
+                 length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS np,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
+          FROM rep
+        )
+        SELECT CAST(rep.doc_id AS BIGINT) AS doc_id,
+               CASE {case} END AS lang_pred,
+               ROUND(
+                 CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN (nc - n_words + 1) / GREATEST(n_words,1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN np / GREATEST(nc,1) <= 0.2 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN nd / GREATEST(nc,1) <= 0.3 THEN 0.1 ELSE 0.0 END, 4) AS quality,
+               CAST(n_words AS INT) AS ws_tokens,
+               CAST(dup_count AS BIGINT) AS dup_count
+        FROM rep JOIN l ON rep.doc_id = l.doc_id JOIN f ON rep.doc_id = f.doc_id
+        WHERE rep.doc_id = rep.rep_id
+          AND CASE {case} END = '{lang}'
+          AND ROUND(
+                 CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN (nc - n_words + 1) / GREATEST(n_words,1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+               + CASE WHEN np / GREATEST(nc,1) <= 0.2 THEN 0.2 ELSE 0.0 END
+               + CASE WHEN nd / GREATEST(nc,1) <= 0.3 THEN 0.1 ELSE 0.0 END, 4) >= {min_quality}
+          AND n_words BETWEEN {min_tokens} AND {max_tokens}
+        ORDER BY doc_id
     """
 
 
@@ -928,6 +998,7 @@ def _kg_flagship_oracle_sql() -> str:
 
 
 ORACLES["langid"] = _langid_oracle_sql()
+ORACLES["docs_curation"] = _curation_oracle_sql()
 ORACLES["simhash"] = _simhash_oracle_sql()
 ORACLES["simhash_neardup"] = _simhash_neardup_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_dedup_oracle_sql()

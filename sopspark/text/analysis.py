@@ -3,7 +3,7 @@ document fingerprinting. All Catalyst-native — no Python in the hot path."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny public stopword profiles for the stopword-overlap language heuristic;
@@ -74,6 +74,50 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0))
     )
     return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", pieces)
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.75,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+) -> DataFrame:
+    """Composed training-data curation pipeline: exact-dedup representative
+    ∘ language filter ∘ quality floor ∘ token-budget window — the standard
+    pretraining-corpus gauntlet, end to end in one Catalyst plan.
+
+    Exactly ONE shuffle: the dedup window partitions by the sha2 text
+    digest (min-id representative + duplicate count in the same exchange);
+    every filter afterwards is a codegen'd projection, so Catalyst collapses
+    langid + quality + token counting + the filters into a single stage on
+    top of it. At 100 TB this is scan → hash-exchange on a 32-byte key →
+    one codegen stage — no joins, no second shuffle.
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    # both window aggregates in ONE select so they share a single Window
+    # node (separate withColumn calls re-derive the partition expression and
+    # Catalyst plans a second exchange)
+    out = df.select(
+        "*",
+        F.min(id_col).over(w).alias("rep_id"),
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+    )
+    out = token_counts(quality_score(detect_language(out)))
+    return out.where(
+        (F.col(id_col) == F.col("rep_id"))
+        & (F.col("lang_pred") == lang)
+        & (F.col("quality") >= min_quality)
+        & F.col("ws_tokens").between(min_tokens, max_tokens)
+    ).select(
+        id_col,
+        "lang_pred",
+        "quality",
+        "ws_tokens",
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int = 4) -> DataFrame:

@@ -348,8 +348,13 @@ def simhash_near_dup_pairs(
     bits: int = 64,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-duplicate id pairs (a < b, Hamming ≤ k) over raw text."""
-    fp = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    """SimHash near-duplicate id pairs (a < b, Hamming ≤ k) over raw text.
+
+    The fingerprints are checkpointed before banding: the band equi-join is
+    a self-join, and without a materialization both sides would re-execute
+    the whole tokenize → explode → 48-agg fingerprint subtree (the most
+    expensive stage of the pipeline) once each."""
+    fp = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn).localCheckpoint()
     return simhash_hamming_pairs(fp, max_hamming, id_col, bits=bits)
 
 

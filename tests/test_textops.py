@@ -219,3 +219,23 @@ def test_ivf_large_nlist_broadcast_path(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     assert a == e  # probing every list degenerates to brute force
+
+
+def test_curate_documents_closed_form(spark):
+    """The composed curation gauntlet: dedup representative (min id wins,
+    dup_count counts the class), language/quality/token filters."""
+    from sopspark.text.analysis import curate_documents
+
+    good = "the cat and the dog ran to the house in the morning and it was good"
+    rows = [
+        (7, good),            # duplicate class {7, 3}: 3 is the representative
+        (3, good),
+        (5, "le chat et le chien est dans la maison pour que le jour est bon"),  # fr
+        (9, "a b"),           # too few tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = curate_documents(df, min_tokens=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.doc_id == 3 and r.lang_pred == "en" and r.dup_count == 2
+    assert r.quality >= 0.75 and r.ws_tokens == 16
