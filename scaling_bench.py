@@ -58,7 +58,12 @@ def run_at(cores: int, n_convs: int) -> dict:
 
 
 def main() -> None:
-    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "500000"))
+    # 1M conversations (~5.5M turns): large enough that the pipeline's fixed
+    # driver-side work (planning, the broadcast dictionary builds, the tiny
+    # sameAs union-find) amortizes below ~5% of the N-level wall — the
+    # Amdahl regime the 10^12-turn criterion is actually about. At 500k the
+    # same fixed seconds read as a fake 3-5 point efficiency loss.
+    n_convs = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "1000000"))
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     # N=2 → levels (2, 8). N=1 keeps the fast level's wall long enough that
     # the ~1 s of serial driver work (CC union-find, planning) stays <3% —

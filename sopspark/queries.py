@@ -249,7 +249,8 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup clustering over documents, hash_fn="md5": the
     DuckDB oracle replicates the whole pipeline — shingles → universal-hash
     lanes → banded buckets → signature-Jaccard → recursive-CTE connected
-    components. (The xxhash64 fast path runs in bench; same algebra.)"""
+    components. bench.py times this same md5 variant (the xxhash64 fast
+    path shares the algebra and is pinned by tests/test_textops.py)."""
     from sopspark.text.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
