@@ -62,7 +62,7 @@ def main() -> None:
 
     OPERATOR_BENCHES = (
         "filter_expr", "map_expr", "dedup", "turn_assembly", "agg_pushdown",
-        "broadcast_join", "minhash_dedup", "simhash_neardup",
+        "broadcast_join", "minhash_dedup", "simhash_neardup", "docs_curation",
     )
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

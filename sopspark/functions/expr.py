@@ -577,7 +577,7 @@ _TOKEN = re.compile(
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<dtmark>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<op>\|\||&&|!=|<=|>=|[=<>!()+\-*/,])
+  | (?P<op>\|\||&&|!=|<=|>=|[=<>!()+\-*/,;])
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -709,11 +709,23 @@ class _P:
                 self.next()
                 distinct = True
             args = []
-            if self.peek()[1] != ")":
+            if self.peek()[1] not in (")", ";"):
                 args.append(self.expr())
                 while self.peek()[1] == ",":
                     self.next()
                     args.append(self.expr())
+            if t.lower() == "group_concat" and self.peek()[1] == ";":
+                # GROUP_CONCAT(expr; SEPARATOR="...") — the separator rides
+                # along as a trailing lit_const argument
+                self.next()
+                k2, v2 = self.next()
+                if k2 != "name" or v2.upper() != "SEPARATOR":
+                    raise ExprError("expected SEPARATOR after ';'")
+                self.expect("=")
+                k3, v3 = self.next()
+                if k3 != "string":
+                    raise ExprError("SEPARATOR must be a string literal")
+                args.append(Node("lit_const", (v3[1:-1], None, None)))
             self.expect(")")
             name = t + ("_distinct" if distinct else "")
             return Node("call", (name, tuple(args)))

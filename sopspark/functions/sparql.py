@@ -1080,7 +1080,17 @@ def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list
         if name == "sample":
             return F.first(inner_t, ignorenulls=True).alias(alias)
         if name == "group_concat":
-            return _mk_literal(F.concat_ws(" ", F.collect_list(inner_t["value"]))).alias(alias)
+            # optional SEPARATOR rides along as a trailing lit_const arg
+            # (expr.py parser); default " " per SPARQL 18.5.1.7. Collected
+            # values are sorted: SPARQL leaves the order implementation-
+            # defined, and a sorted concat is the only order that is
+            # deterministic under Spark's shuffle (documented divergence
+            # from sophia's insertion order).
+            sep = " "
+            if len(args) > 1 and args[-1].op == "lit_const":
+                sep = args[-1].args[0]
+            vals = F.collect_set(inner_t["value"]) if distinct else F.collect_list(inner_t["value"])
+            return _mk_literal(F.array_join(F.array_sort(vals), sep)).alias(alias)
         raise SparqlError(f"unsupported aggregate {name}")
 
     names: list[str] = []

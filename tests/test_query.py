@@ -495,3 +495,29 @@ def test_now_uuid_rand_builtins(spark, monkeypatch):
     # fresh per row
     assert got[0].u.value != got[1].u.value
     assert got[0].su.value != got[1].su.value
+
+
+def test_group_concat_separator(spark):
+    """GROUP_CONCAT with and without SEPARATOR=, plus DISTINCT — values are
+    concatenated in sorted order (deterministic under shuffle; SPARQL leaves
+    the order implementation-defined)."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/tag> "x" .',
+        '<http://e/a> <http://e/tag> "y" .',
+        '<http://e/a> <http://e/tag> "x" .',
+        '<http://e/b> <http://e/tag> "z" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = """
+    SELECT ?s (GROUP_CONCAT(?t; SEPARATOR=",") AS ?tags)
+           (GROUP_CONCAT(DISTINCT ?t; SEPARATOR="|") AS ?utags)
+           (GROUP_CONCAT(?t) AS ?dtags)
+    WHERE { ?s <http://e/tag> ?t } GROUP BY ?s
+    """
+    got = {r.s.value: r for r in sparql_query(df, q).df.collect()}
+    assert got["http://e/a"].tags.value == "x,x,y"
+    assert got["http://e/a"].utags.value == "x|y"
+    assert got["http://e/a"].dtags.value == "x x y"
+    assert got["http://e/b"].tags.value == "z"
