@@ -138,7 +138,7 @@ class _QP:
             if k == "punct":
                 i = 0
                 while i < len(v):
-                    for op in ("||", "&&", "!=", "<=", ">=", "^^"):
+                    for op in ("||", "&&", "!=", "<=", ">=", "^^", "<<", ">>"):
                         if v.startswith(op, i):
                             toks.append(("punct", op))
                             i += len(op)
@@ -525,6 +525,25 @@ class _QP:
 
     def term(self) -> tuple:
         k, v = self.next()
+        if v == "<<":
+            # SPARQL-star GROUND quoted-triple term: matches data quads whose
+            # term is the identical quoted triple (kind=QUOTED, canonical NT
+            # encoding — same convention as the parsers). Variables inside
+            # quoted patterns are not supported (rejected explicitly).
+            from sopspark.terms import QUOTED, py_nt_term
+
+            inner = []
+            for _ in range(3):
+                kind, t = self.term()
+                if kind != "term":
+                    raise SparqlError(
+                        "variables inside quoted-triple patterns are not supported"
+                    )
+                inner.append(t)
+            if self.next()[1] != ">>":
+                raise SparqlError("expected '>>'")
+            enc = " ".join(py_nt_term(t) for t in inner)
+            return ("term", (QUOTED, f"<< {enc} >>", None, None))
         if k == "var":
             return ("var", v[1:])
         if k == "iri":

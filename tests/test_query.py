@@ -521,3 +521,30 @@ def test_group_concat_separator(spark):
     assert got["http://e/a"].utags.value == "x|y"
     assert got["http://e/a"].dtags.value == "x x y"
     assert got["http://e/b"].tags.value == "z"
+
+
+def test_sparql_star_ground_quoted_pattern(spark):
+    """Ground quoted-triple terms in BGPs match data quads whose term is the
+    identical quoted triple; quoted bindings project through as QUOTED."""
+    from sopspark.terms import QUOTED
+
+    rows = [
+        '<< <http://e/s> <http://e/p> "v" >> <http://e/said> <http://e/alice> .',
+        '<< <http://e/s2> <http://e/p> "w" >> <http://e/said> <http://e/bob> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    res = sparql_query(
+        df, 'SELECT ?w WHERE { << <http://e/s> <http://e/p> "v" >> <http://e/said> ?w }'
+    )
+    assert [r.w.value for r in res.df.collect()] == ["http://e/alice"]
+
+    res2 = sparql_query(df, "SELECT ?q WHERE { ?q <http://e/said> <http://e/bob> }")
+    got = res2.df.collect()
+    assert len(got) == 1 and got[0].q.kind == QUOTED
+    assert got[0].q.value == '<< <http://e/s2> <http://e/p> "w" >>'
+
+    import pytest as _pytest
+    from sopspark.functions.sparql import SparqlError
+
+    with _pytest.raises(SparqlError, match="quoted-triple"):
+        sparql_query(df, "SELECT ?s WHERE { << ?s <http://e/p> ?o >> <http://e/said> ?w }")
