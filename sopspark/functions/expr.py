@@ -39,6 +39,7 @@ from sopspark.terms import (
     BNODE,
     IRI,
     LITERAL,
+    RDF_DIRLANGSTRING,
     RDF_LANGSTRING,
     TERM_SQL_TYPE,
     XSD,
@@ -374,10 +375,17 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
     if n == "bound":
         return bool_term(args[0].isNotNull())
     if n == "lang":
+        # direction suffix ("en--ltr") is not part of LANG()'s answer
         t = args[0]
-        return F.when(
-            t["kind"] == LITERAL, _mk_literal(F.coalesce(t["lang"], F.lit("")))
-        ).otherwise(_null_term())
+        tag = F.element_at(F.split(F.coalesce(t["lang"], F.lit("")), "--", 2), 1)
+        return F.when(t["kind"] == LITERAL, _mk_literal(tag)).otherwise(_null_term())
+    if n == "langdir":
+        # SPARQL 1.2: base direction of a dirLangString, "" otherwise
+        t = args[0]
+        d = F.try_element_at(F.split(F.coalesce(t["lang"], F.lit("")), "--", 2), F.lit(2))
+        return F.when(t["kind"] == LITERAL, _mk_literal(F.coalesce(d, F.lit("")))).otherwise(
+            _null_term()
+        )
     if n == "langmatches":
         # empty tag is not a valid RFC-4647 tag → evaluation *error*, which is
         # what makes the README's coalesce(langMatches(lang(?o),"en"), true)
@@ -402,10 +410,13 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
         return F.when(ok, _mk_iri(t["value"])).otherwise(_null_term())
     if n == "datatype":
         t = args[0]
+        lang_dt = F.when(
+            t["lang"].contains("--"), F.lit(RDF_DIRLANGSTRING)
+        ).otherwise(F.lit(RDF_LANGSTRING))
         return F.when(
             t["kind"] == LITERAL,
             _mk_iri(
-                F.when(t["lang"].isNotNull(), F.lit(RDF_LANGSTRING)).otherwise(
+                F.when(t["lang"].isNotNull(), lang_dt).otherwise(
                     F.coalesce(t["dt"], F.lit(XSD_STRING))
                 )
             ),
@@ -574,7 +585,7 @@ _TOKEN = re.compile(
   | (?P<iri><[^<>\s]*>)
   | (?P<var>\?\w+)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--[A-Za-z]+)?)
   | (?P<dtmark>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<op>\|\||&&|!=|<=|>=|[=<>!()+\-*/,;])

@@ -101,7 +101,7 @@ _TOK = re.compile(
   | (?P<iri><[^<>\s]*>)
   | (?P<var>[?$]\w+)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--[A-Za-z]+)?)
   | (?P<dtmark>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<punct>(?:[{}().;,\[\]*=!>|&+/^-]|<(?![^<>\s]*>)|\?(?!\w))+)

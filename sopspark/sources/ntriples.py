@@ -38,7 +38,7 @@ def _term_re(tag: str) -> str:
         rf"(?:<(?P<{tag}_iri>[^<>\s]*)>"
         rf"|_:(?P<{tag}_bn>[^\s]+)"
         rf"|\"(?P<{tag}_lit>(?:[^\"\\]|\\.)*)\""
-        rf"(?:@(?P<{tag}_lang>[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)"
+        rf"(?:@(?P<{tag}_lang>[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*(?:--[A-Za-z]+)?)"
         rf"|\^\^<(?P<{tag}_dt>[^<>\s]*)>)?"
         rf"|\?(?P<{tag}_var>\w+))"
     )

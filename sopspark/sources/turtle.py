@@ -49,7 +49,7 @@ TOKEN_RE = re.compile(
   | (?P<iri><[^<>"{}|^`\\\s]*>)
   | (?P<bnode>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<directive>@prefix|@base)
-  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--[A-Za-z]+)?)
   | (?P<double>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
   | (?P<decimal>[+-]?\d*\.\d+)
   | (?P<integer>[+-]?\d+)

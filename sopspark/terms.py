@@ -46,6 +46,10 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XSD_STRING = XSD + "string"
 RDF_LANGSTRING = RDF_NS + "langString"
+# RDF 1.2 directional language-tagged string: the base direction rides in
+# the lang field as "tag--dir" (e.g. "en--ltr"), matching the N-Triples 1.2
+# LANG_DIR production; the reference recognizes it (src/query.rs:46-60)
+RDF_DIRLANGSTRING = RDF_NS + "dirLangString"
 
 TERM_TYPE = StructType(
     [

@@ -364,3 +364,17 @@ def test_rdf_star_bad_lines_err_channel(spark):
     ]
     df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
     assert all(r.err is not None for r in df.collect())
+
+
+def test_dir_lang_string_roundtrip(spark):
+    """RDF 1.2 directional language literals (`@en--ltr`) — in the
+    reference's recognized-datatype list (src/query.rs:46-60). The direction
+    rides in the lang field and round-trips through the canonical lines."""
+    rows = ['<http://e/a> <http://e/label> "hello"@en--ltr .']
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    got = df.collect()
+    assert got[0].err is None and got[0].o.lang == "en--ltr"
+    lines = collect_nq_lines(df)
+    assert lines == ['<http://e/a> <http://e/label> "hello"@en--ltr .']
+    df2 = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    assert collect_nq_lines(df2) == lines

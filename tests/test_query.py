@@ -548,3 +548,23 @@ def test_sparql_star_ground_quoted_pattern(spark):
 
     with _pytest.raises(SparqlError, match="quoted-triple"):
         sparql_query(df, "SELECT ?s WHERE { << ?s <http://e/p> ?o >> <http://e/said> ?w }")
+
+
+def test_lang_langdir_datatype_for_dirlangstring(spark):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/l> "x"@en--ltr .',
+        '<http://e/b> <http://e/l> "y"@fr .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = """
+    SELECT ?s (LANG(?o) AS ?lg) (LANGDIR(?o) AS ?d) (DATATYPE(?o) AS ?dt)
+    WHERE { ?s <http://e/l> ?o }
+    """
+    got = {r.s.value: r for r in sparql_query(df, q).df.collect()}
+    a, b = got["http://e/a"], got["http://e/b"]
+    assert a.lg.value == "en" and a.d.value == "ltr"
+    assert a.dt.value.endswith("dirLangString")
+    assert b.lg.value == "fr" and b.d.value == ""
+    assert b.dt.value.endswith("langString")
