@@ -20,6 +20,7 @@ N-Quads like the reference's wire format (``src/main.rs:122-126``); a bare
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import DataFrame
@@ -55,8 +56,13 @@ def _stage_parser(name: str) -> argparse.ArgumentParser:
         p.add_argument("file", nargs="?", default="-")
         p.add_argument("-f", "--format", default=None)
         p.add_argument("-b", "--base", default=None)
-        p.add_argument("-g", "--graph", default=None)
+        # -g with no value names the graph after the source (parse.rs:79-80);
+        # -g IRI is the explicit-name convenience this CLI also accepts
+        p.add_argument("-g", "--named-graph", dest="graph", nargs="?", const=True, default=None)
         p.add_argument("-m", "--multiple", nargs="*", default=None)
+        # relativize parsed IRIs against the source IRI (parse.rs:86-91);
+        # bare -r means parents=0
+        p.add_argument("-r", "--relativize", nargs="?", const=0, type=int, default=None)
         # JSON-LD/YAML-LD remote contexts (src/parse.rs:102-121)
         p.add_argument("-l", "--loader-local", default=None, metavar="DIR")
         p.add_argument("-u", "--loader-urls", action="store_true")
@@ -128,8 +134,14 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
 
                 loader = ContextLoader(args.loader_local, allow_urls=args.loader_urls)
             if args.multiple is not None:
+                from pyspark.sql import functions as F
+
                 paths = [a for a in args.multiple if a != "m-"]
-                df = parse_ntriples(spark, paths, scope_bnodes_per_file=True)
+                # bare -g: each source's default graph gets the source IRI
+                per_src = iri_col(F.col("src")) if args.graph is True else None
+                df = parse_ntriples(
+                    spark, paths, scope_bnodes_per_file=True, default_graph_name=per_src
+                )
             elif args.file.startswith(("http://", "https://")):
                 from sopspark.sources.http import parse_url
 
@@ -171,12 +183,23 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                         from sopspark.operators.transforms import absolutize
 
                         df = absolutize(df, args.base)
-            if args.graph:
+            src_iri = None
+            if args.multiple is None:
+                if args.file.startswith(("http://", "https://")):
+                    src_iri = args.file
+                elif args.file != "-":
+                    src_iri = "file://" + os.path.abspath(args.file)
+            if args.graph and args.multiple is None:
                 from pyspark.sql import functions as F
 
+                name = src_iri if args.graph is True else args.graph
                 df = df.withColumn(
-                    "g", F.when(F.col("g").isNull(), iri_col(args.graph)).otherwise(F.col("g"))
+                    "g", F.when(F.col("g").isNull(), iri_col(name)).otherwise(F.col("g"))
                 )
+            if args.relativize is not None and src_iri:
+                from sopspark.operators.transforms import relativize
+
+                df = relativize(df, src_iri, parents=args.relativize)
         elif name == "filter":
             from sopspark.operators.filter_map import filter_quads
 

@@ -439,9 +439,10 @@ def parse_ntriples(
     quads = parse_lines_df(lines, with_src=True)
     if scope_bnodes_per_file:
         quads = suffix_bnodes(quads, F.substring(F.sha2(F.col("src"), 256), 1, 12))
-    quads = quads.drop("src")
     if default_graph_name is not None:
+        # applied while `src` is still in scope so callers can name the
+        # graph after the source (parse -g with no value, src/parse.rs:79-80)
         quads = quads.withColumn(
             "g", F.when(F.col("g").isNull() & F.col("err").isNull(), default_graph_name).otherwise(F.col("g"))
         )
-    return quads
+    return quads.drop("src")

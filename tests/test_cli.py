@@ -149,3 +149,35 @@ def test_cli_canonicalize_sophia_flag(spark, tmp_path, fixtures_dir):
         spark=spark,
     )
     assert rc2 == 2
+
+
+def test_cli_parse_named_graph_and_relativize(spark, capsys, tmp_path):
+    """parse -g (bare: graph named after the source, parse.rs:79-80) and
+    parse -r [N] (relativize against the source IRI, parse.rs:86-91)."""
+    f = tmp_path / "one.nt"
+    f.write_text("<http://e/s> <http://e/p> <http://e/o> .\n")
+    rc, out = run(spark, capsys, "parse", str(f), "-g")
+    assert rc == 0
+    assert out == [
+        f"<http://e/s> <http://e/p> <http://e/o> <file://{f}> ."
+    ]
+    # explicit-name variant still works
+    rc2, out2 = run(spark, capsys, "parse", str(f), "-g", "http://e/G")
+    assert out2 == ["<http://e/s> <http://e/p> <http://e/o> <http://e/G> ."]
+    # -m with bare -g: each source's default graph gets its own source IRI
+    g = tmp_path / "two.nt"
+    g.write_text("<http://e/s2> <http://e/p> <http://e/o> .\n")
+    rc3, out3 = run(spark, capsys, "parse", "-g", "-m", str(f), str(g), "m-")
+    assert rc3 == 0
+    assert sorted(out3) == sorted([
+        f"<http://e/s> <http://e/p> <http://e/o> <file://{f}> .",
+        f"<http://e/s2> <http://e/p> <http://e/o> <file://{g}> .",
+    ])
+    # -r: IRIs under the source location become relative references
+    h = tmp_path / "rel.nt"
+    h.write_text(f"<file://{tmp_path}/rel.nt#it> <http://e/p> <file://{tmp_path}/other> .\n")
+    rc4, out4 = run(spark, capsys, "parse", str(h), "-r")
+    assert rc4 == 0
+    # the operator emits name-relative references (`rel.nt#it`), not the
+    # same-document `#it` shortening — both are correct relative refs
+    assert out4 == ["<rel.nt#it> <http://e/p> <other> ."]
