@@ -87,6 +87,11 @@ def _stage_parser(name: str) -> argparse.ArgumentParser:
         p.add_argument("-f", "--format", default="nq")
         p.add_argument("-o", "--output", default=None)
         p.add_argument("-c", "--canonical", action="store_true", default=True)
+        # PREFIX:URI,... map for Turtle/TriG (src/serialize.rs:63-67)
+        p.add_argument(
+            "-p", "--prefixes", default=os.environ.get("SOP_PREFIXES"), metavar="MAP"
+        )
+        p.add_argument("-P", "--no-pretty", action="store_true")
     elif name == "canonicalize":
         p.add_argument("-o", "--output", default=None)
         p.add_argument("-f", "--c14n-function", default="rdfc-1.0")
@@ -275,15 +280,25 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     to_trig_blocks,
                 )
 
+                from sopspark.operators.serialize import (
+                    parse_prefix_map,
+                    to_turtle_plain_blocks,
+                )
+
+                prefixes = (
+                    parse_prefix_map(args.prefixes) if args.prefixes else DEFAULT_PREFIXES
+                )
                 blocks_fn = to_turtle_blocks if args.format != "trig" else to_trig_blocks
+                if args.no_pretty and args.format != "trig":
+                    blocks_fn = to_turtle_plain_blocks
                 write_fn = serialize_turtle if args.format != "trig" else serialize_trig
                 if args.output:
                     # CLI -o mirrors the reference's single output stream
-                    write_fn(df, args.output, single_file=True)
+                    write_fn(df, args.output, prefixes=prefixes, single_file=True)
                 else:
-                    for p_, ns in sorted(DEFAULT_PREFIXES.items()):
+                    for p_, ns in sorted(prefixes.items()):
                         print(f"@prefix {p_}: <{ns}> .")
-                    for r in blocks_fn(df).orderBy("sort_key").toLocalIterator():
+                    for r in blocks_fn(df, prefixes).orderBy("sort_key").toLocalIterator():
                         print(r.block)
             elif args.output:
                 serialize_nquads(df, args.output, triples_only=triples_only, single_file=True)

@@ -113,6 +113,39 @@ def _ttl_term(t, prefixes: dict[str, str], predicate: bool = False):
     )
 
 
+def to_turtle_plain_blocks(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """--no-pretty Turtle (serialize -P, src/serialize.rs:70-73): one triple
+    per line with prefix compression but no ``;``/``,`` grouping — a pure
+    projection, zero aggregation."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    ok = df.where(F.col("err").isNull()) if "err" in df.columns else df
+    ok = ok.where(F.col("g").isNull())
+    line = F.concat(
+        _ttl_term(F.col("s"), prefixes),
+        F.lit(" "),
+        _ttl_term(F.col("p"), prefixes, predicate=True),
+        F.lit(" "),
+        _ttl_term(F.col("o"), prefixes),
+        F.lit(" ."),
+    )
+    return ok.select(line.alias("sort_key"), line.alias("block")).dropDuplicates()
+
+
+def parse_prefix_map(spec: str) -> dict[str, str]:
+    """``PREFIX:URI,PREFIX:URI,...`` → dict (serialize -p / $SOP_PREFIXES,
+    src/serialize.rs:63-67, common/prefix_map.rs)."""
+    out: dict[str, str] = {}
+    for pair in spec.split(","):
+        pair = pair.strip()
+        if not pair:
+            continue
+        pfx, sep, ns = pair.partition(":")
+        if not sep or not ns:
+            raise ValueError(f"invalid prefix map entry {pair!r} (want PREFIX:URI)")
+        out[pfx] = ns
+    return out
+
+
 def to_turtle_blocks(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
     """Quad DataFrame → one Turtle block per subject (``;``/``,``-grouped),
     sorted deterministically. Triples-only: named-graph quads are dropped

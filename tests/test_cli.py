@@ -181,3 +181,28 @@ def test_cli_parse_named_graph_and_relativize(spark, capsys, tmp_path):
     # the operator emits name-relative references (`rel.nt#it`), not the
     # same-document `#it` shortening — both are correct relative refs
     assert out4 == ["<rel.nt#it> <http://e/p> <other> ."]
+
+
+def test_cli_serialize_prefix_map_and_no_pretty(spark, capsys, tmp_path):
+    """serialize -p PREFIX:URI,... (src/serialize.rs:63-67) and -P
+    (--no-pretty: one triple per line, no ;/, grouping)."""
+    f = tmp_path / "pm.nt"
+    f.write_text(
+        "<http://z.example/v/a> <http://z.example/v/p> <http://z.example/v/b> .\n"
+        '<http://z.example/v/a> <http://z.example/v/p> "x" .\n'
+    )
+    rc, out = run(
+        spark, capsys,
+        "parse", str(f), "!",
+        "serialize", "-f", "ttl", "-p", "zv:http://z.example/v/",
+    )
+    assert rc == 0
+    assert out[0] == "@prefix zv: <http://z.example/v/> ."
+    assert out[1] == 'zv:a zv:p "x", zv:b .'
+    rc2, out2 = run(
+        spark, capsys,
+        "parse", str(f), "!",
+        "serialize", "-f", "ttl", "-p", "zv:http://z.example/v/", "-P",
+    )
+    assert rc2 == 0
+    assert sorted(out2[1:]) == ['zv:a zv:p "x" .', "zv:a zv:p zv:b ."]
