@@ -106,8 +106,12 @@ def _stage_parser(name: str) -> argparse.ArgumentParser:
         p.add_argument("-s", "--status", action="store_true")
     elif name == "dispatch":
         p.add_argument("root")
-        p.add_argument("-d", "--dest", required=True)
+        p.add_argument("-d", "--dest", default=".")
         p.add_argument("-f", "--format", default="nt")
+        # reference defaults: don't overwrite existing files (dispatch.rs:52-54),
+        # no per-file relativization (dispatch.rs:60-61)
+        p.add_argument("-o", "--overwrite", action="store_true")
+        p.add_argument("-r", "--relativize", action="store_true")
     elif name == "null":
         pass
     return p
@@ -377,7 +381,10 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
         elif name == "dispatch":
             from sopspark.operators.dispatch import dispatch
 
-            df = dispatch(df, args.root, args.dest)
+            df = dispatch(
+                df, args.root, args.dest,
+                overwrite=args.overwrite, relativize=args.relativize,
+            )
         elif name == "null":
             from sopspark.operators.transforms import validate
 

@@ -30,20 +30,32 @@ def dispatch(
     root: str,
     dest: str,
     triples_only: bool = True,
+    overwrite: bool = True,
+    relativize: bool = False,
 ) -> DataFrame:
     """Write matching graphs under ``dest``; return the remainder DataFrame.
 
     Matching rule (``src/dispatch.rs:102-105``): graph term is an IRI and
-    its value starts with ``root``.
+    its value starts with ``root`` (a trailing ``/`` is appended when
+    missing, ``dispatch.rs:74-78``). ``overwrite=False`` mirrors the
+    reference's default of skipping existing files; ``relativize=True``
+    relativizes each dispatched file's IRIs against its graph IRI
+    (``dispatch.rs:60-61,146-151``).
     """
+    if not root.endswith("/"):
+        root += "/"
     g = F.col("g")
     is_match = g.isNotNull() & (g["kind"] == IRI) & g["value"].startswith(root)
     ok = df.where(F.col("err").isNull()) if "err" in df.columns else df
 
-    matched = (
-        ok.where(is_match)
-        .withColumn("_relpath", F.expr(f"substring(g.value, {len(root) + 1})"))
-        .withColumn(
+    base = ok.where(is_match).withColumn(
+        "_relpath", F.expr(f"substring(g.value, {len(root) + 1})")
+    )
+    if relativize:
+        # per-file base = the graph IRI, so lines are built in the writer
+        matched = base.select("_relpath", "s", "p", "o")
+    else:
+        matched = base.withColumn(
             "_line",
             nq_line(
                 F.col("s"),
@@ -51,9 +63,7 @@ def dispatch(
                 F.col("o"),
                 F.lit(None).cast(df.schema["g"].dataType) if triples_only else F.col("g"),
             ),
-        )
-        .select("_relpath", "_line")
-    )
+        ).select("_relpath", "_line")
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rel = pdf["_relpath"].iloc[0]
@@ -64,9 +74,29 @@ def dispatch(
         path = os.path.join(dest, rel_clean)
         if not os.path.splitext(path)[1]:
             path += ".nt"
+        if os.path.exists(path) and not overwrite:
+            return pd.DataFrame({"_relpath": [rel], "n": [-1]})  # skipped
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        if relativize:
+            from sopspark.operators.transforms import _relativizer
+            from sopspark.terms import py_nt_term
+
+            rel_fn = _relativizer(root + rel, 0)
+
+            def enc(d) -> str:
+                t = (d["kind"], d["value"], d["dt"], d["lang"])
+                if t[0] == IRI:
+                    t = (IRI, rel_fn(t[1]), None, None)
+                return py_nt_term(t)
+
+            lines = (
+                f"{enc(s)} {enc(p)} {enc(o)} ."
+                for s, p, o in zip(pdf["s"], pdf["p"], pdf["o"])
+            )
+        else:
+            lines = iter(pdf["_line"])
         with open(path, "w", encoding="utf-8") as f:
-            for line in pdf["_line"]:
+            for line in lines:
                 f.write(line + "\n")
         return pd.DataFrame({"_relpath": [rel], "n": [len(pdf)]})
 

@@ -206,3 +206,27 @@ def test_cli_serialize_prefix_map_and_no_pretty(spark, capsys, tmp_path):
     )
     assert rc2 == 0
     assert sorted(out2[1:]) == ['zv:a zv:p "x" .', "zv:a zv:p zv:b ."]
+
+
+def test_cli_dispatch_overwrite_and_relativize(spark, capsys, tmp_path, fixtures_dir):
+    """dispatch -o (overwrite gate, dispatch.rs:52-54) and -r (relativize
+    against the graph IRI, dispatch.rs:60-61)."""
+    dest = tmp_path / "out"
+    argv = [
+        "parse", f"{fixtures_dir}/sample.nt", "!",
+        "map", "-g", 'iri(concat("http://example.org/graphs/", "g1.nt"))', "!",
+        "dispatch", "http://example.org/graphs/", "-d", str(dest), "-r",
+    ]
+    rc, out = run(spark, capsys, *argv)
+    assert rc == 0
+    body = (dest / "g1.nt").read_text()
+    # IRIs under the graph IRI's location relativize; others stay absolute
+    assert "<http://example.org/s>" in body  # sibling of graphs/: not under g1.nt
+    first = body
+    # without -o, a re-run must NOT overwrite the existing file
+    (dest / "g1.nt").write_text("sentinel\n")
+    rc2, _ = run(spark, capsys, *argv)
+    assert rc2 == 0 and (dest / "g1.nt").read_text() == "sentinel\n"
+    # with -o it does
+    rc3, _ = run(spark, capsys, *argv[:-1] + ["-o", "-r"])
+    assert rc3 == 0 and (dest / "g1.nt").read_text() == first
