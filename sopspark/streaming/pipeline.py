@@ -101,3 +101,42 @@ def windowed_event_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), key_col, "n")
     )
+
+
+def stream_extract_triples(turns: DataFrame) -> DataFrame:
+    """Streaming triple extraction: the SAME vectorized template extractor
+    as the batch path (`sopspark.kg.extract._extract_batch`) applied per
+    micro-batch — stateless, so it composes on an unbounded transcript
+    stream with no watermark or shuffle.
+
+    Cross-turn pronoun coreference is intentionally absent here: it needs
+    ordered per-conversation history, which on a stream belongs in an
+    ``applyInPandasWithState`` stage (see :func:`stateful_turn_progress`
+    for the state-carrying pattern); the batch pipeline resolves it via the
+    turn-assembly window instead."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from sopspark.kg.extract import MENTION_SCHEMA, _extract_batch
+
+    cols = turns.select(
+        "conv_id", "turn_idx", "text", F.lit(None).cast("string").alias("prev_ante")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _extract_batch(pdf)
+
+    return cols.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def stream_link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Streaming entity linking: the batch linker is already zero-shuffle
+    (broadcast dictionary joins only), so it composes on a streaming
+    mention DataFrame unchanged — stream-static joins against a broadcast
+    static side are natively supported."""
+    from sopspark.kg.link import link_entities
+
+    return link_entities(mentions, alias_dict)

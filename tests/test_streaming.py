@@ -99,3 +99,34 @@ def test_stateful_turn_progress(spark, tmp_path):
     batch = spark.createDataFrame([("c1", 0), ("c1", 1), ("c2", 5)], "conv_id string, turn_idx int")
     got = {r.conv_id: (r.n_turns, r.max_turn_idx) for r in stateful_turn_progress(batch).collect()}
     assert got == {"c1": (2, 1), "c2": (1, 5)}
+
+
+def test_stream_kg_extraction_end_to_end(spark, tmp_path):
+    """Streaming transcript files → extraction → linking → memory sink,
+    matching the batch extractor's output on the same rows (minus pronoun
+    coreference, which is batch/window-only)."""
+    from sopspark.kg.synth import alias_df
+    from sopspark.streaming.pipeline import stream_extract_triples, stream_link_entities
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    (src / "t1.json").write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "text": "Alice knows Bob."}\n'
+        '{"conv_id": "c1", "turn_idx": 1, "text": "Bob works at Acme Corp."}\n'
+    )
+    schema = "conv_id string, turn_idx int, text string"
+    turns = spark.readStream.schema(schema).json(str(src))
+    linked = stream_link_entities(stream_extract_triples(turns), alias_df(spark))
+    assert linked.isStreaming
+    q = (
+        linked.writeStream.format("memory")
+        .queryName("kg_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.s, r.p, r.o_iri) for r in spark.sql("select * from kg_sink").collect()}
+    assert len(got) == 2
+    preds = {p for _, p, _ in got}
+    assert any(p.endswith("knows") for p in preds)
+    assert any(p.endswith("worksAt") for p in preds)
