@@ -22,16 +22,23 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
     ``array_intersect``; argmax with first-profile-wins tie-break; 'und'
     when no profile hits."""
     toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-    counts = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in prof])))
-        for lang, prof in _PROFILES
-    }
-    # first strict maximum in profile order (ties favor the earlier profile)
-    pred = F.lit("und")
-    best = F.lit(0)
-    for lang, _prof in _PROFILES:
-        pred = F.when(counts[lang] > best, F.lit(lang)).otherwise(pred)
-        best = F.when(counts[lang] > best, counts[lang]).otherwise(best)
+    # one array of per-language overlap counts; argmax = array_position of
+    # the max, which returns the FIRST index → earlier profiles win ties.
+    # (The equivalent nested-CASE formulation duplicates every intersect
+    # O(L²) times with structurally distinct copies, which defeats codegen
+    # common-subexpression elimination and costs seconds of Janino compile;
+    # here the count array is one shared subtree.)
+    counts_arr = F.array(
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in prof])))
+            for _lang, prof in _PROFILES
+        ]
+    )
+    langs_arr = F.array(*[F.lit(lang) for lang, _prof in _PROFILES])
+    best = F.array_max(counts_arr)
+    pred = F.when(
+        best > 0, F.element_at(langs_arr, F.array_position(counts_arr, best).cast("int"))
+    ).otherwise(F.lit("und"))
     return df.withColumn(out_col, pred)
 
 
@@ -96,16 +103,21 @@ def curate_documents(
     top of it. At 100 TB this is scan → hash-exchange on a 32-byte key →
     one codegen stage — no joins, no second shuffle.
     """
+    # per-row features are computed BELOW the window exchange: the shuffle
+    # materializes them as plain attributes, so the filter above the Window
+    # references columns instead of re-inlining the big text expressions
+    # (which Catalyst would otherwise duplicate into the post-window stage,
+    # tripling its codegen)
+    feat = token_counts(quality_score(detect_language(df)))
     w = Window.partitionBy(F.sha2(F.col(text_col), 256))
     # both window aggregates in ONE select so they share a single Window
     # node (separate withColumn calls re-derive the partition expression and
     # Catalyst plans a second exchange)
-    out = df.select(
+    out = feat.select(
         "*",
         F.min(id_col).over(w).alias("rep_id"),
         F.count(F.lit(1)).over(w).alias("dup_count"),
     )
-    out = token_counts(quality_score(detect_language(out)))
     return out.where(
         (F.col(id_col) == F.col("rep_id"))
         & (F.col("lang_pred") == lang)
