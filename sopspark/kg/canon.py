@@ -123,3 +123,22 @@ def materialize_graph(
         F.lit(None).cast("string").alias("err"),
     )
     return quads.dropDuplicates(["s", "p", "o", "g"])
+
+
+def merge_incremental(existing: DataFrame, new: DataFrame, keys=("s", "p", "o")) -> DataFrame:
+    """Idempotently merge a new batch of materialized triples into an
+    existing graph table: ``existing ∪ (new ⟕̸ existing)`` via a left-anti
+    join on the triple key. Running the KG pipeline per transcript batch
+    and merging with this operator yields exactly the one-shot result
+    (the sameAs equivalence source is batch-independent), which is the
+    resumable / incremental ingestion mode the north_star's checkpointed
+    pipeline needs — re-delivered batches are absorbed with no duplicates.
+
+    Scale: one shuffle on the triple key for the anti join (or zero if
+    ``existing``'s key projection is broadcastable); at 100 TB the
+    production form is Iceberg ``MERGE INTO`` on the same key — this is
+    the engine-level equivalent with identical semantics.
+    """
+    ks = list(keys)
+    add = new.join(existing.select(*ks).dropDuplicates(ks), on=ks, how="left_anti")
+    return existing.unionByName(add.select(*existing.columns)).dropDuplicates(ks)

@@ -461,21 +461,133 @@ def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dispatch_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dispatch: graphs under root 'p' (purchase) written out as per-graph
+    """dispatch: graphs under root '<EV>purchase/' written out as per-graph
     NT files (temp dir); the anti-filtered remainder flows on — exercises
-    the semi/anti split the reference's dispatch performs."""
+    the semi/anti split the reference's dispatch performs. Graph IRIs get a
+    '/g0' leaf because dispatch (like ``dispatch.rs:74-78``) appends a
+    trailing '/' to the root, so only *descendants* of the root match."""
     import tempfile
 
     from sopspark.operators.dispatch import dispatch
 
-    quads = map_quads(_events_quads(spark, sf_dir), g="iri(str(?p))")
-    rest = dispatch(quads, EV + "p", tempfile.mkdtemp(prefix="sopspark_dispatch_"))
+    quads = map_quads(_events_quads(spark, sf_dir), g='iri(concat(str(?p), "/g0"))')
+    rest = dispatch(
+        quads, EV + "purchase", tempfile.mkdtemp(prefix="sopspark_dispatch_")
+    )
     return (
         rest.select(F.col("g")["value"].alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("g")
     )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the events stream + per-user
+    session stats — one shuffle (shared window/groupBy partitioning)."""
+    from sopspark.operators.sessionize import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        session_stats(ev, "user_id", "ts", order_col="event_id", gap_seconds=1800)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("max_session_events").cast("long").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministically injected PII
+    (emails/phones/IPs derived from doc_id so the counts are non-trivial);
+    returns per-kind counts + md5 of the redacted text. Map-only stage."""
+    from sopspark.text.analysis import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17 now."),
+    )
+    out = redact_pii(docs.withColumn("t2", t2), "t2")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        F.col("n_ips").cast("int").alias("n_ips"),
+        F.md5(F.col("t2_redacted")).alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+SAMPLE_RATES = {"en": 0.8, "fr": 0.5, "de": 0.5, "es": 0.25, "und": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash stratified sampling by predicted language —
+    a pure filter (no shuffle, no RNG state), reproducible under retries."""
+    from sopspark.text.analysis import detect_language, stratified_sample
+
+    docs = detect_language(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return (
+        stratified_sample(docs, SAMPLE_RATES)
+        .select("doc_id", "lang_pred")
+        .orderBy("doc_id")
+    )
+
+
+def q_kg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG construction: transcripts split into two batches by
+    conv_id hash, the pipeline run per batch, results merged idempotently
+    (anti-join on the triple key). Must equal the one-shot kg_flagship
+    build exactly — same DuckDB oracle — because the sameAs equivalence
+    source is batch-independent."""
+    from sopspark.kg.canon import materialize_graph, merge_incremental, sameas_closure
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+
+    transcripts = spark.read.parquet(f"{KG_CORPUS_DIR}/transcripts.parquet")
+    alias = spark.read.parquet(f"{KG_CORPUS_DIR}/alias_dict.parquet")
+    closure = sameas_closure(spark.read.parquet(f"{KG_CORPUS_DIR}/sameas.parquet"))
+
+    def pipe(batch: DataFrame) -> DataFrame:
+        linked = link_entities(extract_triples(assemble_turns(batch)), alias)
+        quads = materialize_graph(linked, closure)
+        return quads.select(
+            F.col("s")["value"].alias("s"),
+            F.col("p")["value"].alias("p"),
+            F.coalesce(F.col("o")["value"], F.lit("")).alias("o"),
+        )
+
+    even = transcripts.where(F.abs(F.xxhash64("conv_id")) % 2 == 0)
+    odd = transcripts.where(F.abs(F.xxhash64("conv_id")) % 2 == 1)
+    return merge_incremental(pipe(even), pipe(odd)).orderBy("s", "p", "o")
+
+
+def q_sparql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers: GROUP BY + ORDER BY DESC + tie-break +
+    LIMIT (top-40 users by total view value) — exercises the engine's
+    order/limit path (TopK via orderBy().limit(), no global sort
+    materialization)."""
+    from sopspark.functions.sparql import sparql_query
+
+    quads = _events_quads(spark, sf_dir)
+    res = sparql_query(
+        quads,
+        f"SELECT ?s (SUM(?o) AS ?total) WHERE {{ ?s <{EV}view> ?o }} "
+        f"GROUP BY ?s ORDER BY DESC(?total) ?s LIMIT 40",
+    )
+    return res.df.select(
+        F.col("s")["value"].alias("s"),
+        F.round(F.col("total")["value"].cast("double"), 6).alias("total"),
+    ).orderBy("s")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -506,6 +618,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pushdown": q_agg_pushdown,
     "broadcast_join": q_broadcast_join,
     "kg_flagship": q_kg_flagship,
+    "sessionize": q_sessionize,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
+    "kg_incremental": q_kg_incremental,
+    "sparql_topk": q_sparql_topk,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -674,9 +791,9 @@ ORACLES: dict[str, str] = {
         FROM events ORDER BY 1, 2
     """,
     "dispatch_remainder": """
-        SELECT 'http://example.org/event/' || event_type AS g,
+        SELECT 'http://example.org/event/' || event_type || '/g0' AS g,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM events WHERE event_type NOT LIKE 'p%'
+        FROM events WHERE event_type <> 'purchase'
         GROUP BY 1 ORDER BY 1
     """,
     "turn_assembly": """
@@ -1004,3 +1121,85 @@ ORACLES["simhash"] = _simhash_oracle_sql()
 ORACLES["simhash_neardup"] = _simhash_neardup_oracle_sql()
 ORACLES["minhash_dedup"] = _minhash_dedup_oracle_sql()
 ORACLES["kg_flagship"] = _kg_flagship_oracle_sql()
+
+
+ORACLES["kg_incremental"] = ORACLES["kg_flagship"]
+
+ORACLES["sessionize"] = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      FROM g
+    ), per AS (SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM per GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["sparql_topk"] = """
+    SELECT s, total FROM (
+      SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS s,
+             ROUND(SUM(value), 6) AS total, SUM(value) AS raw
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id ORDER BY raw DESC, s LIMIT 40
+    ) ORDER BY s
+"""
+
+
+def _pii_oracle_sql() -> str:
+    from sopspark.text.analysis import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}s"
+        for name, pat, _tok in PII_PATTERNS
+    )
+    red = "t"
+    for _name, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-0199 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.17 now.' AS t
+          FROM documents
+        )
+        SELECT doc_id,
+           {counts},
+           md5({red}) AS red_md5
+        FROM d ORDER BY doc_id
+    """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    counts, case = _langid_case_parts()
+    thr = " ".join(
+        f"WHEN '{k}' THEN {int(v * 2**48)}" for k, v in SAMPLE_RATES.items()
+    )
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+            {counts}
+          FROM (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents)
+        ), l AS (
+          SELECT doc_id, CASE {case} END AS lang_pred FROM c
+        )
+        SELECT doc_id, lang_pred FROM l
+        WHERE {_md5hex48_sql("CAST(doc_id AS VARCHAR)")}
+            < CASE lang_pred {thr} ELSE 0 END
+        ORDER BY doc_id
+    """
+
+
+ORACLES["pii_redact"] = _pii_oracle_sql()
+ORACLES["stratified_sample"] = _stratified_sample_oracle_sql()

@@ -152,3 +152,69 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int =
         )
     )
     return df.withColumn("fingerprints", winnowed)
+
+
+# --- PII redaction ----------------------------------------------------------
+# Patterns chosen to mean the same thing under Java regex (Spark) and RE2
+# (DuckDB oracle): no backrefs, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses and count each kind.
+
+    Pure Catalyst (``regexp_extract_all`` + chained ``regexp_replace``),
+    whole-stage-codegen'd — zero Python, zero shuffles; at 100 TB this is a
+    map-only stage fused into whatever scan feeds it. Counts are taken on
+    the ORIGINAL text; replacements apply in declaration order (email →
+    phone → ip), which is well-defined because the patterns cannot overlap
+    (an email match consumes its digits before the phone/ip pass sees them
+    only in pathological strings — order is part of the operator contract).
+    """
+    t = F.col(text_col)
+    out = df
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}s", F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        )
+    red = t
+    for _name, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn(f"{text_col}_redacted", red)
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+def _md5_unit48(col):
+    """First 48 bits of md5 as an integer in [0, 2^48) — the engine-shared
+    hash idiom (DuckDB replicates it exactly; see queries._md5hex48_sql)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang_pred",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling: keep a row iff
+    ``hash48(id) < rate[stratum] * 2^48``. The mixture knob of a
+    training-data pipeline (e.g. downsample boilerplate languages).
+
+    Scale design: a pure filter — NO shuffle, no RNG state, reproducible
+    across runs/retries/speculative tasks (the hash is a function of the
+    row id only), and pushdown-friendly (Catalyst folds the rate CASE and
+    the threshold comparison into the scan's residual filter).
+    """
+    thresholds = F.create_map(
+        *[x for k, v in rates.items() for x in (F.lit(k), F.lit(int(v * 2**48)))]
+    )
+    thr = F.coalesce(
+        thresholds[F.col(strata_col)], F.lit(int(default_rate * 2**48))
+    )
+    return df.where(_md5_unit48(F.col(id_col)) < thr)

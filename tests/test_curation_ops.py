@@ -1,0 +1,98 @@
+"""Closed-form tests for the round-2 curation/KG operators: sessionize,
+PII redaction, stratified sampling, incremental KG merge."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+def test_sessionize_gap_boundaries(spark):
+    from sopspark.operators.sessionize import session_stats, sessionize
+
+    rows = [
+        # user 1: events at 0, 10, 45, 46 min with 30-min gap → sessions
+        # {0,10}, {45,46}; the 45-min event is 35 min after 10 → new session
+        (1, 1, _ts(0)),
+        (1, 2, _ts(10)),
+        (1, 3, _ts(45)),
+        (1, 4, _ts(46)),
+        # user 2: gap of exactly 30:00 is NOT a break (strict >)
+        (2, 5, _ts(0)),
+        (2, 6, _ts(30)),
+        # user 2: 30:00.000001 after previous IS a break
+        (2, 7, dt.datetime(2024, 1, 1, 1, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    s = sessionize(df, "user_id", "ts", order_col="event_id", gap_seconds=1800)
+    got = {r["event_id"]: r["session_ord"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 2}
+
+    stats = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in session_stats(df, "user_id", "ts", order_col="event_id").collect()
+    }
+    assert stats == {1: (2, 4, 2), 2: (2, 3, 2)}
+
+
+def test_redact_pii_counts_and_text(spark):
+    from sopspark.text.analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org, call +441-123-4567 at 10.0.0.1"),
+            (2, "no pii here, 1234-567-8901 is too long a prefix but matches tail"),
+            (3, "999.999.999.999 still matches the ip shape"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (2, 1, 1)
+    assert out[1]["text_redacted"] == "mail <EMAIL> and <EMAIL>, call <PHONE> at <IP>"
+    # '234-567-8901' inside a longer digit run still matches (documented:
+    # patterns are unanchored shapes, not validators)
+    assert out[2]["n_phones"] == 1
+    assert out[3]["n_ips"] == 1
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from sopspark.text.analysis import stratified_sample
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("und").alias("lang_pred"),
+    )
+    rates = {"en": 0.5, "und": 0.0}
+    a = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    assert a == b, "hash sampling must be reproducible"
+    assert all(x % 2 == 0 for x in a), "und stratum rate 0 → dropped"
+    # Bernoulli(0.5) over 2000 'en' docs: expect ~1000 ± 5σ
+    assert 800 <= len(a) <= 1200
+
+
+def test_merge_incremental_idempotent(spark):
+    from sopspark.kg.canon import merge_incremental
+
+    base = spark.createDataFrame(
+        [("a", "p", "1"), ("b", "p", "2")], "s string, p string, o string"
+    )
+    batch = spark.createDataFrame(
+        [("b", "p", "2"), ("c", "p", "3")], "s string, p string, o string"
+    )
+    once = merge_incremental(base, batch)
+    assert sorted(tuple(r) for r in once.collect()) == [
+        ("a", "p", "1"),
+        ("b", "p", "2"),
+        ("c", "p", "3"),
+    ]
+    # re-delivering the same batch changes nothing
+    twice = merge_incremental(once, batch)
+    assert sorted(tuple(r) for r in twice.collect()) == sorted(
+        tuple(r) for r in once.collect()
+    )
