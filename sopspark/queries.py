@@ -590,6 +590,20 @@ def q_sparql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s")
 
 
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k=5-gram rolling hash, window 4)
+    on the engine-shared md5 hash — exploded to (doc_id, fp) rows so the
+    DuckDB oracle verifies the exact fingerprint sets."""
+    from sopspark.text.analysis import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = fingerprint(docs, k=5, window=4, hash_fn="md5")
+    return (
+        fp.select("doc_id", F.explode("fingerprints").alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -623,6 +637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "kg_incremental": q_kg_incremental,
     "sparql_topk": q_sparql_topk,
+    "fingerprint": q_fingerprint,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1203,3 +1218,28 @@ def _stratified_sample_oracle_sql() -> str:
 
 ORACLES["pii_redact"] = _pii_oracle_sql()
 ORACLES["stratified_sample"] = _stratified_sample_oracle_sql()
+
+
+def _fingerprint_oracle_sql(k: int = 5, window: int = 4) -> str:
+    # NB: outer lambda vars must not be named `i` — _md5hex48_sql's inner
+    # list_transform binds `i` for the hex lanes and would shadow them.
+    g = _md5hex48_sql(f"array_to_string(t[gi:gi+{k - 1}], ' ')")
+    g1 = _md5hex48_sql("array_to_string(t, ' ')")
+    return f"""
+        WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+                    FROM documents),
+        gr AS (SELECT doc_id,
+                 CASE WHEN len(t) >= {k}
+                      THEN list_transform(range(1, len(t) - {k} + 2), gi -> {g})
+                      ELSE [{g1}] END AS grams
+               FROM tk),
+        wn AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, GREATEST(len(grams) - {window}, 0) + 2),
+                   wj -> list_min(grams[wj:wj+{window - 1}]))) AS fps
+               FROM gr)
+        SELECT doc_id, unnest(fps) AS fp FROM wn ORDER BY doc_id, fp
+    """
+
+
+ORACLES["fingerprint"] = _fingerprint_oracle_sql()

@@ -132,19 +132,32 @@ def curate_documents(
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5, window: int = 4) -> DataFrame:
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Winnowing-style document fingerprint: k-gram rolling hashes → min
     hash per sliding window → distinct fingerprint set, all Catalyst array
-    ops. Deterministic; robust to small edits."""
+    ops. Deterministic; robust to small edits. hash_fn="md5" selects the
+    48-bit engine-shared hash (DuckDB-replicable oracle path)."""
+    if hash_fn == "md5":
+        from sopspark.text.dedup import md5_hash48
+
+        h = md5_hash48
+    else:
+        h = F.xxhash64
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.size(toks)
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    ).otherwise(F.array(h(F.concat_ws(" ", toks))))
     winnowed = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
