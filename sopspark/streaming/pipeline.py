@@ -140,3 +140,37 @@ def stream_link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFram
     from sopspark.kg.link import link_entities
 
     return link_entities(mentions, alias_dict)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time sessionization via native session windows: per-actor
+    sessions close after ``gap`` of event-time silence, with the watermark
+    bounding state (a session whose end falls behind the watermark is
+    finalized and evicted from the state store).
+
+    The streaming twin of :func:`sopspark.operators.sessionize.sessionize`:
+    that one numbers sessions ordinally over bounded history; this one
+    emits (actor, session_start, session_end, n_events) incrementally over
+    an unbounded stream — merging windows state-side, one shuffle on the
+    actor key. Works on batch frames too (the watermark is a no-op there),
+    which is how the test pins it against the batch operator's sessions.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.col(actor_col), F.session_window(F.col(ts_col), gap).alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            actor_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

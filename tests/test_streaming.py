@@ -130,3 +130,48 @@ def test_stream_kg_extraction_end_to_end(spark, tmp_path):
     preds = {p for _, p, _ in got}
     assert any(p.endswith("knows") for p in preds)
     assert any(p.endswith("worksAt") for p in preds)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window sessionization (streaming path, availableNow) agrees
+    with the batch gap-ordinal operator on session count and sizes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sopspark.operators.sessionize import session_stats
+    from sopspark.streaming.pipeline import streaming_sessionize
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0)),
+        (1, 2, dt.datetime(2024, 1, 1, 0, 10)),
+        (1, 3, dt.datetime(2024, 1, 1, 0, 45)),
+        (2, 4, dt.datetime(2024, 1, 1, 0, 0)),
+    ]
+    schema = "user_id long, event_id long, ts timestamp"
+    batch = spark.createDataFrame(rows, schema)
+
+    pq = str(tmp_path / "events_pq")
+    batch.write.parquet(pq)
+    stream = spark.readStream.schema(schema).parquet(pq)
+    q = (
+        streaming_sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("select * from sess_sink").collect()
+    }
+    # user 1: {00:00,00:10} then {00:45} (35-min gap splits); user 2: {00:00}
+    assert got == {(1, 2), (1, 1), (2, 1)}
+
+    stats = {
+        r["user_id"]: (r["n_sessions"], r["max_session_events"])
+        for r in session_stats(batch, gap_seconds=1800, order_col="event_id").collect()
+    }
+    assert stats == {1: (2, 2), 2: (1, 1)}
