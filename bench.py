@@ -63,6 +63,7 @@ def main() -> None:
     OPERATOR_BENCHES = (
         "filter_expr", "map_expr", "dedup", "turn_assembly", "agg_pushdown",
         "broadcast_join", "minhash_dedup", "simhash_neardup", "docs_curation",
+        "sessionize", "stratified_sample", "pii_redact",
     )
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage
