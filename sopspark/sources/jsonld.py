@@ -1,9 +1,12 @@
 """JSON-LD subset parser (``sop parse -f jsonld``, ``src/parse.rs:289-349``).
 
 Subset: inline ``@context`` with prefix / term→IRI mappings (string values
-and ``{"@id": ..., "@type": "@id"}`` definitions), node objects with
-``@id``/``@type``, nested node objects (blank nodes when unnamed), value
-objects (``@value``/``@language``/``@type``), arrays, top-level ``@graph``.
+and ``{"@id": ..., "@type": "@id"}`` definitions), ``@vocab`` / ``@base``,
+node objects with ``@id``/``@type``, nested node objects (blank nodes when
+unnamed), value objects (``@value``/``@language``/``@type``), arrays,
+``@list`` (value form and ``"@container": "@list"`` terms → rdf:first/rest
+chains), ``@reverse`` (both the node key and reverse term definitions),
+top-level ``@graph``.
 
 Remote contexts (string / list ``@context`` values) resolve through a
 :class:`ContextLoader` — the reference's ``-l DIR`` FsLoader cache
@@ -95,14 +98,25 @@ class _Ctx:
     ):
         self.terms: dict[str, dict] = dict(parent.terms) if parent else {}
         self.loader = loader if loader is not None else (parent.loader if parent else None)
+        self.vocab: str | None = parent.vocab if parent else None
+        self.base: str | None = parent.base if parent else None
         for m in self._resolve(mapping, frozenset()):
             for k, v in m.items():
+                if k == "@vocab":
+                    self.vocab = v  # None clears it (JSON-LD 1.1 §4.1.3)
+                    continue
+                if k == "@base":
+                    self.base = v
+                    continue
                 if k.startswith("@"):
                     continue
                 if isinstance(v, str):
                     self.terms[k] = {"@id": v}
-                elif isinstance(v, dict) and "@id" in v:
-                    self.terms[k] = v
+                elif isinstance(v, dict) and ("@id" in v or "@reverse" in v):
+                    if "@reverse" in v and "@id" not in v:
+                        self.terms[k] = {**v, "@id": v["@reverse"], "@is_reverse": True}
+                    else:
+                        self.terms[k] = v
 
     def _resolve(self, mapping, seen: frozenset) -> list[dict]:
         """@context value (dict | IRI string | list | None) → mapping dicts
@@ -124,6 +138,7 @@ class _Ctx:
         return out
 
     def expand(self, term: str) -> str | None:
+        """Vocab-mapped expansion (predicates / @type values)."""
         if term in self.terms:
             return self.terms[term]["@id"]
         if ":" in term:
@@ -132,10 +147,35 @@ class _Ctx:
                 return self.terms[pfx]["@id"] + local
             if _ABS.match(term):
                 return term
+        elif self.vocab:
+            return self.vocab + term
         return None
+
+    def expand_id(self, ref: str) -> str:
+        """Base-resolved expansion (@id values): relative refs resolve
+        against @base, NOT @vocab (JSON-LD 1.1 §4.1.2 vs §4.1.3)."""
+        if ref in self.terms:
+            return self.terms[ref]["@id"]
+        if ":" in ref:
+            pfx, _, local = ref.partition(":")
+            if pfx in self.terms:
+                return self.terms[pfx]["@id"] + local
+            if _ABS.match(ref):
+                return ref
+        if self.base:
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, ref)
+        return ref
 
     def is_id_term(self, term: str) -> bool:
         return self.terms.get(term, {}).get("@type") == "@id"
+
+    def is_list_term(self, term: str) -> bool:
+        return self.terms.get(term, {}).get("@container") == "@list"
+
+    def is_reverse_term(self, term: str) -> bool:
+        return bool(self.terms.get(term, {}).get("@is_reverse"))
 
 
 class _Parser:
@@ -154,7 +194,19 @@ class _Parser:
             return self.fresh()
         if nid.startswith("_:"):
             return (BNODE, nid[2:], None, None)
-        return (IRI, ctx.expand(nid) or nid, None, None)
+        return (IRI, ctx.expand_id(nid), None, None)
+
+    def build_list(self, items: list, ctx: "_Ctx") -> tuple:
+        """``@list`` array → rdf:first/rest cons chain; returns the head
+        (rdf:nil for an empty list)."""
+        prev: tuple = (IRI, RDF_NS + "nil", None, None)
+        objs = [self.value_object(it, ctx) for it in items]
+        for obj in reversed([o for o in objs if o is not None]):
+            cell = self.fresh()
+            self.quads.append((cell, (IRI, RDF_NS + "first", None, None), obj, self.graph))
+            self.quads.append((cell, (IRI, RDF_NS + "rest", None, None), prev, self.graph))
+            prev = cell
+        return prev
 
     def parse_node(self, node: dict, ctx: _Ctx) -> tuple:
         if "@context" in node:
@@ -177,20 +229,47 @@ class _Parser:
                     self.parse_node(child, ctx)
                 self.graph = prev
                 continue
+            if key == "@reverse":
+                # {"@reverse": {pred: nodes}} — emitted (obj, pred, subj)
+                for rkey, rval in value.items():
+                    r_iri = ctx.expand(rkey)
+                    if r_iri is None:
+                        continue
+                    rpred = (IRI, r_iri, None, None)
+                    for v in rval if isinstance(rval, list) else [rval]:
+                        obj = self.value_object(v, ctx, id_coercion=True)
+                        if obj is not None:
+                            self.quads.append((obj, rpred, subj, self.graph))
+                continue
             if key.startswith("@"):
                 continue
             pred_iri = ctx.expand(key)
             if pred_iri is None:
                 continue  # non-IRI-mapped keys are dropped (expansion rule)
             pred = (IRI, pred_iri, None, None)
+            if ctx.is_list_term(key):
+                # "@container": "@list" — the whole array is ONE list value
+                items = value if isinstance(value, list) else [value]
+                self.quads.append((subj, pred, self.build_list(items, ctx), self.graph))
+                continue
+            reverse = ctx.is_reverse_term(key)
             for v in value if isinstance(value, list) else [value]:
-                obj = self.value_object(v, ctx, id_coercion=ctx.is_id_term(key))
+                obj = self.value_object(
+                    v, ctx, id_coercion=reverse or ctx.is_id_term(key)
+                )
                 if obj is not None:
-                    self.quads.append((subj, pred, obj, self.graph))
+                    if reverse:
+                        self.quads.append((obj, pred, subj, self.graph))
+                    else:
+                        self.quads.append((subj, pred, obj, self.graph))
         return subj
 
     def value_object(self, v, ctx: _Ctx, id_coercion: bool = False):
         if isinstance(v, dict):
+            if "@list" in v:
+                return self.build_list(
+                    v["@list"] if isinstance(v["@list"], list) else [v["@list"]], ctx
+                )
             if "@value" in v:
                 val = v["@value"]
                 if isinstance(val, bool):
@@ -205,7 +284,7 @@ class _Parser:
                 nid = v["@id"]
                 if nid.startswith("_:"):
                     return (BNODE, nid[2:], None, None)
-                return (IRI, ctx.expand(nid) or nid, None, None)
+                return (IRI, ctx.expand_id(nid), None, None)
             return self.parse_node(v, ctx)  # nested node object
         if isinstance(v, bool):
             return (LITERAL, "true" if v else "false", XSD + "boolean", None)
@@ -215,7 +294,9 @@ class _Parser:
             return (LITERAL, str(v), XSD + "double", None)
         if isinstance(v, str):
             if id_coercion:
-                return (IRI, ctx.expand(v) or v, None, None)
+                if v.startswith("_:"):
+                    return (BNODE, v[2:], None, None)
+                return (IRI, ctx.expand_id(v), None, None)
             return (LITERAL, v, None, None)
         return None
 

@@ -153,3 +153,51 @@ ex:age:
     bad.write_text("@id: [unclosed")
     df2 = parse_yamlld(spark, str(bad))
     assert df2.where("err is not null").count() == 1
+
+
+def test_jsonld_vocab_base_list_reverse():
+    """JSON-LD 1.1: @vocab (property/type expansion), @base (relative @id),
+    @list (both value form and @container: @list), @reverse (node key and
+    reverse term definitions)."""
+    from sopspark.terms import RDF_NS
+
+    doc = """
+    {
+      "@context": {
+        "@vocab": "http://schema.example/",
+        "@base": "http://base.example/dir/",
+        "steps": {"@id": "http://schema.example/steps", "@container": "@list"},
+        "childOf": {"@reverse": "http://schema.example/parentOf"}
+      },
+      "@id": "thing1",
+      "name": "Widget",
+      "inline": {"@list": ["a", "b"]},
+      "steps": [1, 2],
+      "childOf": {"@id": "thing2"},
+      "@reverse": {"made": {"@id": "factory"}}
+    }
+    """
+    quads = parse_jsonld_text(doc)
+    spo = {(s[1], p[1], o[1]) for s, p, o, g in quads}
+    S = "http://schema.example/"
+    # @base resolves the relative @id; @vocab expands bare property names
+    assert (f"http://base.example/dir/thing1", S + "name", "Widget") in spo
+    # @reverse node key: (factory, made, thing1)
+    assert ("http://base.example/dir/factory", S + "made",
+            "http://base.example/dir/thing1") in spo
+    # reverse term definition: childOf emits (thing2, parentOf, thing1)
+    assert ("http://base.example/dir/thing2", S + "parentOf",
+            "http://base.example/dir/thing1") in spo
+    # both lists are rdf:first/rest chains terminated by rdf:nil
+    firsts = sorted(o[1] for s, p, o, g in quads if p[1] == RDF_NS + "first")
+    assert firsts == ["1", "2", "a", "b"]
+    rests = [o for s, p, o, g in quads if p[1] == RDF_NS + "rest"]
+    assert sum(1 for o in rests if o[1] == RDF_NS + "nil") == 2
+    # list order: head cell of "steps" has first=1, and its rest's first=2
+    by_subj = {}
+    for s, p, o, g in quads:
+        by_subj.setdefault(s[1], {})[p[1]] = o
+    steps_head = next(o for s, p, o, g in quads if p[1] == S + "steps")
+    cell = by_subj[steps_head[1]]
+    assert cell[RDF_NS + "first"][1] == "1"
+    assert by_subj[cell[RDF_NS + "rest"][1]][RDF_NS + "first"][1] == "2"
