@@ -3,8 +3,10 @@
 Subset: ``rdf:RDF`` root (or a single description), ``rdf:Description`` and
 typed node elements, ``rdf:about`` / ``rdf:ID`` / ``rdf:nodeID``, property
 elements with ``rdf:resource`` / ``rdf:nodeID`` / literal content / nested
-descriptions / ``rdf:parseType="Resource"``, ``rdf:datatype``, ``xml:lang``
-(inherited), property attributes on node elements. Per-file parallelism
+descriptions / ``rdf:parseType="Resource"/"Collection"/"Literal"``,
+``rdf:li`` container membership (→ ``rdf:_N``), ``rdf:datatype``,
+``xml:lang`` (inherited), ``xml:base`` on the root, property attributes on
+node elements. Per-file parallelism
 like the other document formats.
 """
 
@@ -23,6 +25,7 @@ from sopspark.terms import BNODE, IRI, LITERAL, RDF_NS, XSD_STRING
 
 RDF = "{" + RDF_NS + "}"
 XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+XML_BASE = "{http://www.w3.org/XML/1998/namespace}base"
 RDF_TYPE = RDF_NS + "type"
 
 
@@ -75,13 +78,20 @@ class _Parser:
             if attr.startswith(RDF) or attr == XML_LANG or not attr.startswith("{"):
                 continue
             self.quads.append((subj, (IRI, _expand(attr), None, None), (LITERAL, val, None, lang), None))
+        li_n = 0
         for prop in el:
-            self.parse_property(subj, prop, lang)
+            if _expand(prop.tag) == RDF_NS + "li":
+                li_n += 1
+                self.parse_property(subj, prop, lang, pred_iri=f"{RDF_NS}_{li_n}")
+            else:
+                self.parse_property(subj, prop, lang)
         return subj
 
-    def parse_property(self, subj: tuple, prop: ET.Element, lang: str | None):
+    def parse_property(
+        self, subj: tuple, prop: ET.Element, lang: str | None, pred_iri: str | None = None
+    ):
         lang = prop.get(XML_LANG, lang)
-        pred = (IRI, _expand(prop.tag), None, None)
+        pred = (IRI, pred_iri or _expand(prop.tag), None, None)
         res = prop.get(RDF + "resource")
         nid = prop.get(RDF + "nodeID")
         dt = prop.get(RDF + "datatype")
@@ -96,6 +106,27 @@ class _Parser:
             self.quads.append((subj, pred, inner, None))
             for sub in children:
                 self.parse_property(inner, sub, lang)
+        elif ptype == "Collection":
+            # children are node elements forming an rdf:first/rest chain
+            nodes = [self.parse_node(c, lang) for c in children]
+            prev: tuple = (IRI, RDF_NS + "nil", None, None)
+            cells = []
+            for node in nodes:
+                cells.append(self.fresh())
+            for cell, node in zip(reversed(cells), reversed(nodes)):
+                self.quads.append((cell, (IRI, RDF_NS + "first", None, None), node, None))
+                self.quads.append((cell, (IRI, RDF_NS + "rest", None, None), prev, None))
+                prev = cell
+            self.quads.append((subj, pred, prev, None))
+        elif ptype == "Literal":
+            # inner XML verbatim as rdf:XMLLiteral (exclusive c14n of the
+            # fragment is out of scope; the lexical form is the raw markup)
+            xml = (prop.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            self.quads.append(
+                (subj, pred, (LITERAL, xml, RDF_NS + "XMLLiteral", None), None)
+            )
         elif children:
             obj = self.parse_node(children[0], lang)
             self.quads.append((subj, pred, obj, None))
@@ -112,7 +143,7 @@ def parse_rdfxml_text(text: str, base: str | None = None) -> list[tuple]:
         root = ET.fromstring(text)
     except ET.ParseError as e:
         raise RdfXmlError(str(e)) from e
-    p = _Parser(base)
+    p = _Parser(root.get(XML_BASE, base))
     if _expand(root.tag) == RDF_NS + "RDF":
         for el in root:
             p.parse_node(el, root.get(XML_LANG))

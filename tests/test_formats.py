@@ -201,3 +201,44 @@ def test_jsonld_vocab_base_list_reverse():
     cell = by_subj[steps_head[1]]
     assert cell[RDF_NS + "first"][1] == "1"
     assert by_subj[cell[RDF_NS + "rest"][1]][RDF_NS + "first"][1] == "2"
+
+
+def test_rdfxml_collection_li_literal_base():
+    """RDF/XML: parseType=Collection (rdf list), rdf:li (rdf:_N),
+    parseType=Literal (rdf:XMLLiteral), xml:base on the root."""
+    from sopspark.sources.rdfxml import parse_rdfxml_text
+    from sopspark.terms import RDF_NS
+
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.example/" xml:base="http://base.example/">
+  <rdf:Description rdf:about="seq">
+    <ex:items rdf:parseType="Collection">
+      <rdf:Description rdf:about="a"/>
+      <rdf:Description rdf:about="b"/>
+    </ex:items>
+    <rdf:li>one</rdf:li>
+    <rdf:li>two</rdf:li>
+    <ex:markup rdf:parseType="Literal">pre<b>bold</b></ex:markup>
+  </rdf:Description>
+</rdf:RDF>"""
+    quads = parse_rdfxml_text(doc)
+    spo = {(s[1], p[1], (o[1], o[2])) for s, p, o, g in quads}
+    # xml:base resolves rdf:about
+    assert any(s == "http://base.example/seq" for s, p, o in spo)
+    # rdf:li numbering
+    assert ("http://base.example/seq", RDF_NS + "_1", ("one", None)) in spo
+    assert ("http://base.example/seq", RDF_NS + "_2", ("two", None)) in spo
+    # XMLLiteral keeps the markup verbatim
+    assert ("http://base.example/seq", "http://ex.example/markup",
+            ("pre<b>bold</b>", RDF_NS + "XMLLiteral")) in spo
+    # the collection is a well-formed ordered chain: a then b then nil
+    by_subj = {}
+    for s, p, o, g in quads:
+        by_subj.setdefault(s[1], {})[p[1]] = o
+    head = next(o for s, p, o, g in quads if p[1] == "http://ex.example/items")
+    c1 = by_subj[head[1]]
+    assert c1[RDF_NS + "first"][1] == "http://base.example/a"
+    c2 = by_subj[c1[RDF_NS + "rest"][1]]
+    assert c2[RDF_NS + "first"][1] == "http://base.example/b"
+    assert c2[RDF_NS + "rest"][1] == RDF_NS + "nil"
