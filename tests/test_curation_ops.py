@@ -96,3 +96,56 @@ def test_merge_incremental_idempotent(spark):
     assert sorted(tuple(r) for r in twice.collect()) == sorted(
         tuple(r) for r in once.collect()
     )
+
+
+def test_sessionize_matches_reference_model(spark):
+    """Property check against a pure-Python reference model on drawn
+    event sets (one Spark job per example, few examples)."""
+    import random
+
+    from sopspark.operators.sessionize import sessionize
+
+    rng = random.Random(7)
+    for _ in range(4):
+        rows = []
+        eid = 0
+        for user in range(1, 4):
+            t = 0
+            for _e in range(rng.randint(0, 12)):
+                t += rng.choice([1, 60, 1799, 1800, 1801, 4000])
+                rows.append((user, eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t)))
+                eid += 1
+        if not rows:
+            continue
+        # reference: per user in (ts, event_id) order, bump on gap > 1800 s
+        expect = {}
+        by_user = {}
+        for u, e, ts in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+            prev, ord_ = by_user.get(u, (None, 0))
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                ord_ += 1
+            by_user[u] = (ts, ord_)
+            expect[e] = ord_
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+        got = {
+            r["event_id"]: r["session_ord"]
+            for r in sessionize(df, "user_id", "ts", order_col="event_id").collect()
+        }
+        assert got == expect
+
+
+def test_stratified_sample_monotone_in_rate(spark):
+    """A stratum's sample at rate r is a subset of its sample at rate
+    r' > r (hash thresholding ⇒ nested samples — the property that makes
+    rate changes incremental rather than a reshuffle of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from sopspark.text.analysis import stratified_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang_pred")
+    )
+    small = {r["doc_id"] for r in stratified_sample(df, {"en": 0.3}).collect()}
+    big = {r["doc_id"] for r in stratified_sample(df, {"en": 0.6}).collect()}
+    assert small <= big
+    assert len(small) < len(big)
