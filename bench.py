@@ -60,17 +60,47 @@ def main() -> None:
 
     from sopspark.queries import QUERIES
 
-    OPERATOR_BENCHES = (
-        "filter_expr", "map_expr", "dedup", "turn_assembly", "agg_pushdown",
-        "broadcast_join", "minhash_dedup", "simhash_neardup", "docs_curation",
-        "sessionize", "stratified_sample", "pii_redact",
-    )
+    # Hash-variant policy: the headline minhash_dedup / simhash_neardup rows
+    # time the xxhash64 fast path (the library default, comparable 1:1 with
+    # BENCH_r01); the md5 engine-shared variants that the DuckDB oracles pin
+    # are benched separately as *_md5 so round-over-round numbers compare
+    # like with like.
+    def _minhash_fast(spark, d):
+        from pyspark.sql import functions as F
+        from sopspark.text.dedup import minhash_dedup
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return minhash_dedup(docs, num_perm=16, bands=4, threshold=0.7, hash_fn="xxhash64")
+
+    def _simhash_neardup_fast(spark, d):
+        from sopspark.text.dedup import simhash_near_dup_pairs
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return simhash_near_dup_pairs(docs, max_hamming=3, bits=64, hash_fn="xxhash64")
+
+    OPERATOR_BENCHES: dict = {
+        "filter_expr": QUERIES["filter_expr"],
+        "map_expr": QUERIES["map_expr"],
+        "dedup": QUERIES["dedup"],
+        "turn_assembly": QUERIES["turn_assembly"],
+        "agg_pushdown": QUERIES["agg_pushdown"],
+        "broadcast_join": QUERIES["broadcast_join"],
+        "minhash_dedup": _minhash_fast,
+        "minhash_dedup_md5": QUERIES["minhash_dedup"],
+        "simhash_neardup": _simhash_neardup_fast,
+        "simhash_neardup_md5": QUERIES["simhash_neardup"],
+        "docs_curation": QUERIES["docs_curation"],
+        "fingerprint": QUERIES["fingerprint"],
+        "sessionize": QUERIES["sessionize"],
+        "stratified_sample": QUERIES["stratified_sample"],
+        "pii_redact": QUERIES["pii_redact"],
+    }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage
     # codegen compilation (~3-5 s cold) doesn't land inside the timed spans
     kg_throughput(spark, n_convs=100)
-    for name in OPERATOR_BENCHES:
-        QUERIES[name](spark, sf_dir).limit(1).count()
+    for fn in OPERATOR_BENCHES.values():
+        fn(spark, sf_dir).limit(1).count()
 
     timings: dict[str, float] = {}
 
@@ -89,8 +119,7 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_wall, 3)
 
     # operator benches over the sf tables (warm, best-of-reps)
-    for name in OPERATOR_BENCHES:
-        fn = QUERIES[name]
+    for name, fn in OPERATOR_BENCHES.items():
         walls = []
         for _ in range(reps):
             t0 = time.time()

@@ -158,13 +158,22 @@ def fingerprint(
             lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ),
     ).otherwise(F.array(h(F.concat_ws(" ", toks))))
+    # Materialize the gram-hash array in its OWN projection before winnowing.
+    # Inlining `grams` into the window-min transform nests two higher-order
+    # functions, and lambda bodies are evaluated interpreted with no CSE
+    # against the outer scope — every sliding-window slot re-hashed every
+    # gram (O(n²) md5/xxhash per row; 112 s for 500 docs at sf0.01).  As a
+    # named column referenced more than once below, CollapseProject keeps
+    # the projection separate, so each gram is hashed exactly once.
+    gdf = df.withColumn("_grams", grams)
+    g = F.col("_grams")
     winnowed = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
-            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+            F.sequence(F.lit(0), F.greatest(F.size(g) - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(g, i + 1, window)),
         )
     )
-    return df.withColumn("fingerprints", winnowed)
+    return gdf.withColumn("fingerprints", winnowed).drop("_grams")
 
 
 # --- PII redaction ----------------------------------------------------------

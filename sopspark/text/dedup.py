@@ -122,9 +122,14 @@ def minhash_signatures(
     hash_fn="xxhash64" (default, fast JVM path) or "md5" (DuckDB-replicable
     universal-hash lanes — the oracle-verified variant).
     """
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # size(shingles) > 0 filter that re-inlines the whole shingle HOF
+    # expression (2x the scan-side compute). The shingle array is never
+    # empty (the otherwise-branch yields a 1-element array), so outer is
+    # value-identical; the cheap isNotNull guard covers null-text rows.
     shingled = _spread_for_explode(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_s")
-    )
+        F.col(id_col), F.explode_outer(_word_shingles(text_col, shingle_k)).alias("_s")
+    ).where(F.col("_s").isNotNull())
     if hash_fn == "md5":
         base = (md5_hash48(F.col("_s")) % MERSENNE31).alias("_h")
         params = lane_params(num_perm)
@@ -169,9 +174,12 @@ def minhash_lsh_pairs(
             return md5_hash48(F.concat_ws(",", *[s.cast("string") for s in slots]))
         return F.xxhash64(*slots)
 
+    # explode_outer: the band array is a literal CreateArray (never empty),
+    # and the inferred size()>0 filter under a plain explode would duplicate
+    # every band-hash expression into the filter.
     banded = rows.select(
         "_id",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
@@ -265,9 +273,11 @@ def simhash(
     hash_fn="md5" uses the 48-bit engine-shared hash (set bits=48 with it)
     so the DuckDB oracle can replicate the fingerprint bit-for-bit."""
     tok_hash = md5_hash48(F.col("_t")) if hash_fn == "md5" else F.xxhash64("_t")
+    # explode_outer + isNotNull: split() never yields an empty array, and the
+    # inferred size()>0 filter under plain explode would re-run the tokenize.
     toks = _spread_for_explode(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
-    ).withColumn("_h", tok_hash)
+        F.col(id_col), F.explode_outer(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t")
+    ).where(F.col("_t").isNotNull()).withColumn("_h", tok_hash)
 
     def bit(i: int):
         return F.shiftleft(F.lit(1).cast("bigint"), i)
@@ -321,10 +331,12 @@ def simhash_hamming_pairs(
         mask = -1 if size >= 64 else (1 << size) - 1  # -1 = all 64 bits (2^64-1 overflows long)
         return F.shiftrightunsigned("fingerprint", lo).bitwiseAND(F.lit(mask).cast("bigint"))
 
+    # explode_outer: literal band array is never empty; avoids the inferred
+    # size()>0 filter duplicating the band-key expressions.
     banded = fp.select(
         id_col,
         "fingerprint",
-        F.explode(
+        F.explode_outer(
             F.array(*[F.struct(F.lit(i).alias("band"), band_key(i).alias("bits")) for i in range(bands)])
         ).alias("_bk"),
     ).select(id_col, "fingerprint", F.col("_bk.band").alias("band"), F.col("_bk.bits").alias("bits"))

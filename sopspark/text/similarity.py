@@ -225,8 +225,11 @@ def _assign_lists(df: DataFrame, out_id: str, vec_col: str, cent, n: int) -> Dat
         _norm_col(F.transform(F.col("_vec_"), lambda x: x.cast("double"))).alias("_n"),
     )
     if len(cent) <= _CENTROID_LITERAL_MAX:
+        # explode_outer: the nearest-centroid list is never empty (>=1
+        # centroid), and plain explode's inferred size()>0 filter would
+        # duplicate every centroid dot product into the filter.
         return base.withColumn(
-            "_list", F.explode(_nearest_centroids(F.col("_v"), cent, n))
+            "_list", F.explode_outer(_nearest_centroids(F.col("_v"), cent, n))
         )
     spark = df.sparkSession
     cdf = spark.createDataFrame(
