@@ -56,9 +56,13 @@ def _stage_parser(name: str) -> argparse.ArgumentParser:
         p.add_argument("file", nargs="?", default="-")
         p.add_argument("-f", "--format", default=None)
         p.add_argument("-b", "--base", default=None)
-        # -g with no value names the graph after the source (parse.rs:79-80);
-        # -g IRI is the explicit-name convenience this CLI also accepts
-        p.add_argument("-g", "--named-graph", dest="graph", nargs="?", const=True, default=None)
+        # -g is flag-only like the reference (parse.rs:79-80): name the
+        # default graph after the source IRI. A value-taking -g before the
+        # positional file would swallow the filename (`parse -g f.nt` →
+        # graph=f.nt, file=stdin, blocked read); the explicit-IRI
+        # convenience lives on -G/--graph-iri instead.
+        p.add_argument("-g", "--named-graph", dest="graph", action="store_true", default=False)
+        p.add_argument("-G", "--graph-iri", dest="graph_iri", default=None)
         p.add_argument("-m", "--multiple", nargs="*", default=None)
         # relativize parsed IRIs against the source IRI (parse.rs:86-91);
         # bare -r means parents=0
@@ -147,7 +151,7 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
 
                 paths = [a for a in args.multiple if a != "m-"]
                 # bare -g: each source's default graph gets the source IRI
-                per_src = iri_col(F.col("src")) if args.graph is True else None
+                per_src = iri_col(F.col("src")) if args.graph else None
                 df = parse_ntriples(
                     spark, paths, scope_bnodes_per_file=True, default_graph_name=per_src
                 )
@@ -198,10 +202,10 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     src_iri = args.file
                 elif args.file != "-":
                     src_iri = "file://" + os.path.abspath(args.file)
-            if args.graph and args.multiple is None:
+            if (args.graph or args.graph_iri) and args.multiple is None:
                 from pyspark.sql import functions as F
 
-                name = src_iri if args.graph is True else args.graph
+                name = args.graph_iri if args.graph_iri else src_iri
                 df = df.withColumn(
                     "g", F.when(F.col("g").isNull(), iri_col(name)).otherwise(F.col("g"))
                 )
@@ -274,7 +278,9 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 else:
                     print('<?xml version="1.0" encoding="utf-8"?>')
                     print('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">')
-                    for r in to_rdfxml_blocks(df).orderBy("sort_key").collect():
+                    # toLocalIterator: one partition in driver memory at a
+                    # time — the stdout path stays bounded on huge graphs
+                    for r in to_rdfxml_blocks(df).orderBy("sort_key").toLocalIterator():
                         print(r.block)
                     print("</rdf:RDF>")
             elif args.format in ("ttl", "turtle", "trig"):
@@ -297,8 +303,13 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     blocks_fn = to_turtle_plain_blocks
                 write_fn = serialize_turtle if args.format != "trig" else serialize_trig
                 if args.output:
-                    # CLI -o mirrors the reference's single output stream
-                    write_fn(df, args.output, prefixes=prefixes, single_file=True)
+                    # CLI -o mirrors the reference's single output stream;
+                    # -P/--no-pretty applies to file sinks too (the
+                    # reference's serializer options are sink-independent)
+                    kw = {"prefixes": prefixes, "single_file": True}
+                    if args.format != "trig":
+                        kw["pretty"] = not args.no_pretty
+                    write_fn(df, args.output, **kw)
                 else:
                     for p_, ns in sorted(prefixes.items()):
                         print(f"@prefix {p_}: <{ns}> .")
@@ -375,7 +386,8 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     )
                     if not args.no_header:
                         print("\t".join("?" + v for v in res.variables))
-                    for row in out.collect():
+                    # toLocalIterator: bounded driver memory for big SELECTs
+                    for row in out.toLocalIterator():
                         print("\t".join(row[v] if row[v] is not None else "" for v in res.variables))
                     terminal = True
         elif name == "dispatch":

@@ -368,6 +368,37 @@ def _compile(n: Node, env: dict[str, Column], rd: bool) -> Column:
     raise ExprError(f"unknown op {op}")
 
 
+_NOW_STACK: list[str] = []
+
+
+def _fresh_now() -> str:
+    pin = os.environ.get("SOPSPARK_NOW")
+    if pin is None:
+        pin = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    return pin
+
+
+def _now_pin() -> str:
+    """The query-execution instant: the enclosing now_scope's pin, or a
+    fresh instant for a bare expression compiled outside any scope."""
+    return _NOW_STACK[-1] if _NOW_STACK else _fresh_now()
+
+
+class now_scope:
+    """Context manager pinning ONE instant for every NOW() occurrence
+    compiled inside it (SPARQL 17.4.5.1's single query-execution instant).
+    Re-entrant: nested scopes inherit the outermost pin so a sub-expression
+    compile inside a query never re-samples the clock."""
+
+    def __enter__(self):
+        _NOW_STACK.append(_NOW_STACK[-1] if _NOW_STACK else _fresh_now())
+        return self
+
+    def __exit__(self, *exc):
+        _NOW_STACK.pop()
+        return False
+
+
 def _call(name: str, args: list[Column], rd: bool) -> Column:
     n = name.lower()
     if n == "coalesce":
@@ -541,13 +572,11 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
         )
     if n == "now":
         # SPARQL 17.4.5.1: NOW() is one fixed instant for the whole query
-        # execution — pinned at compile time so every row (and every NOW()
-        # occurrence) sees the same value. SOPSPARK_NOW (xsd:dateTime text)
-        # overrides it for reproducible runs/tests.
-        pin = os.environ.get("SOPSPARK_NOW")
-        if pin is None:
-            pin = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
-        return _mk_literal(F.lit(pin), F.lit(XSD + "dateTime"))
+        # execution — pinned once per compilation scope (now_scope), so two
+        # NOW() occurrences in one query can't straddle a millisecond.
+        # SOPSPARK_NOW (xsd:dateTime text) overrides it for reproducible
+        # runs/tests.
+        return _mk_literal(F.lit(_now_pin()), F.lit(XSD + "dateTime"))
     if n in ("uuid", "struuid"):
         # Fresh value per row, RFC-4122 v4 shape. Derived from a 128-bit hash
         # of the per-row monotonic id + a salt, so runs are reproducible under
@@ -764,7 +793,8 @@ def compile_expr(
     """
     if env is None:
         env = {v: F.col(v) for v in ("s", "p", "o", "g")}
-    return parse_expr(src).col(env, recognize_datatypes)
+    with now_scope():
+        return parse_expr(src).col(env, recognize_datatypes)
 
 
 def compile_filter(src: str, env: dict[str, Column] | None = None, recognize_datatypes: bool = True) -> Column:
@@ -777,4 +807,5 @@ def compile_filter(src: str, env: dict[str, Column] | None = None, recognize_dat
     node = parse_expr(src)
     # no coalesce(..., false) wrapper: WHERE treats NULL (SPARQL error) as
     # false anyway, and a bare conjunction stays pushdown-translatable
-    return _compile_bool(node, env, recognize_datatypes)
+    with now_scope():
+        return _compile_bool(node, env, recognize_datatypes)

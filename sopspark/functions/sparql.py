@@ -943,6 +943,17 @@ class SparqlResult:
 
 def sparql_query(quads: DataFrame, query: str, recognize_datatypes: bool = True) -> SparqlResult:
     """Evaluate a SPARQL subset query against a quad DataFrame."""
+    from sopspark.functions.expr import now_scope
+
+    with now_scope():
+        return _sparql_query_pinned(quads, query, recognize_datatypes)
+
+
+def _sparql_query_pinned(
+    quads: DataFrame, query: str, recognize_datatypes: bool = True
+) -> SparqlResult:
+    # every NOW() in the query sees the single instant pinned by the
+    # enclosing now_scope (SPARQL 17.4.5.1)
     ok = quads.where(F.col("err").isNull()) if "err" in quads.columns else quads
     q = parse_query(query)
 

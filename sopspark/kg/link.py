@@ -34,7 +34,33 @@ def best_candidates(alias_dict: DataFrame) -> DataFrame:
     (alias, etype) carrying the winning IRI. The dictionary is tiny, so this
     aggregate is driver-scale — and it removes any shuffle of the mention
     table from linking entirely (the scalable-plan move: aggregate the small
-    side, broadcast the result)."""
+    side, broadcast the result).
+
+    When the dictionary is a driver literal (createDataFrame →
+    LocalRelation), the argmax runs on the driver with no cluster job and
+    the result stays a LocalRelation, so the downstream broadcast builds
+    are array copies instead of scheduled stages — the small fixed jobs
+    that otherwise sit in the serial fraction of the scaling ratio. A
+    dictionary read from a real table takes the distributed aggregate."""
+    try:
+        plan = alias_dict._jdf.queryExecution().optimizedPlan()
+        is_local = plan.getClass().getSimpleName() == "LocalRelation"
+    except Exception:
+        is_local = False
+    if is_local:
+        from sopspark.session import local_df
+
+        rows = alias_dict.select("alias", "etype", "iri", "prior").collect()
+        best: dict = {}
+        for r in rows:
+            key = (r["alias"], r["etype"])
+            cand = (-float(r["prior"]), r["iri"])  # highest prior, ties → min IRI
+            if key not in best or cand < best[key]:
+                best[key] = cand
+        out = [(a, e, c[1]) for (a, e), c in best.items()]
+        return local_df(
+            alias_dict.sparkSession, out, "alias string, etype string, iri string"
+        )
     return alias_dict.groupBy("alias", "etype").agg(_argmax("iri", "prior").alias("iri"))
 
 

@@ -241,8 +241,14 @@ def synth_corpus(
     spark: SparkSession, n_convs: int, seed: int = 42, partitions: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Generate (transcripts, expected_triples) DataFrames on executors."""
-    parts = partitions or max(4, n_convs // 2000)
-    idx = spark.range(0, n_convs, numPartitions=parts)
+    if partitions is None:
+        # enough splits to balance the cluster (4 waves) but no more: at a
+        # fixed ~2k convs/split a 1M-conv corpus becomes 500 tasks whose
+        # ~10 ms/task serial scheduling cost lands in the Amdahl serial
+        # fraction and reads as a fake scaling-efficiency loss at 4N
+        par = spark.sparkContext.defaultParallelism
+        partitions = max(4, min(n_convs // 2000, 4 * par))
+    idx = spark.range(0, n_convs, numPartitions=partitions)
 
     def gen_turns(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -266,13 +272,20 @@ def synth_corpus(
 
 
 def alias_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        alias_dict_rows(), "alias string, iri string, prior double, etype string"
+    # VALUES inline table (LocalRelation), not createDataFrame (RDD): the
+    # linking broadcast builds over it then run without cluster jobs —
+    # keeps the tiny-dictionary preamble out of the serial fraction
+    from sopspark.session import local_df
+
+    return local_df(
+        spark, alias_dict_rows(), "alias string, iri string, prior double, etype string"
     )
 
 
 def sameas_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(SAMEAS_EDGES, "iri_a string, iri_b string")
+    from sopspark.session import local_df
+
+    return local_df(spark, SAMEAS_EDGES, "iri_a string, iri_b string")
 
 
 def write_corpus(spark: SparkSession, out_dir: str, n_convs: int, seed: int = 42) -> None:

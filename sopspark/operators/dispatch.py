@@ -81,7 +81,9 @@ def dispatch(
             from sopspark.operators.transforms import _relativizer
             from sopspark.terms import py_nt_term
 
-            rel_fn = _relativizer(root + rel, 0)
+            # parents = '/'-count of the relpath (dispatch.rs:134): nested
+            # dispatched graphs may climb back up to the root via ../
+            rel_fn = _relativizer(root + rel, rel_clean.count("/"))
 
             def enc(d) -> str:
                 t = (d["kind"], d["value"], d["dt"], d["lang"])

@@ -284,11 +284,16 @@ def serialize_turtle(
     path: str,
     prefixes: dict[str, str] | None = None,
     single_file: bool = False,
+    pretty: bool = True,
 ) -> None:
     """Write a Turtle document: @prefix header, then subject blocks in
-    code-point order (deterministic output for golden comparison)."""
+    code-point order (deterministic output for golden comparison).
+    ``pretty=False`` = the reference's ``-P``/--no-pretty (one triple per
+    line, no ``;``/``,`` grouping — serialize.rs:70-73), honored for file
+    sinks exactly like stdout."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
-    _write_blocks(df, to_turtle_blocks(df, prefixes), path, prefixes, single_file)
+    blocks_fn = to_turtle_blocks if pretty else to_turtle_plain_blocks
+    _write_blocks(df, blocks_fn(df, prefixes), path, prefixes, single_file)
 
 
 # ---------------------------------------------------------------------------

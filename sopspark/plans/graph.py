@@ -68,7 +68,11 @@ def _driver_union_find(rows: list[tuple], spark, dtype: str = "string") -> DataF
         if n < reps.get(r, r):
             reps[r] = n
     out = [(n, reps.get(find(n), find(n))) for n in parent]
-    return spark.createDataFrame(out, f"node {dtype}, rep {dtype}")
+    from sopspark.session import local_df
+
+    # LocalRelation output: the downstream broadcast remap joins build
+    # their hash tables without scheduling a job
+    return local_df(spark, out, f"node {dtype}, rep {dtype}")
 
 
 def connected_components(
@@ -87,6 +91,28 @@ def connected_components(
     the threshold.
     """
     e = edges.select(F.col(edges.columns[0]).alias("a"), F.col(edges.columns[1]).alias("b"))
+
+    if driver_threshold > 0:
+        # driver-literal edge lists (createDataFrame) optimize to a
+        # LocalRelation: collect() is a driver-side array copy, no job, no
+        # shuffle — skip the distinct entirely (union-find absorbs duplicate
+        # edges). This keeps the tiny-sameAs path at zero cluster jobs,
+        # which matters for the serial fraction of the scaling ratio.
+        try:
+            plan = e._jdf.queryExecution().optimizedPlan()
+            is_local = plan.getClass().getSimpleName() == "LocalRelation"
+        except Exception:
+            is_local = False
+        if is_local:
+            head = e.collect()
+            if len(head) <= driver_threshold:
+                dtype = dict(e.dtypes)["a"]
+                return _driver_union_find(
+                    [(r["a"], r["b"]) for r in head if r["a"] != r["b"]],
+                    edges.sparkSession,
+                    dtype,
+                )
+
     e = e.where(F.col("a") != F.col("b")).distinct()
 
     if driver_threshold > 0:

@@ -29,6 +29,44 @@ def _package_zip() -> str:
     return out
 
 
+def local_df(spark: SparkSession, rows: list[tuple], schema: str):
+    """Driver-literal DataFrame as a SQL VALUES inline table.
+
+    Unlike ``createDataFrame`` (which parallelizes the rows into an RDD, so
+    every collect/broadcast over it schedules a cluster job), an inline
+    table optimizes to a ``LocalRelation``: collects are driver-side array
+    copies and broadcast-hash-join builds skip the job entirely. Use for
+    small dimension/dictionary literals on the hot path; NOT for data that
+    should live on executors.
+
+    ``schema`` is a DDL string like ``"alias string, prior double"``; every
+    column is explicitly cast so literal typing (e.g. SQL ``1.0`` parsing
+    as decimal) can't drift from the declared type.
+    """
+    cols = []
+    for field in schema.split(","):
+        name, typ = field.strip().split(None, 1)
+        cols.append((name, typ))
+    if not rows:
+        casts = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return spark.sql(f"SELECT {casts} WHERE 1=0")
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    values = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    names = ", ".join(n for n, _t in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return spark.sql(f"SELECT {casts} FROM VALUES {values} AS t({names})")
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "sopspark",

@@ -161,9 +161,15 @@ def test_cli_parse_named_graph_and_relativize(spark, capsys, tmp_path):
     assert out == [
         f"<http://e/s> <http://e/p> <http://e/o> <file://{f}> ."
     ]
-    # explicit-name variant still works
-    rc2, out2 = run(spark, capsys, "parse", str(f), "-g", "http://e/G")
+    # explicit-name variant moved to -G (flag-only -g matches parse.rs and
+    # keeps `parse -g file.nt` from swallowing the filename)
+    rc2, out2 = run(spark, capsys, "parse", str(f), "-G", "http://e/G")
     assert out2 == ["<http://e/s> <http://e/p> <http://e/o> <http://e/G> ."]
+    # the former ambiguity: -g before the positional file now parses as
+    # flag + file instead of binding the filename as a graph IRI
+    rc2b, out2b = run(spark, capsys, "parse", "-g", str(f))
+    assert rc2b == 0
+    assert out2b == [f"<http://e/s> <http://e/p> <http://e/o> <file://{f}> ."]
     # -m with bare -g: each source's default graph gets its own source IRI
     g = tmp_path / "two.nt"
     g.write_text("<http://e/s2> <http://e/p> <http://e/o> .\n")
@@ -206,6 +212,21 @@ def test_cli_serialize_prefix_map_and_no_pretty(spark, capsys, tmp_path):
     )
     assert rc2 == 0
     assert sorted(out2[1:]) == ['zv:a zv:p "x" .', "zv:a zv:p zv:b ."]
+    # -P must apply to the file sink too (the reference's serializer
+    # options are sink-independent)
+    outf = tmp_path / "plain.ttl"
+    rc3, _ = run(
+        spark, capsys,
+        "parse", str(f), "!",
+        "serialize", "-f", "ttl", "-p", "zv:http://z.example/v/", "-P",
+        "-o", str(outf),
+    )
+    assert rc3 == 0
+    import glob as _glob
+
+    part = _glob.glob(str(outf / "part-*"))[0]  # Spark text sink directory
+    lines = open(part).read().strip().splitlines()
+    assert sorted(lines[1:]) == ['zv:a zv:p "x" .', "zv:a zv:p zv:b ."]
 
 
 def test_cli_dispatch_overwrite_and_relativize(spark, capsys, tmp_path, fixtures_dir):
@@ -230,3 +251,20 @@ def test_cli_dispatch_overwrite_and_relativize(spark, capsys, tmp_path, fixtures
     # with -o it does
     rc3, _ = run(spark, capsys, *argv[:-1] + ["-o", "-r"])
     assert rc3 == 0 and (dest / "g1.nt").read_text() == first
+
+
+def test_cli_dispatch_relativize_nested_parents(spark, capsys, tmp_path, fixtures_dir):
+    """Nested dispatched graphs relativize with parents = '/'-count of the
+    relpath (dispatch.rs:134): an IRI one level up from a/b.nt may climb
+    via ../ instead of staying absolute."""
+    dest = tmp_path / "out"
+    rc, _ = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/sample.nt", "!",
+        "map", "-s", 'iri("http://example.org/graphs/other.nt")', "-g",
+        'iri(concat("http://example.org/graphs/", "a/b.nt"))', "!",
+        "dispatch", "http://example.org/graphs/", "-d", str(dest), "-r",
+    )
+    assert rc == 0
+    body = (dest / "a" / "b.nt").read_text()
+    assert "<../other.nt>" in body

@@ -497,6 +497,29 @@ def test_now_uuid_rand_builtins(spark, monkeypatch):
     assert got[0].su.value != got[1].su.value
 
 
+def test_now_single_instant_per_query(spark):
+    """Two NOW() occurrences in one query share ONE execution instant even
+    without the SOPSPARK_NOW pin (SPARQL 17.4.5.1) — the compile scope
+    samples the clock once, so occurrences can't straddle a millisecond."""
+    from sopspark.functions.expr import now_scope, _now_pin
+    from sopspark.sources.ntriples import parse_lines_df
+
+    with now_scope():
+        a = _now_pin()
+        import time
+
+        time.sleep(0.005)
+        b = _now_pin()
+    assert a == b
+    # end-to-end: both projected NOW()s agree on every row
+    df = parse_lines_df(
+        spark.createDataFrame([('<http://e/a> <http://e/p> "x" .',)], ["value"])
+    )
+    q = "SELECT (NOW() AS ?n1) (NOW() AS ?n2) WHERE { ?s <http://e/p> ?l }"
+    got = sparql_query(df, q).df.collect()
+    assert got and all(r.n1.value == r.n2.value for r in got)
+
+
 def test_group_concat_separator(spark):
     """GROUP_CONCAT with and without SEPARATOR=, plus DISTINCT — values are
     concatenated in sorted order (deterministic under shuffle; SPARQL leaves
