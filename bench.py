@@ -22,14 +22,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def kg_throughput(spark, n_convs: int) -> tuple[float, int, float]:
-    """Returns (turns/sec, n_turns, wall_sec) for the full KG pipeline."""
+def kg_throughput(spark, n_convs: int, partitions: int | None = None) -> tuple[float, int, float]:
+    """Returns (turns/sec, n_turns, wall_sec) for the full KG pipeline.
+    ``partitions`` pins the corpus split count — scaling comparisons must
+    process the IDENTICAL input layout at every parallelism level."""
     from sopspark.kg.canon import materialize_graph, sameas_closure
     from sopspark.kg.extract import assemble_turns, extract_triples
     from sopspark.kg.link import link_entities
     from sopspark.kg.synth import alias_df, sameas_df, synth_corpus
 
-    transcripts, _ = synth_corpus(spark, n_convs=n_convs, seed=42)
+    transcripts, _ = synth_corpus(spark, n_convs=n_convs, seed=42, partitions=partitions)
     transcripts = transcripts.persist()
     n_turns = transcripts.count()  # materialize input outside the timed span
 

@@ -29,14 +29,16 @@ spark = get_spark(master="local[{cores}]", app_name="sopspark-scale-{cores}",
                   shuffle_partitions={cores})
 spark.sparkContext.setLogLevel("ERROR")
 kg_throughput(spark, 2000)  # warm JVM/codegen/Arrow + python worker pool
-tps, n_turns, wall = kg_throughput(spark, {n_convs})
+# partitions pinned across levels: both runs must process the IDENTICAL
+# input layout, otherwise the ratio also measures a split-size change
+tps, n_turns, wall = kg_throughput(spark, {n_convs}, partitions={partitions})
 print(json.dumps({{"cores": {cores}, "turns_per_sec": round(tps, 1),
                    "n_turns": n_turns, "wall_sec": round(wall, 2)}}))
 spark.stop()
 """
 
 
-def run_at(cores: int, n_convs: int) -> dict:
+def run_at(cores: int, n_convs: int, partitions: int) -> dict:
     """One measurement in a FRESH subprocess: each level gets its own JVM
     (heap sized for the level — spark.driver.memory only applies at JVM
     launch, so in-process session reuse would pin local[8] to the first
@@ -46,7 +48,7 @@ def run_at(cores: int, n_convs: int) -> dict:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
-    code = _CHILD.format(repo=repo, cores=cores, n_convs=n_convs)
+    code = _CHILD.format(repo=repo, cores=cores, n_convs=n_convs, partitions=partitions)
     cmd = [sys.executable, "-c", code]
     if shutil.which("taskset"):
         # pin to a fixed contiguous core set: comparable cache/NUMA locality
@@ -72,10 +74,12 @@ def main() -> None:
     # interleave levels and keep the best run per level: host load on this
     # shared box varies ~2x between runs, which would otherwise dominate the
     # 2-vs-8 ratio; best-of-k measures capacity, not ambient noise
+    # fixed split count = 4 waves at the 4N level, identical at N
+    partitions = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", str(16 * n_cores)))
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
-        lo_runs.append(run_at(n_cores, n_convs))
-        hi_runs.append(run_at(4 * n_cores, n_convs))
+        lo_runs.append(run_at(n_cores, n_convs, partitions))
+        hi_runs.append(run_at(4 * n_cores, n_convs, partitions))
     hi_cores = 4 * n_cores
     lo = max(lo_runs, key=lambda r: r["turns_per_sec"])
     hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
@@ -97,7 +101,9 @@ within the host's reliably-schedulable budget on this shared box).
 Job: full transcript→KG pipeline (window turn assembly → vectorized triple
 extraction → broadcast entity linking → owl:sameAs CC merge → graph
 materialize + dedup) over the deterministic synthetic corpus
-({n_convs} conversations, {lo["n_turns"]} turns, seed 42).
+({n_convs} conversations, {lo["n_turns"]} turns, seed 42), corpus split
+count pinned to {partitions} at BOTH levels so the two runs process the
+byte-identical input layout.
 
 | parallelism | turns/sec | wall (s) |
 |---|---|---|

@@ -526,24 +526,28 @@ class _QP:
     def term(self) -> tuple:
         k, v = self.next()
         if v == "<<":
-            # SPARQL-star GROUND quoted-triple term: matches data quads whose
-            # term is the identical quoted triple (kind=QUOTED, canonical NT
-            # encoding — same convention as the parsers). Variables inside
-            # quoted patterns are not supported (rejected explicitly).
+            # SPARQL-star quoted-triple pattern. Ground: matches data quads
+            # whose term is the identical quoted triple (kind=QUOTED,
+            # canonical NT encoding — same convention as the parsers). With
+            # variables (<< ?s ?p ?o >>): a "qpat" spec — the scan
+            # destructures matching QUOTED terms via a depth-bounded
+            # vectorized regex and binds the inner variables.
             from sopspark.terms import QUOTED, py_nt_term
 
             inner = []
             for _ in range(3):
                 kind, t = self.term()
-                if kind != "term":
+                if kind == "qpat":
                     raise SparqlError(
-                        "variables inside quoted-triple patterns are not supported"
+                        "nested variable quoted-triple patterns are not supported"
                     )
-                inner.append(t)
+                inner.append((kind, t))
             if self.next()[1] != ">>":
                 raise SparqlError("expected '>>'")
-            enc = " ".join(py_nt_term(t) for t in inner)
-            return ("term", (QUOTED, f"<< {enc} >>", None, None))
+            if all(kind == "term" for kind, _t in inner):
+                enc = " ".join(py_nt_term(t) for _k, t in inner)
+                return ("term", (QUOTED, f"<< {enc} >>", None, None))
+            return ("qpat", tuple(inner))
         if k == "var":
             return ("var", v[1:])
         if k == "iri":
@@ -674,31 +678,111 @@ def _term_lit(t: tuple) -> Column:
     )
 
 
+def _nt_term_re(depth: int = 3) -> str:
+    """Regex matching one canonical NT-star term, quoted-triple nesting
+    bounded at ``depth`` (no capturing groups). Java regex can't recurse,
+    so the grammar is expanded ``depth`` times — deeper-nested quoted terms
+    simply fail the destructure match (row filtered, documented cap)."""
+    iri = r"<[^<>\s]*>"
+    bnode = r"_:\S+"
+    lit = r'"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|@[A-Za-z0-9\-]+)?'
+    t = f"(?:{iri}|{bnode}|{lit})"
+    for _ in range(depth):
+        t = f"(?:{iri}|{bnode}|{lit}|<< {t} {t} {t} >>)"
+    return t
+
+
+def _unescape_nt(c: Column) -> Column:
+    """Inverse of terms.escape_literal (canonical escapes only), single
+    logical pass: escaped backslashes park on a sentinel so ``\\\\n`` stays a
+    backslash + n instead of decoding as a newline."""
+    sent = "\x01"
+    c = F.regexp_replace(c, r"\\\\", sent)
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\\"", '"')
+    return F.regexp_replace(c, sent, r"\\")
+
+
+def _decode_nt_term(c: Column) -> Column:
+    """Canonical NT term string → TERM struct (vectorized inverse of
+    terms.nt_term; plain/xsd:string literals normalize to dt NULL like the
+    parsers)."""
+    from sopspark.terms import BNODE, QUOTED, XSD_STRING
+
+    def mk(kind, value, dt=None, lang=None):
+        return F.struct(
+            F.lit(kind).cast("tinyint").alias("kind"),
+            value.alias("value"),
+            (dt if dt is not None else F.lit(None).cast("string")).alias("dt"),
+            (lang if lang is not None else F.lit(None).cast("string")).alias("lang"),
+        )
+
+    lex = _unescape_nt(F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1))
+    dt_raw = F.regexp_extract(c, r"\^\^<([^<>\s]*)>$", 1)
+    dt = F.when((dt_raw != "") & (dt_raw != XSD_STRING), dt_raw)
+    lang_raw = F.regexp_extract(c, r'"@([A-Za-z0-9\-]+)$', 1)
+    lang = F.when(lang_raw != "", lang_raw)
+    return (
+        F.when(c.startswith("<<"), mk(QUOTED, c))
+        .when(c.startswith("<"), mk(IRI, F.regexp_extract(c, r"^<(.*)>$", 1)))
+        .when(c.startswith("_:"), mk(BNODE, F.substring(c, 3, 2_000_000)))
+        .when(c.startswith('"'), mk(LITERAL, lex, dt, lang))
+    )
+
+
 def _scan_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
-    """One triple pattern → solution DataFrame (one column per variable)."""
+    """One triple pattern → solution DataFrame (one column per variable).
+
+    Repeated variables (?x ?p ?x — including across quoted-pattern
+    destructures) constrain via null-safe equality of the bound columns."""
+    from sopspark.terms import QUOTED, py_nt_term
+
     df = quads
     cols: dict[str, Column] = {}
+    conds: list[Column] = []
+
+    def bind(var: str, col: Column) -> None:
+        if var in cols:
+            conds.append(col.eqNullSafe(cols[var]))
+        else:
+            cols[var] = col
+
     for pos, spec in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
         if spec[0] == "var":
-            cols.setdefault(spec[1], F.col(pos))
+            bind(spec[1], F.col(pos))
+        elif spec[0] == "qpat":
+            # SPARQL-star variable quoted pattern: constrain to QUOTED
+            # terms, destructure the canonical NT encoding with one
+            # vectorized regex, bind inner variables / pin inner terms
+            if pos == "p":
+                raise SparqlError(
+                    "quoted-triple patterns cannot appear in predicate position"
+                )
+            t = F.col(pos)
+            conds.append(t.isNotNull() & (t["kind"] == QUOTED))
+            tre = _nt_term_re()
+            pat = f"^<< ({tre}) ({tre}) ({tre}) >>$"
+            parts = [F.regexp_extract(t["value"], pat, i) for i in (1, 2, 3)]
+            conds.append(parts[0] != "")  # destructure matched (depth cap)
+            for inner, part in zip(spec[1], parts):
+                if inner[0] == "var":
+                    bind(inner[1], _decode_nt_term(part))
+                else:
+                    conds.append(part == F.lit(py_nt_term(inner[1])))
         else:
-            df = df.where(F.col(pos).eqNullSafe(_term_lit(spec[1])))
+            conds.append(F.col(pos).eqNullSafe(_term_lit(spec[1])))
     # graph position
     if tp.graph is None:
-        df = df.where(F.col("g").isNull())
+        conds.append(F.col("g").isNull())
     elif tp.graph[0] == "var":
-        df = df.where(F.col("g").isNotNull())
-        cols.setdefault(tp.graph[1], F.col("g"))
+        conds.append(F.col("g").isNotNull())
+        bind(tp.graph[1], F.col("g"))
     else:
-        df = df.where(F.col("g").eqNullSafe(_term_lit(tp.graph[1])))
-    # equal variables within one pattern (?x ?p ?x)
-    seen: dict[str, str] = {}
-    for pos, spec in (("s", tp.s), ("p", tp.p), ("o", tp.o), ("g", tp.graph or ("none",))):
-        if spec[0] == "var":
-            if spec[1] in seen:
-                df = df.where(F.col(pos).eqNullSafe(F.col(seen[spec[1]])))
-            else:
-                seen[spec[1]] = pos
+        conds.append(F.col("g").eqNullSafe(_term_lit(tp.graph[1])))
+    for cnd in conds:
+        df = df.where(cnd)
     return df.select(*[c.alias(v) for v, c in cols.items()])
 
 

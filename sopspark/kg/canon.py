@@ -60,14 +60,18 @@ def sameas_closure(sameas: DataFrame) -> DataFrame:
 def remap_strings(
     triples: DataFrame, mapping: DataFrame, cols: list[str], broadcast_mapping: bool = True
 ) -> DataFrame:
-    """Rewrite string IRI columns through the representative map."""
-    m = F.broadcast(mapping) if broadcast_mapping else mapping
+    """Rewrite string IRI columns through the representative map.
+
+    Plan-construction cost matters here (this sits on the per-run critical
+    path of the bench's serial fraction), so expressions are SQL strings —
+    one Py4J round-trip each instead of a dozen Column-API calls."""
     out = triples
     for c in cols:
-        mm = m.select(F.col("iri").alias(f"_{c}_iri"), F.col("rep").alias(f"_{c}_rep"))
+        mm = mapping.selectExpr(f"iri AS _{c}_iri", f"rep AS _{c}_rep")
+        m = F.broadcast(mm) if broadcast_mapping else mm
         out = (
-            out.join(mm, on=out[c] == mm[f"_{c}_iri"], how="left")
-            .withColumn(c, F.coalesce(F.col(f"_{c}_rep"), F.col(c)))
+            out.join(m, on=F.expr(f"{c} = _{c}_iri"), how="left")
+            .withColumn(c, F.expr(f"coalesce(_{c}_rep, {c})"))
             .drop(f"_{c}_iri", f"_{c}_rep")
         )
     return out
@@ -90,37 +94,32 @@ def materialize_graph(
     if sameas_mapping is not None:
         t = remap_strings(t, sameas_mapping, ["s", "o_iri"], broadcast_mapping)
 
-    def iri_term(col):
-        return F.when(
-            col.isNotNull(),
-            F.struct(
-                F.lit(IRI).cast("tinyint").alias("kind"),
-                col.alias("value"),
-                F.lit(None).cast("string").alias("dt"),
-                F.lit(None).cast("string").alias("lang"),
-            ),
+    # SQL-string expressions: ~6 Py4J round-trips for the whole projection
+    # instead of ~500 Column-API calls — this projection is rebuilt on every
+    # pipeline run and its construction cost is pure serial driver time
+    def iri_sql(c: str) -> str:
+        return (
+            f"CASE WHEN {c} IS NOT NULL THEN named_struct("
+            f"'kind', CAST({IRI} AS TINYINT), 'value', {c}, "
+            f"'dt', CAST(NULL AS STRING), 'lang', CAST(NULL AS STRING)) END"
         )
 
-    o_term = F.when(F.col("o_iri").isNotNull(), iri_term(F.col("o_iri"))).otherwise(
-        F.struct(
-            F.lit(2).cast("tinyint").alias("kind"),
-            F.col("o_lit").alias("value"),
-            F.lit(XSD + "integer").cast("string").alias("dt"),
-            F.lit(None).cast("string").alias("lang"),
-        )
+    o_sql = (
+        f"CASE WHEN o_iri IS NOT NULL THEN {iri_sql('o_iri')} "
+        f"ELSE named_struct('kind', CAST(2 AS TINYINT), 'value', o_lit, "
+        f"'dt', '{XSD}integer', 'lang', CAST(NULL AS STRING)) END"
     )
-    g_term = (
-        iri_term(F.concat(F.lit(conv_ns), F.col("conv_id")))
-        if conv_ns
-        else F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>")
-    )
+    if conv_ns:
+        g_sql = iri_sql(f"concat('{conv_ns}', conv_id)")
+    else:
+        g_sql = "CAST(NULL AS struct<kind:tinyint,value:string,dt:string,lang:string>)"
 
-    quads = t.select(
-        iri_term(F.col("s")).alias("s"),
-        iri_term(F.col("p")).alias("p"),
-        o_term.alias("o"),
-        g_term.alias("g"),
-        F.lit(None).cast("string").alias("err"),
+    quads = t.selectExpr(
+        f"{iri_sql('s')} AS s",
+        f"{iri_sql('p')} AS p",
+        f"{o_sql} AS o",
+        f"{g_sql} AS g",
+        "CAST(NULL AS STRING) AS err",
     )
     return quads.dropDuplicates(["s", "p", "o", "g"])
 

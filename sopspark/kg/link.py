@@ -92,29 +92,20 @@ def link_entities(
         return _link_context(mentions, alias_dict)
 
     best = best_candidates(alias_dict)
+    # SQL-string projections: the linking plan is rebuilt per pipeline run
+    # and its Py4J construction cost is serial driver time
     person = F.broadcast(
-        best.where(F.col("etype") == "person").select(
-            F.col("alias").alias("s_alias"), F.col("iri").alias("s_iri")
-        )
+        best.where("etype = 'person'").selectExpr("alias AS s_alias", "iri AS s_iri")
     )
     objects = F.broadcast(
-        best.select(
-            F.col("alias").alias("o_alias"),
-            F.col("etype").alias("o_etype"),
-            F.col("iri").alias("o_cand"),
-        )
+        best.selectExpr("alias AS o_alias", "etype AS o_etype", "iri AS o_cand")
     )
     return (
         mentions.join(person, on="s_alias", how="inner")
         .join(objects, on=["o_alias", "o_etype"], how="left")
-        .where(F.col("o_etype").isNull() | F.col("o_cand").isNotNull())
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("s_iri").alias("s"),
-            "p",
-            F.col("o_cand").alias("o_iri"),
-            "o_lit",
+        .where("o_etype IS NULL OR o_cand IS NOT NULL")
+        .selectExpr(
+            "conv_id", "turn_idx", "s_iri AS s", "p", "o_cand AS o_iri", "o_lit"
         )
     )
 

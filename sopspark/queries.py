@@ -624,6 +624,53 @@ def q_sparql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s")
 
 
+def q_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-star variable quoted-triple pattern (<< ?s <p> ?v >> — the
+    round-2 gap, functions/sparql.py qpat): events become reified
+    provenance quads whose SUBJECT is a quoted triple; the pattern
+    destructures the canonical NT encoding via the vectorized regex and
+    binds the inner variables. The oracle replicates directly from the
+    events columns the quoted encodings were built from."""
+    from sopspark.functions.sparql import sparql_query
+    from sopspark.terms import QUOTED, XSD
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    quoted = F.concat(
+        F.lit(f"<< <{USR}"),
+        F.col("user_id").cast("string"),
+        F.lit(f"> <{EV}"),
+        F.col("event_type"),
+        F.lit('> "'),
+        F.floor(F.col("value")).cast("bigint").cast("string"),
+        F.lit(f'"^^<{XSD}integer> >>'),
+    )
+
+    def term(kind, value):
+        return F.struct(
+            F.lit(kind).cast("tinyint").alias("kind"),
+            value.alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    quads = ev.select(
+        term(QUOTED, quoted).alias("s"),
+        term(IRI, F.lit(f"{EV}occurred")).alias("p"),
+        term(IRI, F.concat(F.lit("http://example.org/evt/"), F.col("event_id").cast("string"))).alias("o"),
+        F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>").alias("g"),
+        F.lit(None).cast("string").alias("err"),
+    )
+    res = sparql_query(
+        quads,
+        f"SELECT ?s ?v ?u WHERE {{ << ?s <{EV}purchase> ?v >> <{EV}occurred> ?u }}",
+    )
+    return res.df.select(
+        F.col("s")["value"].alias("s"),
+        F.col("v")["value"].cast("bigint").alias("v"),
+        F.col("u")["value"].alias("u"),
+    ).orderBy("s", "v", "u")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (k=5-gram rolling hash, window 4)
     on the engine-shared md5 hash — exploded to (doc_id, fp) rows so the
@@ -678,6 +725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "kg_incremental": q_kg_incremental,
     "sparql_topk": q_sparql_topk,
+    "sparql_star": q_sparql_star,
     "fingerprint": q_fingerprint,
 }
 
@@ -1284,3 +1332,13 @@ def _fingerprint_oracle_sql(k: int = 5, window: int = 4) -> str:
 
 
 ORACLES["fingerprint"] = _capped_docs_sql(_fingerprint_oracle_sql())
+
+# sparql_star: the quoted-triple subject was built from the events columns,
+# so destructuring it is equivalent to reading them back; FLOOR (not CAST)
+# on the double keeps Spark and DuckDB integer conversion identical
+ORACLES["sparql_star"] = """
+    SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS s,
+           CAST(FLOOR(value) AS BIGINT) AS v,
+           'http://example.org/evt/' || CAST(event_id AS VARCHAR) AS u
+    FROM events WHERE event_type = 'purchase' ORDER BY s, v, u
+"""

@@ -497,6 +497,41 @@ def test_now_uuid_rand_builtins(spark, monkeypatch):
     assert got[0].su.value != got[1].su.value
 
 
+def test_sparql_star_variable_quoted_pattern(spark):
+    """<< ?s ?p ?o >> patterns destructure QUOTED terms and bind inner
+    variables (sophia_sparql evaluates these; round-2 gap now closed).
+    Covers: all-var inner, ground inner pin, repeated variable across the
+    destructure, typed-literal inner object decode."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<< <http://e/alice> <http://e/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> >> <http://e/saidBy> <http://e/bob> .',
+        '<< <http://e/carol> <http://e/age> "41"^^<http://www.w3.org/2001/XMLSchema#integer> >> <http://e/saidBy> <http://e/dan> .',
+        '<< <http://e/dan> <http://e/knows> <http://e/alice> >> <http://e/saidBy> <http://e/dan> .',
+        '<http://e/x> <http://e/saidBy> <http://e/y> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    got = sparql_query(
+        df, "SELECT ?s ?v ?w WHERE { << ?s <http://e/age> ?v >> <http://e/saidBy> ?w }"
+    ).df.collect()
+    out = sorted((r.s.value, r.v.value, r.v.dt, r.w.value) for r in got)
+    assert out == [
+        ("http://e/alice", "30", "http://www.w3.org/2001/XMLSchema#integer", "http://e/bob"),
+        ("http://e/carol", "41", "http://www.w3.org/2001/XMLSchema#integer", "http://e/dan"),
+    ]
+    # repeated variable across the destructure: only dan asserts about
+    # themselves
+    got2 = sparql_query(
+        df, "SELECT ?x ?y WHERE { << ?x <http://e/knows> ?y >> <http://e/saidBy> ?x }"
+    ).df.collect()
+    assert [(r.x.value, r.y.value) for r in got2] == [("http://e/dan", "http://e/alice")]
+    # ground inner subject, variable inner predicate/object
+    got3 = sparql_query(
+        df, "SELECT ?p ?o WHERE { << <http://e/carol> ?p ?o >> <http://e/saidBy> <http://e/dan> }"
+    ).df.collect()
+    assert [(r.p.value, r.o.value) for r in got3] == [("http://e/age", "41")]
+
+
 def test_now_single_instant_per_query(spark):
     """Two NOW() occurrences in one query share ONE execution instant even
     without the SOPSPARK_NOW pin (SPARQL 17.4.5.1) — the compile scope
@@ -566,11 +601,13 @@ def test_sparql_star_ground_quoted_pattern(spark):
     assert len(got) == 1 and got[0].q.kind == QUOTED
     assert got[0].q.value == '<< <http://e/s2> <http://e/p> "w" >>'
 
-    import pytest as _pytest
-    from sopspark.functions.sparql import SparqlError
-
-    with _pytest.raises(SparqlError, match="quoted-triple"):
-        sparql_query(df, "SELECT ?s WHERE { << ?s <http://e/p> ?o >> <http://e/said> ?w }")
+    # variable quoted patterns are supported as of round 3 (they used to be
+    # rejected) — the same fixture destructures
+    res3 = sparql_query(
+        df, "SELECT ?s ?o ?w WHERE { << ?s <http://e/p> ?o >> <http://e/said> ?w }"
+    )
+    got3 = sorted((r.s.value, r.o.value, r.w.value) for r in res3.df.collect())
+    assert got3 and all(w in ("http://e/alice", "http://e/bob") for _s, _o, w in got3)
 
 
 def test_lang_langdir_datatype_for_dirlangstring(spark):
