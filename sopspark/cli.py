@@ -149,12 +149,43 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
             if args.multiple is not None:
                 from pyspark.sql import functions as F
 
-                paths = [a for a in args.multiple if a != "m-"]
+                from sopspark.sources.http import is_url, parse_url
+                from sopspark.sources.ntriples import suffix_bnodes
+
+                srcs = [a for a in args.multiple if a != "m-"]
+                paths = [a for a in srcs if not is_url(a)]
+                urls = [a for a in srcs if is_url(a)]
                 # bare -g: each source's default graph gets the source IRI
                 per_src = iri_col(F.col("src")) if args.graph else None
-                df = parse_ntriples(
-                    spark, paths, scope_bnodes_per_file=True, default_graph_name=per_src
-                )
+                parts = []
+                if paths:
+                    parts.append(
+                        parse_ntriples(
+                            spark, paths, scope_bnodes_per_file=True, default_graph_name=per_src
+                        )
+                    )
+                # URL arguments inside -m (files_or_url.rs:45-66): each URL
+                # fetches driver-side, parses distributed, and gets the same
+                # per-source bnode suffix convention (sha2 of the SOURCE —
+                # here the URL itself, so the suffix is retry-stable even
+                # though the fetch lands in a fresh temp file)
+                for u in urls:
+                    udf = parse_url(spark, u, fmt=args.format, loader=loader)
+                    udf = suffix_bnodes(udf, F.substring(F.sha2(F.lit(u), 256), 1, 12))
+                    if args.graph:
+                        udf = udf.withColumn(
+                            "g",
+                            F.when(
+                                F.col("g").isNull() & F.col("err").isNull(), iri_col(F.lit(u))
+                            ).otherwise(F.col("g")),
+                        )
+                    parts.append(udf)
+                if not parts:
+                    print("parse -m: no sources given", file=sys.stderr)
+                    return 2
+                df = parts[0]
+                for extra in parts[1:]:
+                    df = df.unionByName(extra)
             elif args.file.startswith(("http://", "https://")):
                 from sopspark.sources.http import parse_url
 

@@ -117,6 +117,13 @@ class _Ctx:
                         self.terms[k] = {**v, "@id": v["@reverse"], "@is_reverse": True}
                     else:
                         self.terms[k] = v
+                elif isinstance(v, dict) and (
+                    "@container" in v or "@context" in v or "@type" in v
+                ):
+                    # JSON-LD 1.1: a term may define only @container /
+                    # scoped @context / type coercion — the IRI then comes
+                    # from @vocab or prefix expansion of the term itself
+                    self.terms[k] = v
 
     def _resolve(self, mapping, seen: frozenset) -> list[dict]:
         """@context value (dict | IRI string | list | None) → mapping dicts
@@ -139,11 +146,11 @@ class _Ctx:
 
     def expand(self, term: str) -> str | None:
         """Vocab-mapped expansion (predicates / @type values)."""
-        if term in self.terms:
+        if term in self.terms and "@id" in self.terms[term]:
             return self.terms[term]["@id"]
         if ":" in term:
             pfx, _, local = term.partition(":")
-            if pfx in self.terms:
+            if pfx in self.terms and "@id" in self.terms[pfx]:
                 return self.terms[pfx]["@id"] + local
             if _ABS.match(term):
                 return term
@@ -154,11 +161,11 @@ class _Ctx:
     def expand_id(self, ref: str) -> str:
         """Base-resolved expansion (@id values): relative refs resolve
         against @base, NOT @vocab (JSON-LD 1.1 §4.1.2 vs §4.1.3)."""
-        if ref in self.terms:
+        if ref in self.terms and "@id" in self.terms[ref]:
             return self.terms[ref]["@id"]
         if ":" in ref:
             pfx, _, local = ref.partition(":")
-            if pfx in self.terms:
+            if pfx in self.terms and "@id" in self.terms[pfx]:
                 return self.terms[pfx]["@id"] + local
             if _ABS.match(ref):
                 return ref
@@ -171,8 +178,28 @@ class _Ctx:
     def is_id_term(self, term: str) -> bool:
         return self.terms.get(term, {}).get("@type") == "@id"
 
+    def container(self, term: str) -> set[str]:
+        """Normalized @container entries for the term ("@set" is semantic
+        noise and dropped; a bare string and an array both normalize)."""
+        c = self.terms.get(term, {}).get("@container")
+        if c is None:
+            return set()
+        vals = c if isinstance(c, list) else [c]
+        return {x for x in vals if x != "@set"}
+
+    def scoped(self, term: str) -> "_Ctx":
+        """Term-scoped context (JSON-LD 1.1 §4.1.8): a term definition may
+        carry its own @context applied while processing that term's values."""
+        tdef = self.terms.get(term, {})
+        if "@context" in tdef:
+            return _Ctx(tdef["@context"], self)
+        return self
+
+    def is_nest_term(self, term: str) -> bool:
+        return self.terms.get(term, {}).get("@id") == "@nest"
+
     def is_list_term(self, term: str) -> bool:
-        return self.terms.get(term, {}).get("@container") == "@list"
+        return "@list" in self.container(term)
 
     def is_reverse_term(self, term: str) -> bool:
         return bool(self.terms.get(term, {}).get("@is_reverse"))
@@ -212,6 +239,13 @@ class _Parser:
         if "@context" in node:
             ctx = _Ctx(node["@context"], ctx)
         subj = self.node_subject(node, ctx)
+        self._entries(subj, node, ctx)
+        return subj
+
+    def _entries(self, subj: tuple, node: dict, ctx: _Ctx) -> None:
+        """Process a node object's entries against ``subj`` — factored out
+        so ``@nest`` groups (JSON-LD 1.1 §9.9) recurse with the same
+        subject."""
         for key, value in node.items():
             if key in ("@context", "@id"):
                 continue
@@ -241,28 +275,71 @@ class _Parser:
                         if obj is not None:
                             self.quads.append((obj, rpred, subj, self.graph))
                 continue
+            if key == "@nest" or ctx.is_nest_term(key):
+                # nesting is purely syntactic: the nested dict's entries
+                # belong to the SAME subject (§9.9)
+                for v in value if isinstance(value, list) else [value]:
+                    if isinstance(v, dict):
+                        self._entries(subj, v, ctx)
+                continue
             if key.startswith("@"):
                 continue
             pred_iri = ctx.expand(key)
             if pred_iri is None:
                 continue  # non-IRI-mapped keys are dropped (expansion rule)
             pred = (IRI, pred_iri, None, None)
-            if ctx.is_list_term(key):
+            # term-scoped context applies to this term's VALUES (§4.1.8)
+            vctx = ctx.scoped(key)
+            cont = ctx.container(key)
+            if "@list" in cont:
                 # "@container": "@list" — the whole array is ONE list value
                 items = value if isinstance(value, list) else [value]
-                self.quads.append((subj, pred, self.build_list(items, ctx), self.graph))
+                self.quads.append((subj, pred, self.build_list(items, vctx), self.graph))
                 continue
+            if "@language" in cont and isinstance(value, dict):
+                # language map: key = tag ("@none" = untagged), values =
+                # plain strings (§9.8)
+                for lg, vs in value.items():
+                    for s in vs if isinstance(vs, list) else [vs]:
+                        lang = None if lg == "@none" else lg
+                        self.quads.append((subj, pred, (LITERAL, s, None, lang), self.graph))
+                continue
+            if "@index" in cont and isinstance(value, dict):
+                # index map: keys are annotations with NO RDF meaning —
+                # values flatten (§9.7)
+                value = [
+                    x for vv in value.values() for x in (vv if isinstance(vv, list) else [vv])
+                ]
+            elif "@id" in cont and isinstance(value, dict):
+                # id map: key supplies the node's @id when absent (§9.10)
+                items = []
+                for idk, vv in value.items():
+                    for nodeobj in vv if isinstance(vv, list) else [vv]:
+                        if isinstance(nodeobj, dict) and "@id" not in nodeobj and idk != "@none":
+                            nodeobj = {**nodeobj, "@id": idk}
+                        items.append(nodeobj)
+                value = items
+            elif "@type" in cont and isinstance(value, dict):
+                # type map: key prepends to the node's @type (§9.11)
+                items = []
+                for tk, vv in value.items():
+                    for nodeobj in vv if isinstance(vv, list) else [vv]:
+                        if isinstance(nodeobj, dict) and tk != "@none":
+                            prior = nodeobj.get("@type", [])
+                            prior = prior if isinstance(prior, list) else [prior]
+                            nodeobj = {**nodeobj, "@type": [tk, *prior]}
+                        items.append(nodeobj)
+                value = items
             reverse = ctx.is_reverse_term(key)
             for v in value if isinstance(value, list) else [value]:
                 obj = self.value_object(
-                    v, ctx, id_coercion=reverse or ctx.is_id_term(key)
+                    v, vctx, id_coercion=reverse or ctx.is_id_term(key)
                 )
                 if obj is not None:
                     if reverse:
                         self.quads.append((obj, pred, subj, self.graph))
                     else:
                         self.quads.append((subj, pred, obj, self.graph))
-        return subj
 
     def value_object(self, v, ctx: _Ctx, id_coercion: bool = False):
         if isinstance(v, dict):

@@ -97,15 +97,16 @@ class _Parser:
         dt = prop.get(RDF + "datatype")
         ptype = prop.get(RDF + "parseType")
         children = list(prop)
+        obj: tuple
         if res is not None:
-            self.quads.append((subj, pred, (IRI, self.resolve(res), None, None), None))
+            obj = (IRI, self.resolve(res), None, None)
         elif nid is not None:
-            self.quads.append((subj, pred, (BNODE, nid, None, None), None))
+            obj = (BNODE, nid, None, None)
         elif ptype == "Resource":
             inner = self.fresh()
-            self.quads.append((subj, pred, inner, None))
             for sub in children:
                 self.parse_property(inner, sub, lang)
+            obj = inner
         elif ptype == "Collection":
             # children are node elements forming an rdf:first/rest chain
             nodes = [self.parse_node(c, lang) for c in children]
@@ -117,25 +118,31 @@ class _Parser:
                 self.quads.append((cell, (IRI, RDF_NS + "first", None, None), node, None))
                 self.quads.append((cell, (IRI, RDF_NS + "rest", None, None), prev, None))
                 prev = cell
-            self.quads.append((subj, pred, prev, None))
+            obj = prev
         elif ptype == "Literal":
             # inner XML verbatim as rdf:XMLLiteral (exclusive c14n of the
             # fragment is out of scope; the lexical form is the raw markup)
             xml = (prop.text or "") + "".join(
                 ET.tostring(c, encoding="unicode") for c in children
             )
-            self.quads.append(
-                (subj, pred, (LITERAL, xml, RDF_NS + "XMLLiteral", None), None)
-            )
+            obj = (LITERAL, xml, RDF_NS + "XMLLiteral", None)
         elif children:
             obj = self.parse_node(children[0], lang)
-            self.quads.append((subj, pred, obj, None))
         else:
             text = prop.text or ""
             d = None if dt == XSD_STRING else dt
-            self.quads.append(
-                (subj, pred, (LITERAL, text, d, lang if d is None else None), None)
-            )
+            obj = (LITERAL, text, d, lang if d is None else None)
+        self.quads.append((subj, pred, obj, None))
+        # rdf:ID on a PROPERTY element reifies the statement (RDF/XML spec
+        # §2.17; the sophia parser the reference wires emits the same four
+        # quads): #id a rdf:Statement; rdf:subject/predicate/object.
+        rid = prop.get(RDF + "ID")
+        if rid is not None:
+            st = (IRI, self.resolve("#" + rid), None, None)
+            self.quads.append((st, (IRI, RDF_TYPE, None, None), (IRI, RDF_NS + "Statement", None, None), None))
+            self.quads.append((st, (IRI, RDF_NS + "subject", None, None), subj, None))
+            self.quads.append((st, (IRI, RDF_NS + "predicate", None, None), (IRI, pred[1], None, None), None))
+            self.quads.append((st, (IRI, RDF_NS + "object", None, None), obj, None))
 
 
 def parse_rdfxml_text(text: str, base: str | None = None) -> list[tuple]:

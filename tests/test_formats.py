@@ -242,3 +242,90 @@ def test_rdfxml_collection_li_literal_base():
     c2 = by_subj[c1[RDF_NS + "rest"][1]]
     assert c2[RDF_NS + "first"][1] == "http://base.example/b"
     assert c2[RDF_NS + "rest"][1] == RDF_NS + "nil"
+
+
+def test_rdfxml_property_id_reification_and_entities():
+    """rdf:ID on a PROPERTY element reifies the statement (RDF/XML spec
+    §2.17 — the remaining wild-RDF/XML construct from round 2), and
+    internal DTD entities expand (expat handles them natively)."""
+    from sopspark.sources.rdfxml import parse_rdfxml_text
+    from sopspark.terms import RDF_NS
+
+    doc = """<?xml version="1.0"?>
+<!DOCTYPE rdf:RDF [<!ENTITY v "http://v.example/">]>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.example/" xml:base="http://base.example/doc">
+  <rdf:Description rdf:about="&v;thing">
+    <ex:weight rdf:ID="st1">7</ex:weight>
+  </rdf:Description>
+</rdf:RDF>"""
+    quads = parse_rdfxml_text(doc)
+    spo = {(s[1], p[1], o[1]) for s, p, o, g in quads}
+    # entity expanded in the subject, base triple present
+    assert ("http://v.example/thing", "http://ex.example/weight", "7") in spo
+    # reification: #st1 resolves against xml:base
+    st = "http://base.example/doc#st1"
+    assert (st, RDF_NS + "type", RDF_NS + "Statement") in spo
+    assert (st, RDF_NS + "subject", "http://v.example/thing") in spo
+    assert (st, RDF_NS + "predicate", "http://ex.example/weight") in spo
+    assert (st, RDF_NS + "object", "7") in spo
+    assert len(quads) == 5
+
+
+def test_jsonld11_container_maps_nest_scoped_contexts():
+    """JSON-LD 1.1 tail (round-2 gap): @container @index/@id/@language/@type
+    maps, @nest groups, and term-scoped contexts."""
+    import json
+
+    from sopspark.sources.jsonld import parse_jsonld_text
+
+    doc = {
+        "@context": {
+            "@vocab": "http://v.example/",
+            "ex": "http://ex.example/",
+            "byidx": {"@container": "@index"},
+            "byid": {"@container": "@id"},
+            "label": {"@container": "@language"},
+            "bytype": {"@container": "@type"},
+            "meta": "@nest",
+            "scopedp": {
+                "@id": "http://ex.example/scopedp",
+                "@context": {"inner": "http://inner.example/p"},
+            },
+        },
+        "@id": "http://n.example/thing",
+        "byidx": {"a": {"@value": "one"}, "b": [{"@value": "two"}]},
+        "byid": {
+            "http://n.example/kid": {"ex:name": {"@value": "Kid"}},
+        },
+        "label": {"en": "hello", "fr": ["bonjour"], "@none": "plain"},
+        "bytype": {"ex:Widget": {"@id": "http://n.example/w1"}},
+        "meta": {"ex:note": {"@value": "nested"}},
+        "scopedp": {"inner": {"@value": "deep"}},
+    }
+    quads = parse_jsonld_text(json.dumps(doc))
+    spo = {(s[1], p[1], o[1], o[3]) for s, p, o, g in quads}
+    T = "http://n.example/thing"
+    # @index map: keys are annotations, values flatten
+    assert (T, "http://v.example/byidx", "one", None) in spo
+    assert (T, "http://v.example/byidx", "two", None) in spo
+    # @id map: key becomes the child's @id
+    assert (T, "http://v.example/byid", "http://n.example/kid", None) in spo
+    assert ("http://n.example/kid", "http://ex.example/name", "Kid", None) in spo
+    # @language map incl. @none
+    assert (T, "http://v.example/label", "hello", "en") in spo
+    assert (T, "http://v.example/label", "bonjour", "fr") in spo
+    assert (T, "http://v.example/label", "plain", None) in spo
+    # @type map: key becomes rdf:type of the child node
+    assert (T, "http://v.example/bytype", "http://n.example/w1", None) in spo
+    assert (
+        "http://n.example/w1",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://ex.example/Widget",
+        None,
+    ) in spo
+    # @nest: nested entries attach to the SAME subject
+    assert (T, "http://ex.example/note", "nested", None) in spo
+    # term-scoped context maps the inner key only inside scopedp's value
+    scoped_obj = next(o for s, p, o, g in quads if p[1] == "http://ex.example/scopedp")
+    assert (scoped_obj[1], "http://inner.example/p", "deep", None) in spo

@@ -175,3 +175,30 @@ def test_cli_jsonld_with_loader(spark, tmp_path, server):
         rc = run_pipeline_cli(["parse", str(doc_path), "-l", cache, "!", "serialize"], spark=spark)
     assert rc == 0
     assert '"Alice"' in buf.getvalue()
+
+
+def test_cli_parse_multiple_with_url(server, spark, capsys, tmp_path):
+    """parse -m mixing a file glob and a URL (files_or_url.rs:45-66): the
+    URL fetches driver-side, parses distributed, and both sources get the
+    per-source bnode suffix."""
+    from sopspark.cli import run_pipeline_cli
+
+    url, _srv = server
+    f = tmp_path / "local.nt"
+    f.write_text("_:a <http://e/p> <http://e/from-file> .\n")
+    rc = run_pipeline_cli(
+        ["parse", "-m", str(f), f"{url}/data", "m-"], spark=spark
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert "<http://e/s> <http://e/p> <http://e/o> ." in out
+    # file bnode got a per-source suffix
+    bn = [l for l in out if l.startswith("_:a_")]
+    assert len(bn) == 1 and "<http://e/from-file>" in bn[0]
+    # bare -g names each source's graph: the URL's quads carry the URL IRI
+    rc2 = run_pipeline_cli(
+        ["parse", "-g", "-m", str(f), f"{url}/data", "m-"], spark=spark
+    )
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert rc2 == 0
+    assert any(l.endswith(f"<{url}/data> .") for l in out2)
