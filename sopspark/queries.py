@@ -130,11 +130,9 @@ def q_merge_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    quads = _events_quads(spark, sf_dir).withColumn(
-        "o", F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>")
-    )
-    # dedup over (s,p) pairs == distinct (user, event_type)
+    # dedup over (s,p) pairs == distinct (user, event_type): neutralize o
+    # by copying p into it so the quad-key distinct collapses to (s,p)
+    quads = _events_quads(spark, sf_dir)
     out = dedup(quads.withColumn("o", F.col("p")))
     return (
         out.select(F.col("s")["value"].alias("s"), F.col("p")["value"].alias("p"))
