@@ -86,9 +86,13 @@ def get_spark(
         # one shuffle partition per core locally; on a cluster AQE coalesces
         # from a deliberately high initial number instead.
         shuffle_partitions = max(cpus, 8)
+    builder = SparkSession.builder
+    if master != "cluster":
+        # master="cluster": leave the master to spark-submit / cluster
+        # manager config (the deploy mode the north_rule ships under)
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

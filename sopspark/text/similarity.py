@@ -107,25 +107,37 @@ def lsh_cosine_topk(
     bucket join replaces the cross join: cost ≈ Σ bucket² per table.
     """
     dim = len(corpus.select(vec_col).first()[0])
-    frames = []
-    for t in range(tables):
-        planes_t = _hyperplanes(dim, planes, seed + t)
-        cb = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-            _bucket_col(F.col(vec_col), planes_t).alias("_bkt"),
-        ).withColumn("_tbl", F.lit(t))
-        qb = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            _bucket_col(F.col(vec_col), planes_t).alias("_bkt"),
-        ).withColumn("_tbl", F.lit(t))
-        frames.append(qb.join(cb, on=["_tbl", "_bkt"]).select("query_id", "neighbor_id", "_qv", "_cv"))
-    cands = frames[0]
-    for fdf in frames[1:]:
-        cands = cands.unionByName(fdf)
-    cands = cands.where(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
-        ["query_id", "neighbor_id"]
+    # ALL hash tables in one projection + explode per side: the corpus is
+    # scanned ONCE (the per-table union re-scanned it `tables` times), and
+    # candidate generation is a single (table, bucket) equi-join
+    all_planes = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+
+    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        # explode_outer: literal struct array is never empty, and a plain
+        # explode's inferred size()>0 filter would duplicate every
+        # projection expression
+        tb = F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("_tbl"),
+                        _bucket_col(F.col(vec_col), all_planes[t]).alias("_bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec), tb.alias("_tb")
+        ).select(out_id, out_vec, F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"))
+
+    cb = banded(corpus, "neighbor_id", "_cv")
+    qb = banded(queries, "query_id", "_qv")
+    cands = (
+        qb.join(cb, on=["_tbl", "_bkt"])
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn(
         "cosine",

@@ -137,3 +137,31 @@ def test_pipeline_resume(spark, tmp_path):
     # untouched upstream manifest unchanged (stage skipped, not recomputed)
     man2 = json.load(open(os.path.join(workdir, "link", "_lineage.json")))
     assert man2["written_at"] == man["written_at"]
+
+
+def test_submit_entrypoint_runs_and_resumes(spark, tmp_path):
+    """python -m sopspark.kg.submit (the spark-submit deploy twin): runs the
+    full pipeline, prints a stage summary, and a re-submit resumes from the
+    checkpoints (all stage wall times unchanged = skipped)."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from sopspark.kg.submit import main
+
+    corpus, work = str(tmp_path / "corpus"), str(tmp_path / "work")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--synth", "300", "--corpus", corpus, "--workdir", work], spark=spark)
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["stages"]["canonical"]["rows"] > 0
+    assert set(out["stages"]) == {"assemble", "extract", "link", "sameas_cc", "graph", "canonical"}
+    first = out["stages"]
+    # resume: same manifests → every stage skipped, identical summary
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc2 = main(["--synth", "300", "--corpus", corpus, "--workdir", work], spark=spark)
+    assert rc2 == 0
+    again = json.loads(buf2.getvalue().strip().splitlines()[-1])["stages"]
+    assert again == first
