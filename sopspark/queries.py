@@ -669,6 +669,52 @@ def q_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s", "v", "u")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded contiguous sequence packing (training-batch assembly):
+    per-shard windowed running token sums assign each document a bin under
+    a fixed token budget — deterministic, one hash exchange on the shard
+    key. DuckDB replicates the window exactly."""
+    from sopspark.text.analysis import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=256, shards=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("bin").cast("bigint").alias("bin"),
+    ).orderBy("doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram contamination: fraction of each candidate doc's
+    word 8-grams present in the pseudo-benchmark set (doc_id < 25) —
+    broadcast gram-set join + per-doc aggregate."""
+    from sopspark.text.analysis import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 25)
+    cand = docs.where(F.col("doc_id") >= 25)
+    return contamination(cand, bench, k=8).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contamination",
+    ).orderBy("doc_id")
+
+
+def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate word collapse — zero-shuffle indexed array
+    filter; DuckDB replicates via an indexed list_filter."""
+    from sopspark.text.analysis import collapse_repeats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collapse_repeats(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text_collapsed",
+        F.col("n_collapsed").cast("int").alias("n_collapsed"),
+    ).orderBy("doc_id")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (k=5-gram rolling hash, window 4)
     on the engine-shared md5 hash — exploded to (doc_id, fp) rows so the
@@ -724,6 +770,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_incremental": q_kg_incremental,
     "sparql_topk": q_sparql_topk,
     "sparql_star": q_sparql_star,
+    "pack_sequences": q_pack_sequences,
+    "contamination": q_contamination,
+    "collapse_repeats": q_collapse_repeats,
     "fingerprint": q_fingerprint,
 }
 
@@ -1330,6 +1379,49 @@ def _fingerprint_oracle_sql(k: int = 5, window: int = 4) -> str:
 
 
 ORACLES["fingerprint"] = _capped_docs_sql(_fingerprint_oracle_sql())
+
+ORACLES["pack_sequences"] = """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 256.0) AS BIGINT) AS bin
+    FROM t ORDER BY doc_id
+"""
+
+ORACLES["contamination"] = """
+    WITH tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(t) >= 8
+                 THEN list_transform(range(1, len(t) - 8 + 2),
+                                     i -> array_to_string(t[i:i+7], ' '))
+                 ELSE [array_to_string(t, ' ')] END AS grams
+          FROM tk),
+    bg AS (SELECT DISTINCT unnest(grams) AS bgram FROM g WHERE doc_id < 25),
+    dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 25)
+    SELECT CAST(dg.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(bg.bgram) AS BIGINT) AS n_contaminated,
+           ROUND(COUNT(bg.bgram) * 1.0 / COUNT(*), 6) AS contamination
+    FROM dg LEFT JOIN bg ON dg.gram = bg.bgram
+    GROUP BY dg.doc_id ORDER BY doc_id
+"""
+
+ORACLES["collapse_repeats"] = """
+    WITH t AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS tk FROM documents),
+    k AS (SELECT doc_id,
+            list_filter(tk, (x, i) -> i = 1 OR x <> tk[i - 1]) AS kept, tk
+          FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           array_to_string(kept, ' ') AS text_collapsed,
+           CAST(len(tk) - len(kept) AS INT) AS n_collapsed
+    FROM k ORDER BY doc_id
+"""
 
 # sparql_star: the quoted-triple subject was built from the events columns,
 # so destructuring it is equivalent to reading them back; FLOOR (not CAST)

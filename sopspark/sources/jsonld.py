@@ -275,6 +275,13 @@ class _Parser:
                         if obj is not None:
                             self.quads.append((obj, rpred, subj, self.graph))
                 continue
+            if key == "@included":
+                # @included (JSON-LD 1.1 §9.13): secondary node objects
+                # carried alongside — parsed as independent nodes
+                for child in value if isinstance(value, list) else [value]:
+                    if isinstance(child, dict):
+                        self.parse_node(child, ctx)
+                continue
             if key == "@nest" or ctx.is_nest_term(key):
                 # nesting is purely syntactic: the nested dict's entries
                 # belong to the SAME subject (§9.9)
@@ -352,6 +359,10 @@ class _Parser:
                 if isinstance(val, bool):
                     return (LITERAL, "true" if val else "false", XSD + "boolean", None)
                 lang = v.get("@language")
+                # @direction (JSON-LD 1.1 §4.2.4) → the engine's RDF 1.2
+                # dirLangString convention: lang field carries "tag--dir"
+                if lang and v.get("@direction") in ("ltr", "rtl"):
+                    lang = f"{lang}--{v['@direction']}"
                 dt = v.get("@type")
                 dt = ctx.expand(dt) or dt if dt else None
                 if isinstance(val, (int, float)) and dt is None:

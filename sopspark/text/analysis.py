@@ -240,3 +240,92 @@ def stratified_sample(
         thresholds[F.col(strata_col)], F.lit(int(default_rate * 2**48))
     )
     return df.where(_md5_unit48(F.col(id_col)) < thr)
+
+
+# --- training-batch sequence packing ----------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    (conttiguous chunked packing): documents are sharded, ordered by id
+    within each shard, and a document starts a new bin whenever the running
+    token total before it crosses a multiple of ``budget``.
+
+    Scale design: packing is PER-SHARD — each shard packs independently
+    under its own window (one hash exchange on the shard key, ``shards`` ≈
+    a few × cluster width), which is how real pipelines shard packing; a
+    single global ordering would serialize on one reducer. Deterministic:
+    shard and order are functions of the id alone, so retries/speculation
+    reproduce the same bins.
+    """
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    shard = F.pmod(F.col(id_col).cast("bigint"), F.lit(shards))
+    out = df.select(F.col(id_col), shard.alias("shard"), toks.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return out.withColumn("bin", F.floor(cum_before / budget).cast("bigint"))
+
+
+# --- benchmark contamination ------------------------------------------------
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-contamination ratio: the fraction of a
+    document's word ``k``-grams that appear in ANY benchmark document —
+    the standard eval-set decontamination check before training.
+
+    Scale design: the benchmark gram set is broadcast (benchmarks are
+    tiny next to a 100 TB corpus), so scoring is scan → explode → one
+    broadcast hash join → per-doc hash aggregate; the only shuffle is the
+    final per-document aggregate keyed on unique doc ids (skew-free).
+    """
+    from sopspark.text.dedup import _word_shingles
+
+    bench_grams = (
+        bench.select(F.explode_outer(_word_shingles(text_col, k)).alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode_outer(_word_shingles(text_col, k)).alias("g")
+    ).where(F.col("g").isNotNull())
+    scored = doc_grams.join(F.broadcast(bench_grams), on="g", how="left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+        )
+    )
+
+
+# --- consecutive-duplicate collapse ------------------------------------------
+
+def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse runs of consecutive duplicate words ("a a the" → "a the")
+    — a cheap intra-document repetition cleaner. Pure array expressions
+    (split → indexed filter → concat), zero shuffle, whole-stage codegen;
+    at 100 TB this fuses into whatever scan feeds it."""
+    toks = F.split(F.col(text_col), r"\s+")
+    # keep token i iff i == 0 or toks[i] != toks[i-1]; element_at is
+    # 1-based, so element_at(toks, i) with the lambda's 0-based i IS the
+    # previous element
+    kept = F.filter(toks, lambda x, i: (i == F.lit(0)) | (x != F.element_at(toks, i)))
+    return df.withColumn("text_collapsed", F.concat_ws(" ", kept)).withColumn(
+        "n_collapsed", F.size(toks) - F.size(kept)
+    )

@@ -149,3 +149,56 @@ def test_stratified_sample_monotone_in_rate(spark):
     big = {r["doc_id"] for r in stratified_sample(df, {"en": 0.6}).collect()}
     assert small <= big
     assert len(small) < len(big)
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Chunked packing: bins are non-decreasing per shard, bin increments
+    exactly when the pre-doc running total crosses a budget multiple, and
+    assignment is a pure function of (id, tokens) — rerun identical."""
+    from sopspark.text.analysis import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=100, shards=4).orderBy("shard", "doc_id").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        for r in rows:
+            assert r.bin == cum // 100
+            cum += r.n_tokens
+    again = pack_sequences(docs, budget=100, shards=4).orderBy("shard", "doc_id").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_contamination_closed_form(spark):
+    """A candidate that IS a benchmark doc's text scores 1.0; disjoint
+    vocabulary scores 0.0."""
+    from sopspark.text.analysis import contamination
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (11, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contamination for r in contamination(cand, bench, k=8).collect()}
+    assert got[10] == 1.0 and got[11] == 0.0
+
+
+def test_collapse_repeats_closed_form(spark):
+    from sopspark.text.analysis import collapse_repeats
+
+    df = spark.createDataFrame(
+        [(1, "a a the the the b"), (2, "x y z"), (3, "q q q q")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text_collapsed, r.n_collapsed) for r in collapse_repeats(df).collect()}
+    assert got[1] == ("a the b", 3)
+    assert got[2] == ("x y z", 0)
+    assert got[3] == ("q", 3)

@@ -329,3 +329,23 @@ def test_jsonld11_container_maps_nest_scoped_contexts():
     # term-scoped context maps the inner key only inside scopedp's value
     scoped_obj = next(o for s, p, o, g in quads if p[1] == "http://ex.example/scopedp")
     assert (scoped_obj[1], "http://inner.example/p", "deep", None) in spo
+
+
+def test_jsonld11_included_and_direction():
+    """JSON-LD 1.1 @included blocks and @direction → dirLangString."""
+    import json
+
+    from sopspark.sources.jsonld import parse_jsonld_text
+
+    doc = {
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://n/a",
+        "title": {"@value": "مرحبا", "@language": "ar", "@direction": "rtl"},
+        "@included": [
+            {"@id": "http://n/b", "note": {"@value": "side"}},
+        ],
+    }
+    quads = parse_jsonld_text(json.dumps(doc))
+    spo = {(s[1], p[1], o[1], o[3]) for s, p, o, g in quads}
+    assert ("http://n/a", "http://v/title", "مرحبا", "ar--rtl") in spo
+    assert ("http://n/b", "http://v/note", "side", None) in spo
