@@ -96,6 +96,9 @@ def main() -> None:
         "sessionize": QUERIES["sessionize"],
         "stratified_sample": QUERIES["stratified_sample"],
         "pii_redact": QUERIES["pii_redact"],
+        "pack_sequences": QUERIES["pack_sequences"],
+        "contamination": QUERIES["contamination"],
+        "collapse_repeats": QUERIES["collapse_repeats"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -100,3 +100,36 @@ def test_c14n_idempotent_and_dedupes(qs):
     once = canonicalize_quads(qs)
     assert canonicalize_quads(qs + qs) == once  # set semantics
     assert once == sorted(once)  # sorted document
+
+
+@given(st.lists(st.builds(lambda s, p, o: (s, p, o), subjects, iris, objects), min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_quoted_term_regex_destructure_roundtrip(spark, triples):
+    """The SPARQL-star qpat machinery: encoding random inner triples as a
+    canonical QUOTED term, then destructuring via the depth-bounded regex +
+    _decode_nt_term, reproduces the original terms (vs the reference
+    Python parser parse_term_str)."""
+    from pyspark.sql import functions as F
+
+    from sopspark.functions.sparql import _decode_nt_term, _nt_term_re
+    from sopspark.terms import py_nt_term
+
+    encs = [
+        "<< " + " ".join(py_nt_term(t) for t in (s, p, o)) + " >>"
+        for s, p, o in triples
+    ]
+    df = spark.createDataFrame([(e,) for e in encs], ["enc"])
+    tre = _nt_term_re()
+    pat = f"^<< ({tre}) ({tre}) ({tre}) >>$"
+    out = df.select(
+        "enc",
+        *[
+            _decode_nt_term(F.regexp_extract(F.col("enc"), pat, i)).alias(f"t{i}")
+            for i in (1, 2, 3)
+        ],
+    ).collect()
+    got = {r.enc: [tuple(r[f"t{i}"]) for i in (1, 2, 3)] for r in out}
+    for (s, p, o), enc in zip(triples, encs):
+        want = [tuple(x) for x in (s, p, o)]
+        # plain-literal dt normalization: parser stores None for xsd:string
+        assert got[enc] == want, (enc, got[enc], want)

@@ -175,3 +175,35 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         for r in session_stats(batch, gap_seconds=1800, order_col="event_id").collect()
     }
     assert stats == {1: (2, 2), 2: (1, 1)}
+
+
+def test_streaming_curation_map_ops(spark, tmp_path):
+    """Map-only curation operators (PII redaction, repeat collapse, langid,
+    quality) compose directly onto a streaming source — pure projections,
+    no state, so the same Catalyst expressions run under Structured
+    Streaming unchanged."""
+    import json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "mail me at bob@example.com the the plan"},
+        {"doc_id": 2, "text": "the of and to a in is it that for x"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    assert stream.isStreaming
+    from sopspark.text.analysis import collapse_repeats, detect_language, redact_pii
+
+    out = collapse_repeats(redact_pii(detect_language(stream)))
+    q = (
+        out.writeStream.format("memory").queryName("cur_sink")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("select * from cur_sink").collect()}
+    assert got[1].n_emails == 1 and "<EMAIL>" in got[1].text_redacted
+    assert "the the" not in got[1].text_collapsed
+    assert got[2].lang_pred == "en"
