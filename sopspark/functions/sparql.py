@@ -694,15 +694,19 @@ def _nt_term_re(depth: int = 3) -> str:
 
 def _unescape_nt(c: Column) -> Column:
     """Inverse of terms.escape_literal (canonical escapes only), single
-    logical pass: escaped backslashes park on a sentinel so ``\\\\n`` stays a
-    backslash + n instead of decoding as a newline."""
-    sent = "\x01"
-    c = F.regexp_replace(c, r"\\\\", sent)
-    c = F.regexp_replace(c, r"\\n", "\n")
-    c = F.regexp_replace(c, r"\\r", "\r")
-    c = F.regexp_replace(c, r"\\t", "\t")
-    c = F.regexp_replace(c, r"\\\"", '"')
-    return F.regexp_replace(c, sent, r"\\")
+    logical pass: split on escaped backslashes FIRST, decode the simple
+    escapes inside each segment, then rejoin with a literal backslash — so
+    ``\\\\n`` stays backslash + n instead of decoding as a newline, and no
+    in-band sentinel character can clash with literal data."""
+
+    def simple(seg: Column) -> Column:
+        seg = F.regexp_replace(seg, r"\\n", "\n")
+        seg = F.regexp_replace(seg, r"\\r", "\r")
+        seg = F.regexp_replace(seg, r"\\t", "\t")
+        return F.regexp_replace(seg, r"\\\"", '"')
+
+    parts = F.split(c, r"\\\\", -1)
+    return F.array_join(F.transform(parts, simple), "\\")
 
 
 def _decode_nt_term(c: Column) -> Column:

@@ -356,6 +356,13 @@ class _Parser:
                 )
             if "@value" in v:
                 val = v["@value"]
+                if v.get("@type") == "@json":
+                    # JSON literal (JSON-LD 1.1 §8.3): canonical JSON per
+                    # RFC 8785 basics — sorted keys, no whitespace, UTF-8
+                    lex = json.dumps(
+                        val, sort_keys=True, separators=(",", ":"), ensure_ascii=False
+                    )
+                    return (LITERAL, lex, RDF_NS + "JSON", None)
                 if isinstance(val, bool):
                     return (LITERAL, "true" if val else "false", XSD + "boolean", None)
                 lang = v.get("@language")

@@ -349,3 +349,22 @@ def test_jsonld11_included_and_direction():
     spo = {(s[1], p[1], o[1], o[3]) for s, p, o, g in quads}
     assert ("http://n/a", "http://v/title", "مرحبا", "ar--rtl") in spo
     assert ("http://n/b", "http://v/note", "side", None) in spo
+
+
+def test_jsonld11_json_literal():
+    """@type: @json → rdf:JSON literal with canonical (sorted-key, compact)
+    lexical form."""
+    import json
+
+    from sopspark.sources.jsonld import parse_jsonld_text
+    from sopspark.terms import RDF_NS
+
+    doc = {
+        "@context": {"@vocab": "http://v/"},
+        "@id": "http://n/a",
+        "cfg": {"@value": {"b": 1, "a": [True, None]}, "@type": "@json"},
+    }
+    quads = parse_jsonld_text(json.dumps(doc))
+    (s, p, o, g), = quads
+    assert o[1] == '{"a":[true,null],"b":1}'
+    assert o[2] == RDF_NS + "JSON"
