@@ -454,6 +454,39 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
         ).otherwise(_null_term())
     if n in ("isiri", "isuri"):
         return bool_term(args[0]["kind"] == IRI)
+    if n == "istriple":
+        from sopspark.terms import QUOTED
+
+        return bool_term(args[0]["kind"] == QUOTED)
+    if n == "triple":
+        # TRIPLE(s, p, o) → a quoted-triple term (SPARQL-star 17.4.2.8):
+        # canonical NT encoding, matching the parsers' QUOTED convention
+        from sopspark.terms import QUOTED, nt_term
+
+        enc = F.concat(
+            F.lit("<< "), nt_term(args[0]), F.lit(" "), nt_term(args[1]),
+            F.lit(" "), nt_term(args[2]), F.lit(" >>"),
+        )
+        return F.struct(
+            F.lit(QUOTED).cast("tinyint").alias("kind"),
+            enc.alias("value"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    if n in ("subject", "predicate", "object"):
+        # SUBJECT/PREDICATE/OBJECT(t) destructure a quoted-triple term
+        # (SPARQL-star 17.4.2.9-11) — same depth-bounded regex machinery as
+        # << ?s ?p ?o >> patterns; non-triple input → error (NULL)
+        from sopspark.functions.sparql import _decode_nt_term, _nt_term_re
+        from sopspark.terms import QUOTED
+
+        tre = _nt_term_re()
+        pat = f"^<< ({tre}) ({tre}) ({tre}) >>$"
+        grp = {"subject": 1, "predicate": 2, "object": 3}[n]
+        part = F.regexp_extract(args[0]["value"], pat, grp)
+        return F.when(
+            (args[0]["kind"] == QUOTED) & (part != ""), _decode_nt_term(part)
+        )
     if n == "isblank":
         return bool_term(args[0]["kind"] == BNODE)
     if n == "isliteral":
@@ -670,11 +703,41 @@ class _P:
 
     def rel(self) -> Node:
         n = self.add()
-        t = self.peek()[1]
+        k, t = self.peek()
         if t in ("=", "!=", "<", ">", "<=", ">="):
             self.next()
             return Node(t, (n, self.add()))
+        # IN / NOT IN (SPARQL 17.4.1.9-10) desugar per spec into =/|| and
+        # !=/&& chains — no new compile logic, same error semantics
+        if k == "name" and t.lower() == "in":
+            self.next()
+            return self._in_chain(n, negated=False)
+        if k == "name" and t.lower() == "not":
+            save = self.i
+            self.next()
+            k2, t2 = self.peek()
+            if k2 == "name" and t2.lower() == "in":
+                self.next()
+                return self._in_chain(n, negated=True)
+            self.i = save
         return n
+
+    def _in_chain(self, lhs: Node, negated: bool) -> Node:
+        self.expect("(")
+        items: list[Node] = []
+        if self.peek()[1] != ")":
+            items.append(self.expr())
+            while self.peek()[1] == ",":
+                self.next()
+                items.append(self.expr())
+        self.expect(")")
+        if not items:
+            return Node("bool_const", (negated,))  # IN () = false, NOT IN () = true
+        op, join = ("!=", "and") if negated else ("=", "or")
+        out = Node(op, (lhs, items[0]))
+        for it in items[1:]:
+            out = Node(join, (out, Node(op, (lhs, it))))
+        return out
 
     def add(self) -> Node:
         n = self.mul()

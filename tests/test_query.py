@@ -628,3 +628,53 @@ def test_lang_langdir_datatype_for_dirlangstring(spark):
     assert a.dt.value.endswith("dirLangString")
     assert b.lg.value == "fr" and b.d.value == ""
     assert b.dt.value.endswith("langString")
+
+
+def test_in_not_in_operators(spark):
+    """IN / NOT IN (SPARQL 17.4.1.9-10), desugared per spec into =/|| and
+    !=/&& chains."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/v> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/b> <http://e/v> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/c> <http://e/v> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    got = sparql_query(df, "SELECT ?s WHERE { ?s <http://e/v> ?o FILTER(?o IN (1, 3)) }").df.collect()
+    assert sorted(r.s.value for r in got) == ["http://e/a", "http://e/c"]
+    got2 = sparql_query(df, "SELECT ?s WHERE { ?s <http://e/v> ?o FILTER(?o NOT IN (1, 3)) }").df.collect()
+    assert [r.s.value for r in got2] == ["http://e/b"]
+    # case-insensitive keywords; empty IN () is false
+    got3 = sparql_query(df, "SELECT ?s WHERE { ?s <http://e/v> ?o FILTER(?o in ()) }").df.collect()
+    assert got3 == []
+
+
+def test_sparql_star_accessor_functions(spark):
+    """TRIPLE/SUBJECT/PREDICATE/OBJECT/isTRIPLE (SPARQL-star 17.4.2.8-11)."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<< <http://e/s1> <http://e/p> "9"^^<http://www.w3.org/2001/XMLSchema#integer> >> <http://e/said> <http://e/w> .',
+        '<http://e/plain> <http://e/said> <http://e/w> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = """
+    SELECT ?q (isTRIPLE(?q) AS ?it) (SUBJECT(?q) AS ?s) (PREDICATE(?q) AS ?p)
+           (OBJECT(?q) AS ?o) WHERE { ?q <http://e/said> <http://e/w> }
+    """
+    got = {r.q.value: r for r in sparql_query(df, q).df.collect()}
+    star = got['<< <http://e/s1> <http://e/p> "9"^^<http://www.w3.org/2001/XMLSchema#integer> >>']
+    assert star.it.value == "true"
+    assert star.s.value == "http://e/s1" and star.s.kind == 0
+    assert star.p.value == "http://e/p"
+    assert star.o.value == "9" and star.o.dt.endswith("integer")
+    plain = got["http://e/plain"]
+    assert plain.it.value == "false" and plain.s is None
+    # TRIPLE() constructs a term equal to the parsed quoted form
+    q2 = """
+    SELECT ?w WHERE { ?q <http://e/said> ?w
+      FILTER(isTRIPLE(?q) && sameTerm(?q, TRIPLE(SUBJECT(?q), PREDICATE(?q), OBJECT(?q)))) }
+    """
+    got2 = sparql_query(df, q2).df.collect()
+    assert len(got2) == 1
