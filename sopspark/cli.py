@@ -329,18 +329,21 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 prefixes = (
                     parse_prefix_map(args.prefixes) if args.prefixes else DEFAULT_PREFIXES
                 )
-                blocks_fn = to_turtle_blocks if args.format != "trig" else to_trig_blocks
-                if args.no_pretty and args.format != "trig":
-                    blocks_fn = to_turtle_plain_blocks
+                from sopspark.operators.serialize import to_trig_plain_blocks
+
+                if args.format != "trig":
+                    blocks_fn = to_turtle_plain_blocks if args.no_pretty else to_turtle_blocks
+                else:
+                    blocks_fn = to_trig_plain_blocks if args.no_pretty else to_trig_blocks
                 write_fn = serialize_turtle if args.format != "trig" else serialize_trig
                 if args.output:
                     # CLI -o mirrors the reference's single output stream;
                     # -P/--no-pretty applies to file sinks too (the
                     # reference's serializer options are sink-independent)
-                    kw = {"prefixes": prefixes, "single_file": True}
-                    if args.format != "trig":
-                        kw["pretty"] = not args.no_pretty
-                    write_fn(df, args.output, **kw)
+                    write_fn(
+                        df, args.output, prefixes=prefixes, single_file=True,
+                        pretty=not args.no_pretty,
+                    )
                 else:
                     for p_, ns in sorted(prefixes.items()):
                         print(f"@prefix {p_}: <{ns}> .")

@@ -368,7 +368,16 @@ def _compile(n: Node, env: dict[str, Column], rd: bool) -> Column:
     raise ExprError(f"unknown op {op}")
 
 
-_NOW_STACK: list[str] = []
+import threading as _threading
+
+_NOW_TLS = _threading.local()  # per-thread pin stack: concurrent driver
+# threads compiling different queries must not share an execution instant
+
+
+def _now_stack() -> list[str]:
+    if not hasattr(_NOW_TLS, "stack"):
+        _NOW_TLS.stack = []
+    return _NOW_TLS.stack
 
 
 def _fresh_now() -> str:
@@ -381,21 +390,23 @@ def _fresh_now() -> str:
 def _now_pin() -> str:
     """The query-execution instant: the enclosing now_scope's pin, or a
     fresh instant for a bare expression compiled outside any scope."""
-    return _NOW_STACK[-1] if _NOW_STACK else _fresh_now()
+    stack = _now_stack()
+    return stack[-1] if stack else _fresh_now()
 
 
 class now_scope:
     """Context manager pinning ONE instant for every NOW() occurrence
     compiled inside it (SPARQL 17.4.5.1's single query-execution instant).
     Re-entrant: nested scopes inherit the outermost pin so a sub-expression
-    compile inside a query never re-samples the clock."""
+    compile inside a query never re-samples the clock. Thread-local."""
 
     def __enter__(self):
-        _NOW_STACK.append(_NOW_STACK[-1] if _NOW_STACK else _fresh_now())
+        stack = _now_stack()
+        stack.append(stack[-1] if stack else _fresh_now())
         return self
 
     def __exit__(self, *exc):
-        _NOW_STACK.pop()
+        _now_stack().pop()
         return False
 
 

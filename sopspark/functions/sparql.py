@@ -335,6 +335,10 @@ class _QP:
                 continue
             if self.kw("GRAPH"):
                 gname = self.term()
+                if gname[0] == "qpat":
+                    raise SparqlError(
+                        "quoted-triple patterns cannot appear in GRAPH position"
+                    )
                 sub = self.group()
                 for tp in _all_triples(sub):
                     if tp.graph is None:  # inner GRAPH already set it
@@ -968,6 +972,10 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
     sol: DataFrame | None = None
     for tp in g.triples:
         if tp.p[0] == "path":
+            if tp.s[0] == "qpat" or tp.o[0] == "qpat":
+                raise SparqlError(
+                    "quoted-triple patterns are not supported as property-path endpoints"
+                )
             sol = _join_solutions(sol, _scan_path_pattern(quads, tp))
         else:
             sol = _join_solutions(sol, _scan_pattern(quads, tp))

@@ -110,7 +110,10 @@ def materialize_graph(
         f"'dt', '{XSD}integer', 'lang', CAST(NULL AS STRING)) END"
     )
     if conv_ns:
-        g_sql = iri_sql(f"concat('{conv_ns}', conv_id)")
+        # escape for a single-quoted Spark SQL literal — conv_ns is user
+        # input (CLI --conv-ns) and may contain quotes/backslashes
+        ns_lit = conv_ns.replace("\\", "\\\\").replace("'", "\\'")
+        g_sql = iri_sql(f"concat('{ns_lit}', conv_id)")
     else:
         g_sql = "CAST(NULL AS struct<kind:tinyint,value:string,dt:string,lang:string>)"
 

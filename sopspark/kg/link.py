@@ -54,7 +54,10 @@ def best_candidates(alias_dict: DataFrame) -> DataFrame:
         best: dict = {}
         for r in rows:
             key = (r["alias"], r["etype"])
-            cand = (-float(r["prior"]), r["iri"])  # highest prior, ties → min IRI
+            # NULL prior = worst (loses to any real prior) — keeps the
+            # local path total-ordered instead of crashing on float(None)
+            prior = float(r["prior"]) if r["prior"] is not None else float("-inf")
+            cand = (-prior, r["iri"])  # highest prior, ties → min IRI
             if key not in best or cand < best[key]:
                 best[key] = cand
         out = [(a, e, c[1]) for (a, e), c in best.items()]

@@ -5,7 +5,13 @@ north_rule deploy mode: "ships via spark-submit --py-files". On a cluster:
     python -c "import sopspark.session as s; print(s._package_zip())"  # build zip
     spark-submit --py-files /tmp/sopspark_pyfiles.zip \
         path/to/sopspark/kg/submit.py \
-        --master cluster --corpus s3://bucket/corpus --workdir s3://bucket/kg
+        --master cluster --corpus /mnt/shared/corpus --workdir /mnt/shared/kg
+
+``--corpus``/``--workdir`` must be driver-visible filesystem paths (local
+or NFS-mounted): the lineage manifests are written with plain ``open()``
+— the sandbox stand-in for Iceberg snapshot metadata. An object-store
+(s3://) workdir needs that manifest layer swapped for the real Iceberg
+catalog (SURVEY.md §4.3.6).
 
 ``--master cluster`` leaves the Spark master to spark-submit; any other
 value (default ``local[$SPARK_GRAFT_CPUS]``) builds a local session, so the

@@ -131,6 +131,30 @@ def to_turtle_plain_blocks(df: DataFrame, prefixes: dict[str, str] | None = None
     return ok.select(line.alias("sort_key"), line.alias("block")).dropDuplicates()
 
 
+def to_trig_plain_blocks(df: DataFrame, prefixes: dict[str, str] | None = None) -> DataFrame:
+    """--no-pretty TriG: one statement per line — default-graph triples as
+    plain lines, named-graph triples as single-line ``<g> { s p o . }``
+    blocks. Pure projection, zero aggregation (the -P promise)."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    ok = df.where(F.col("err").isNull()) if "err" in df.columns else df
+    triple = F.concat(
+        _ttl_term(F.col("s"), prefixes),
+        F.lit(" "),
+        _ttl_term(F.col("p"), prefixes, predicate=True),
+        F.lit(" "),
+        _ttl_term(F.col("o"), prefixes),
+        F.lit(" ."),
+    )
+    line = F.when(
+        F.col("g").isNotNull(),
+        F.concat(_ttl_term(F.col("g"), prefixes), F.lit(" { "), triple, F.lit(" }")),
+    ).otherwise(triple)
+    sort_key = F.concat(
+        F.when(F.col("g").isNotNull(), F.lit("1")).otherwise(F.lit("0")), line
+    )
+    return ok.select(sort_key.alias("sort_key"), line.alias("block")).dropDuplicates()
+
+
 def parse_prefix_map(spec: str) -> dict[str, str]:
     """``PREFIX:URI,PREFIX:URI,...`` → dict (serialize -p / $SOP_PREFIXES,
     src/serialize.rs:63-67, common/prefix_map.rs)."""
@@ -272,11 +296,14 @@ def serialize_trig(
     path: str,
     prefixes: dict[str, str] | None = None,
     single_file: bool = False,
+    pretty: bool = True,
 ) -> None:
     """Write a TriG document (prefix header, default graph first, then
-    named-graph blocks in code-point order)."""
+    named-graph blocks in code-point order). ``pretty=False`` = -P
+    (one statement per line), honored for file sinks like stdout."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
-    _write_blocks(df, to_trig_blocks(df, prefixes), path, prefixes, single_file)
+    blocks_fn = to_trig_blocks if pretty else to_trig_plain_blocks
+    _write_blocks(df, blocks_fn(df, prefixes), path, prefixes, single_file)
 
 
 def serialize_turtle(

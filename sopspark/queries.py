@@ -630,7 +630,7 @@ def q_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     binds the inner variables. The oracle replicates directly from the
     events columns the quoted encodings were built from."""
     from sopspark.functions.sparql import sparql_query
-    from sopspark.terms import QUOTED, XSD
+    from sopspark.terms import XSD, iri_col, quoted_col
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     quoted = F.concat(
@@ -642,19 +642,10 @@ def q_sparql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value")).cast("bigint").cast("string"),
         F.lit(f'"^^<{XSD}integer> >>'),
     )
-
-    def term(kind, value):
-        return F.struct(
-            F.lit(kind).cast("tinyint").alias("kind"),
-            value.alias("value"),
-            F.lit(None).cast("string").alias("dt"),
-            F.lit(None).cast("string").alias("lang"),
-        )
-
     quads = ev.select(
-        term(QUOTED, quoted).alias("s"),
-        term(IRI, F.lit(f"{EV}occurred")).alias("p"),
-        term(IRI, F.concat(F.lit("http://example.org/evt/"), F.col("event_id").cast("string"))).alias("o"),
+        quoted_col(quoted).alias("s"),
+        iri_col(f"{EV}occurred").alias("p"),
+        iri_col(F.concat(F.lit("http://example.org/evt/"), F.col("event_id").cast("string"))).alias("o"),
         F.lit(None).cast("struct<kind:tinyint,value:string,dt:string,lang:string>").alias("g"),
         F.lit(None).cast("string").alias("err"),
     )

@@ -99,6 +99,13 @@ def bnode_col(label: Column | str) -> Column:
     return _term_struct(F.lit(BNODE), v, F.lit(None).cast("string"), F.lit(None).cast("string"))
 
 
+def quoted_col(encoding: Column | str) -> Column:
+    """RDF-star quoted-triple term from its canonical NT ``<< ... >>``
+    encoding."""
+    v = F.lit(encoding) if isinstance(encoding, str) else encoding
+    return _term_struct(F.lit(QUOTED), v, F.lit(None).cast("string"), F.lit(None).cast("string"))
+
+
 def literal_col(
     lex: Column | str,
     dt: Column | str | None = None,

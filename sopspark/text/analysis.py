@@ -321,11 +321,21 @@ def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
     — a cheap intra-document repetition cleaner. Pure array expressions
     (split → indexed filter → concat), zero shuffle, whole-stage codegen;
     at 100 TB this fuses into whatever scan feeds it."""
-    toks = F.split(F.col(text_col), r"\s+")
+    # Materialize the token array in its own projection first: referencing
+    # the raw split() expression inside the filter lambda would re-split
+    # the text per token (no CSE into lambda bodies — the same O(n²)
+    # blowup as the round-2 fingerprint bug).
+    tdf = df.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
+    toks = F.col("_toks")
     # keep token i iff i == 0 or toks[i] != toks[i-1]; element_at is
     # 1-based, so element_at(toks, i) with the lambda's 0-based i IS the
     # previous element
-    kept = F.filter(toks, lambda x, i: (i == F.lit(0)) | (x != F.element_at(toks, i)))
-    return df.withColumn("text_collapsed", F.concat_ws(" ", kept)).withColumn(
-        "n_collapsed", F.size(toks) - F.size(kept)
+    kdf = tdf.withColumn(
+        "_kept",
+        F.filter(toks, lambda x, i: (i == F.lit(0)) | (x != F.element_at(toks, i))),
+    )
+    return (
+        kdf.withColumn("text_collapsed", F.concat_ws(" ", F.col("_kept")))
+        .withColumn("n_collapsed", F.size(toks) - F.size(F.col("_kept")))
+        .drop("_toks", "_kept")
     )

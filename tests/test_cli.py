@@ -268,3 +268,28 @@ def test_cli_dispatch_relativize_nested_parents(spark, capsys, tmp_path, fixture
     assert rc == 0
     body = (dest / "a" / "b.nt").read_text()
     assert "<../other.nt>" in body
+
+
+def test_cli_serialize_trig_no_pretty(spark, capsys, tmp_path):
+    """-P applies to TriG too (stdout AND -o): one statement per line,
+    named-graph statements as single-line g { s p o . } blocks."""
+    f = tmp_path / "t.nq"
+    f.write_text(
+        "<http://e/s> <http://e/p> <http://e/o> <http://e/g> .\n"
+        "<http://e/s> <http://e/p> <http://e/o2> .\n"
+    )
+    rc, out = run(spark, capsys, "parse", str(f), "!", "serialize", "-f", "trig", "-P")
+    assert rc == 0
+    body = [l for l in out if not l.startswith("@prefix")]
+    assert "<http://e/s> <http://e/p> <http://e/o2> ." in body
+    assert "<http://e/g> { <http://e/s> <http://e/p> <http://e/o> . }" in body
+    outf = tmp_path / "out.trig"
+    rc2, _ = run(
+        spark, capsys, "parse", str(f), "!",
+        "serialize", "-f", "trig", "-P", "-o", str(outf),
+    )
+    assert rc2 == 0
+    import glob as _glob
+
+    lines = open(_glob.glob(str(outf / "part-*"))[0]).read().strip().splitlines()
+    assert "<http://e/g> { <http://e/s> <http://e/p> <http://e/o> . }" in lines
