@@ -706,6 +706,23 @@ def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted per-entity count (the north_rule's hot-key skew
+    defusal, kg/link.py::salted_agg_count) over the events user column —
+    salting splits each hot key across 32 reducers before the tiny partial
+    combine, and the result is EXACTLY an unsalted GROUP BY count, which
+    is what the DuckDB oracle pins."""
+    from sopspark.kg.link import salted_agg_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ents = ev.select(
+        F.concat(F.lit(USR), F.col("user_id").cast("string")).alias("entity")
+    )
+    return salted_agg_count(ents, "entity", salt_buckets=32).select(
+        "entity", F.col("n").cast("bigint").alias("n")
+    ).orderBy("entity")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (k=5-gram rolling hash, window 4)
     on the engine-shared md5 hash — exploded to (doc_id, fp) rows so the
@@ -764,6 +781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "contamination": q_contamination,
     "collapse_repeats": q_collapse_repeats,
+    "entity_histogram": q_entity_histogram,
     "fingerprint": q_fingerprint,
 }
 
@@ -1370,6 +1388,12 @@ def _fingerprint_oracle_sql(k: int = 5, window: int = 4) -> str:
 
 
 ORACLES["fingerprint"] = _capped_docs_sql(_fingerprint_oracle_sql())
+
+ORACLES["entity_histogram"] = """
+    SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS entity,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id ORDER BY entity
+"""
 
 ORACLES["pack_sequences"] = """
     WITH t AS (
