@@ -706,6 +706,29 @@ def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus summary (doc count, mean tokens, exact token
+    p50/p90): one hash aggregate keyed on the 5-value language column —
+    map-side combine collapses nearly everything, and the exact percentile
+    state is a per-group value list bounded by group cardinality. DuckDB's
+    continuous quantile matches Spark's exact interpolated percentile."""
+    from sopspark.text.analysis import detect_language
+
+    docs = detect_language(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = F.size(F.split(F.col("text"), r"\s+"))
+    return (
+        docs.select("lang_pred", toks.alias("n_tokens"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 def q_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted per-entity count (the north_rule's hot-key skew
     defusal, kg/link.py::salted_agg_count) over the events user column —
@@ -782,6 +805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "collapse_repeats": q_collapse_repeats,
     "entity_histogram": q_entity_histogram,
+    "corpus_stats": q_corpus_stats,
     "fingerprint": q_fingerprint,
 }
 
@@ -1388,6 +1412,29 @@ def _fingerprint_oracle_sql(k: int = 5, window: int = 4) -> str:
 
 
 ORACLES["fingerprint"] = _capped_docs_sql(_fingerprint_oracle_sql())
+
+def _corpus_stats_oracle_sql() -> str:
+    counts, case = _langid_case_parts()
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+            len(string_split_regex(text, '\\s+')) AS n_tokens,
+            {counts}
+          FROM (SELECT doc_id, text,
+                       list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents)
+        ),
+        lp AS (SELECT doc_id, n_tokens, CASE {case} END AS lang_pred FROM c)
+        SELECT lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(n_tokens), 4) AS mean_tokens,
+               ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+               ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+        FROM lp GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+ORACLES["corpus_stats"] = _corpus_stats_oracle_sql()
 
 ORACLES["entity_histogram"] = """
     SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS entity,
