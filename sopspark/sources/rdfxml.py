@@ -129,9 +129,28 @@ class _Parser:
         elif children:
             obj = self.parse_node(children[0], lang)
         else:
-            text = prop.text or ""
-            d = None if dt == XSD_STRING else dt
-            obj = (LITERAL, text, d, lang if d is None else None)
+            prop_attrs = [
+                (attr, val)
+                for attr, val in prop.attrib.items()
+                if attr.startswith("{")
+                and not attr.startswith(RDF)
+                and attr != XML_LANG
+                and attr != XML_BASE
+            ]
+            if prop_attrs and not (prop.text or "").strip():
+                # empty property element with property ATTRIBUTES (spec
+                # §2.12 "Omitting Blank Nodes"): object is a fresh bnode
+                # carrying the attributes as literal properties
+                inner = self.fresh()
+                for attr, val in prop_attrs:
+                    self.quads.append(
+                        (inner, (IRI, _expand(attr), None, None), (LITERAL, val, None, lang), None)
+                    )
+                obj = inner
+            else:
+                text = prop.text or ""
+                d = None if dt == XSD_STRING else dt
+                obj = (LITERAL, text, d, lang if d is None else None)
         self.quads.append((subj, pred, obj, None))
         # rdf:ID on a PROPERTY element reifies the statement (RDF/XML spec
         # §2.17; the sophia parser the reference wires emits the same four

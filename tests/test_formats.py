@@ -368,3 +368,26 @@ def test_jsonld11_json_literal():
     (s, p, o, g), = quads
     assert o[1] == '{"a":[true,null],"b":1}'
     assert o[2] == RDF_NS + "JSON"
+
+
+def test_rdfxml_property_attributes_blank_node():
+    """Empty property element carrying property ATTRIBUTES (RDF/XML spec
+    §2.12 'Omitting Blank Nodes'): object is a blank node with the
+    attributes as literal properties — was mis-parsed as an empty literal."""
+    from sopspark.sources.rdfxml import parse_rdfxml_text
+    from sopspark.terms import BNODE
+
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.example/">
+  <rdf:Description rdf:about="http://n/doc">
+    <ex:editor ex:fullName="Dave Beckett" ex:homePage="http://purl.org/net/dajobe/"/>
+  </rdf:Description>
+</rdf:RDF>"""
+    quads = parse_rdfxml_text(doc)
+    ed = next(o for s, p, o, g in quads if p[1] == "http://ex.example/editor")
+    assert ed[0] == BNODE
+    spo = {(s[1], p[1], o[1]) for s, p, o, g in quads}
+    assert (ed[1], "http://ex.example/fullName", "Dave Beckett") in spo
+    assert (ed[1], "http://ex.example/homePage", "http://purl.org/net/dajobe/") in spo
+    assert len(quads) == 3
