@@ -1188,9 +1188,12 @@ def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list
         if name in ("sum", "avg"):
             v = num(inner_t)
             if distinct:
+                # AVG(DISTINCT) = sum/count over the distinct value set
+                # (SPARQL 18.5.1.4 applies Distinct to the multiset first)
                 if name == "avg":
-                    raise SparqlError("AVG(DISTINCT) is not supported")
-                c = F.sum_distinct(v)
+                    c = F.sum_distinct(v) / F.count_distinct(v)
+                else:
+                    c = F.sum_distinct(v)
             else:
                 c = F.sum(v) if name == "sum" else F.avg(v)
             if name == "sum":

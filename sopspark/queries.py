@@ -767,6 +767,75 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every purchase, the latest
+    at-or-before click by the same user — the single-shuffle union-window
+    plan, vs DuckDB's inequality-join + QUALIFY replication. Tie-break:
+    greatest (ts, event_id)."""
+    from sopspark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id", "value")
+    j = asof_join(purchases, clicks, on="user_id", tiebreak="event_id")
+    return j.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id_r").cast("bigint").alias("click_id"),
+        # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is the identity
+        # on the wall-clock value (== DuckDB's naive epoch_us)
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).cast("bigint").alias("gap_us"),
+        F.round(F.col("value"), 6).alias("click_value"),
+    ).orderBy("event_id")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword search (text/search.py): one scan + one 1-row
+    corpus-stats aggregate broadcast back + TakeOrderedAndProject — no
+    inverted index, no explode, no Python."""
+    from sopspark.text.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, ["hash", "join", "vector"], topk=25).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score", "n_hits"
+    )
+
+
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (text/sketch.py): per-event-type distinct
+    user estimate from the 64 smallest md5-lane hashes — bounded-state
+    partial sketches in mapInPandas, one merge exchange; the estimate is a
+    pure function of the value set so DuckDB pins it exactly."""
+    from sopspark.text.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "event_type", "user_id", k=64).orderBy("event_type")
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup: Spark's native window() bucketing
+    (epoch-aligned 1-hour windows ≡ date_trunc) — one hash aggregate,
+    map-side combined; the streaming twin uses the same expression."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("win_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -807,6 +876,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_histogram": q_entity_histogram,
     "corpus_stats": q_corpus_stats,
     "fingerprint": q_fingerprint,
+    "asof_join": q_asof_join,
+    "bm25_search": q_bm25_search,
+    "kmv_sketch": q_kmv_sketch,
+    "event_windows": q_event_windows,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1493,4 +1566,48 @@ ORACLES["sparql_star"] = """
            CAST(FLOOR(value) AS BIGINT) AS v,
            'http://example.org/evt/' || CAST(event_id AS VARCHAR) AS u
     FROM events WHERE event_type = 'purchase' ORDER BY s, v, u
+"""
+
+# as-of join: DuckDB replicates via an inequality join + QUALIFY top-1 —
+# correct at oracle scale, quadratic at real scale (which is exactly why
+# the Spark side is the single-shuffle union-window plan instead)
+ORACLES["asof_join"] = """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT CAST(l.event_id AS BIGINT) AS event_id,
+           CAST(l.user_id AS BIGINT) AS user_id,
+           CAST(r.event_id AS BIGINT) AS click_id,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+           ROUND(r.value, 6) AS click_value
+    FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY l.event_id
+        ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST) = 1
+    ORDER BY event_id
+"""
+
+
+def _bm25_oracle() -> str:
+    from sopspark.text.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(["hash", "join", "vector"], topk=25)
+
+
+ORACLES["bm25_search"] = _bm25_oracle()
+
+
+def _kmv_oracle() -> str:
+    from sopspark.text.sketch import kmv_oracle_sql
+
+    return kmv_oracle_sql("event_type", "user_id", "events", k=64)
+
+
+ORACLES["kmv_sketch"] = _kmv_oracle()
+
+ORACLES["event_windows"] = """
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """

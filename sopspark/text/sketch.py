@@ -1,0 +1,122 @@
+"""Mergeable cardinality sketches: KMV (k-minimum-values) distinct count.
+
+Spark's built-in ``approx_count_distinct`` is an HLL whose register state
+is opaque — it can't be oracle-verified and can't be persisted/merged by
+downstream SQL engines. A KMV sketch over the engine-shared 48-bit md5
+lane is (a) deterministic — the estimate is a pure function of the value
+SET, independent of partitioning, ordering, and retries — and (b) exactly
+replicable in any SQL engine ("the k smallest distinct hashes"), so the
+DuckDB oracle pins it bit-for-bit.
+
+Scale shape (two bounded stages, no unbounded per-group state):
+
+1. ``mapInPandas`` partial sketch: each Arrow batch keeps at most k
+   smallest distinct hashes per group — output is ≤ k rows per (group ×
+   batch), bounded memory, no shuffle.
+2. one hash exchange on the group key; ``collect_set`` over the pruned
+   hashes (≤ k × num_partitions values per group — bounded by the plan,
+   not by the data), sort, slice to k.
+
+Estimator (Bar-Yossef et al. 2002): with U = k-th smallest hash as a
+fraction of the hash space, ``D ≈ (k-1)/U``; exact when fewer than k
+distinct values exist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 48)
+
+
+def _partial_schema(group_col: str) -> str:
+    return f"{group_col} string, h bigint"
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Returns (group_col, n_hashes, kth_hash, est_distinct): ``n_hashes`` =
+    min(k, true distinct), ``kth_hash`` the largest retained hash, and the
+    estimate — exact when the group has fewer than k distinct values.
+    """
+    from sopspark.text.dedup import md5_hash48
+
+    hashed = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        md5_hash48(F.col(value_col).cast("string")).alias("h"),
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pruned = (
+                pdf.drop_duplicates()
+                .sort_values([group_col, "h"])
+                .groupby(group_col, sort=False)
+                .head(k)
+            )
+            yield pruned
+
+    partials = hashed.mapInPandas(partial, schema=_partial_schema(group_col))
+    topk = partials.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs")
+    )
+    n = F.size("_hs")
+    kth = F.element_at("_hs", -1)
+    est = F.when(
+        n < k, n.cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(HASH_SPACE))
+    )
+    return topk.select(
+        F.col(group_col),
+        n.alias("n_hashes"),
+        kth.cast("bigint").alias("kth_hash"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def _md5hex48_sql(e: str) -> str:
+    # identical idiom to queries.py: 16.0**(12-i) partial sums stay < 2^53
+    # so the double arithmetic is exact for all 48-bit values
+    return (
+        "CAST(list_sum(list_transform(range(1,13), i -> "
+        f"(strpos('0123456789abcdef', md5({e})[i:i]) - 1) * (16.0**(12-i)))) AS BIGINT)"
+    )
+
+
+def kmv_oracle_sql(group_col: str, value_expr: str, table: str, k: int = 64) -> str:
+    """DuckDB SQL computing the identical per-group KMV sketch."""
+    h = _md5hex48_sql(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT CAST({group_col} AS VARCHAR) AS g,
+         {h} AS h
+  FROM {table}
+), ranked AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM hashed
+), topk AS (
+  SELECT g, COUNT(*) AS n_hashes, MAX(h) AS kth_hash
+  FROM ranked WHERE rn <= {k} GROUP BY g
+)
+SELECT g AS {group_col},
+       CAST(n_hashes AS INT) AS n_hashes,
+       kth_hash,
+       round(CASE WHEN n_hashes < {k} THEN CAST(n_hashes AS DOUBLE)
+                  ELSE {float(k - 1)!r} / (CAST(kth_hash AS DOUBLE) / {HASH_SPACE!r})
+             END, 4) AS est_distinct
+FROM topk
+"""

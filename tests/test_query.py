@@ -271,6 +271,19 @@ def test_aggregates(spark):
     r4 = res4.df.collect()[0]
     assert (r4.lo.value, r4.hi.value) == ("1", "5")
 
+    # DISTINCT aggregates: duplicate score 3 for ?s=a collapses
+    rows5 = rows + [
+        '<http://e/a> <http://e/score> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+    ]
+    df5 = parse_lines_df(spark.createDataFrame([(r,) for r in rows5], ["value"]))
+    res5 = sparql_query(
+        df5,
+        "SELECT (COUNT(DISTINCT ?v) AS ?n) (SUM(DISTINCT ?v) AS ?t) "
+        "(AVG(DISTINCT ?v) AS ?m) WHERE { <http://e/a> <http://e/score> ?v }",
+    )
+    r5 = res5.df.collect()[0]
+    assert (r5.n.value, float(r5.t.value), float(r5.m.value)) == ("2", 8.0, 4.0)
+
 
 def test_property_paths(spark):
     from sopspark.sources.ntriples import parse_lines_df

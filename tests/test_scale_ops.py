@@ -1,0 +1,124 @@
+"""Closed-form tests for the round-3 scale operators: as-of join, BM25
+search, KMV distinct sketch."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _mk(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _t(10)), (2, 10, _t(20)), (3, 20, _t(5)), (4, 30, _t(9))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _t(3), 1.0),
+            (101, 10, _t(10), 2.0),   # equal ts → visible to left id=1
+            (102, 10, _t(10), 3.0),   # same ts tie → greater rid wins
+            (103, 10, _t(15), 4.0),
+            (104, 20, _t(6), 5.0),    # after left id=3 → backward: no match
+        ],
+        "rid long, k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    from sopspark.operators.asof import asof_join
+
+    left, right = _mk(spark)
+    out = {
+        r["id"]: (r["rid"], r["v"])
+        for r in asof_join(left, right, on="k", tiebreak="rid").collect()
+    }
+    # id=1 at t10: right rows at t3,t10,t10 are <=; tie at t10 → rid 102
+    assert out[1] == (102, 3.0)
+    # id=2 at t20: latest <= is t15
+    assert out[2] == (103, 4.0)
+    # id=3 at t5: the only k=20 right row is at t6 → unmatched (left outer)
+    assert out[3] == (None, None)
+    # id=4: key 30 has no right rows at all
+    assert out[4] == (None, None)
+
+
+def test_asof_forward_and_tolerance(spark):
+    from sopspark.operators.asof import asof_join
+
+    left, right = _mk(spark)
+    fwd = {
+        r["id"]: r["rid"]
+        for r in asof_join(left, right, on="k", tiebreak="rid", direction="forward").collect()
+    }
+    # forward: earliest at-or-after; tie at t10 → SMALLEST rid wins
+    assert fwd[1] == 101
+    assert fwd[2] is None          # nothing at/after t20 for k=10
+    assert fwd[3] == 104           # t6 >= t5
+
+    tol = {
+        r["id"]: r["rid"]
+        for r in asof_join(
+            left, right, on="k", tiebreak="rid", tolerance_us=2_000_000
+        ).collect()
+    }
+    # id=2 matched t15, 5 s away → dropped by a 2 s tolerance
+    assert tol[2] is None and tol[1] == 102
+
+
+def test_bm25_scores_and_ranking(spark):
+    from sopspark.text.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join"),
+            (3, "nothing relevant here"),
+            (4, "join of the rare kind"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["spark"], topk=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == [1, 2]  # doc 3/4 have no hits; tf=3 beats tf=1
+    assert rows[0]["score"] > rows[1]["score"] > 0
+    assert rows[0]["n_hits"] == 1
+
+    # closed-form check for doc 2: N=4, df=2, dl=2, avgdl=14/4
+    n, df, tf, dl, avgdl, k1, b = 4.0, 2.0, 1.0, 2.0, 14.0 / 4.0, 1.2, 0.75
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    want = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(rows[1]["score"] - round(want, 6)) < 1e-6
+
+
+def test_kmv_exact_below_k_and_estimate(spark):
+    from sopspark.text.sketch import kmv_distinct
+
+    rows = [("a", i % 7) for i in range(100)] + [("b", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=32).collect()}
+    # group a: 7 distinct < k → exact
+    assert out["a"]["n_hashes"] == 7 and out["a"]["est_distinct"] == 7.0
+    # group b: the estimate is a deterministic closed form of the value
+    # set — pin it against a direct hashlib computation of the k-th
+    # smallest 48-bit md5 lane
+    import hashlib
+
+    hs = sorted(
+        {int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16) for v in range(500)}
+    )
+    want = round(31.0 / (hs[31] / float(1 << 48)), 4)
+    est = out["b"]["est_distinct"]
+    assert out["b"]["n_hashes"] == 32
+    assert est == want and out["b"]["kth_hash"] == hs[31]
+
+    # determinism: estimate is a pure function of the value set, not layout
+    out2 = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(df.repartition(13), "g", "v", k=32).collect()
+    }
+    assert out2["b"] == est and out2["a"] == 7.0
