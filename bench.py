@@ -99,6 +99,10 @@ def main() -> None:
         "pack_sequences": QUERIES["pack_sequences"],
         "contamination": QUERIES["contamination"],
         "collapse_repeats": QUERIES["collapse_repeats"],
+        "asof_join": QUERIES["asof_join"],
+        "bm25_search": QUERIES["bm25_search"],
+        "kmv_sketch": QUERIES["kmv_sketch"],
+        "event_windows": QUERIES["event_windows"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

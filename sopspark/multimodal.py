@@ -2,11 +2,13 @@
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
-UDF signatures, batch shapes, error quarantine. The codec leaves are
-STUBBED: this container has no image/audio libraries, so ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
+UDF signatures, batch shapes, error quarantine. Codec status: PNG
+(:func:`decode_png`) and WAV (:func:`decode_wav`) decode FOR REAL with
+stdlib-only code; other formats (JPEG, mp3, mp4) need codec libraries
+absent from this container, so ``decode_image`` raises
+``NotImplementedError`` for them unless ``fake=True``, in which case a
 deterministic fake decoder (seeded from the bytes) produces stable
-"features" so the distributed plumbing can be exercised end-to-end.
+"features" so the distributed plumbing can still be exercised end-to-end.
 
 Schema convention (one row per asset):
     asset_id: bigint, modality: string(image|audio|video), payload: binary,
@@ -152,6 +154,120 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+WAV_SIG = b"RIFF"
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Pure-python WAV (RIFF PCM) decoder → (sample_rate, float32 mono in
+    [-1, 1]).
+
+    Supports the common profile: PCM uint8 / int16 / int32 and IEEE
+    float32, any channel count (averaged to mono). Compressed codecs
+    (ADPCM, mp3-in-wav) raise ``ValueError`` — quarantined via the ``err``
+    channel upstream, same as undecodable PNGs."""
+    if data[:4] != WAV_SIG or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        ln = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    nch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if nch < 1:
+        raise ValueError("WAV with zero channels")
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(pcm, "<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(pcm, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(pcm, "<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(pcm, "<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV (format {audio_fmt}, {bits}-bit)")
+    n = (x.size // nch) * nch
+    return rate, x[:n].reshape(-1, nch).mean(axis=1)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Minimal 16-bit PCM mono WAV encoder — the test/synth twin of
+    :func:`decode_wav`."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id bigint, sample_rate int, duration_ms int, rms float, "
+    "zcr float, peak float, bands array<float>, err string"
+)
+
+
+def extract_audio_features(assets: DataFrame, n_bands: int = 12) -> DataFrame:
+    """Decode WAV → per-asset acoustic features, Arrow-batched: RMS,
+    zero-crossing rate, peak amplitude, and ``n_bands`` log-spaced FFT
+    magnitude bands (numpy rfft — no external DSP libs). Per-row
+    independent → mapInPandas; undecodable payloads quarantine in ``err``."""
+
+    def one(aid, payload):
+        try:
+            rate, x = decode_wav(bytes(payload))
+            if x.size == 0:
+                raise ValueError("empty WAV data chunk")
+            rms = float(np.sqrt(np.mean(x * x)))
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            peak = float(np.max(np.abs(x)))
+            mag = np.abs(np.fft.rfft(x))
+            edges = np.unique(
+                np.geomspace(1, mag.size, n_bands + 1).astype(int)
+            )
+            bands = [
+                float(np.mean(mag[a:b])) if b > a else 0.0
+                for a, b in zip(edges[:-1], edges[1:])
+            ]
+            bands += [0.0] * (n_bands - len(bands))
+            dur = int(round(1000.0 * x.size / rate))
+            return (aid, rate, dur, rms, zcr, peak, bands, None)
+        except Exception as e:  # quarantine, don't kill the job
+            return (aid, None, None, None, None, None, None, f"decode error: {e}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(a, p) for a, p in zip(pdf["asset_id"].values, pdf["payload"].values)]
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "sample_rate", "duration_ms", "rms", "zcr",
+                    "peak", "bands", "err",
+                ],
+            )
+
+    return (
+        assets.where(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array.
 
@@ -248,6 +364,11 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             px_seed = int.from_bytes(hashlib.sha256(f"{seed}:{i}".encode()).digest()[:8], "big")
             img = np.random.default_rng(px_seed).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
             payload = encode_png(img)
+        elif modality == "audio":
+            # real 16-bit PCM WAV payload — a deterministic sine burst
+            t = np.arange(1600, dtype=np.float32) / 16000.0
+            hz = 200.0 + 50.0 * (i % 7)
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * hz * t), rate=16000)
         else:
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
         rows.append(
