@@ -577,6 +577,30 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
         return _mk_literal(_plain_string(args[0]), args[1]["value"])
     if n == "strlang":
         return _mk_literal(_plain_string(args[0]), None, _plain_string(args[1]))
+    if n == "strlangdir":
+        # SPARQL 1.2: dirLangString constructor — tag carries "--dir" and
+        # an invalid direction is an evaluation error (NULL → row dropped)
+        d = F.lower(_plain_string(args[2]))
+        tag = F.when(
+            d.isin("ltr", "rtl"),
+            F.concat(F.lower(_plain_string(args[1])), F.lit("--"), d),
+        )
+        return F.when(tag.isNotNull(), _mk_literal(_plain_string(args[0]), None, tag)).otherwise(
+            _null_term()
+        )
+    if n == "haslang":
+        # SPARQL 1.2: literal with a (possibly directional) language tag
+        t = args[0]
+        return bool_term(
+            (t["kind"] == LITERAL) & (F.coalesce(t["lang"], F.lit("")) != "")
+        )
+    if n == "haslangdir":
+        # SPARQL 1.2: literal whose language tag carries a base direction
+        t = args[0]
+        return bool_term(
+            (t["kind"] == LITERAL)
+            & F.coalesce(t["lang"], F.lit("")).contains("--")
+        )
     if n in ("md5", "sha1", "sha256", "sha384", "sha512"):
         s = _plain_string(args[0])
         if n == "md5":

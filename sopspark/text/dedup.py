@@ -130,13 +130,16 @@ def minhash_signatures(
     shingled = _spread_for_explode(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode_outer(_word_shingles(text_col, shingle_k)).alias("_s")
     ).where(F.col("_s").isNotNull())
+    # both variants derive permutation lanes from ONE base hash via the
+    # same universal-hash LCG — 3 integer ops per lane. Re-hashing per lane
+    # (xxhash64(_h, i)) measured ~1.7x slower at sf0.1 for zero quality
+    # gain; only the base hash differs between the variants.
     if hash_fn == "md5":
         base = (md5_hash48(F.col("_s")) % MERSENNE31).alias("_h")
-        params = lane_params(num_perm)
-        lanes = [(F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31 for a, b in params]
     else:
-        base = F.xxhash64("_s").alias("_h")
-        lanes = [F.xxhash64("_h", F.lit(i)) for i in range(num_perm)]
+        base = F.pmod(F.xxhash64("_s"), F.lit(MERSENNE31)).alias("_h")
+    params = lane_params(num_perm)
+    lanes = [(F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31 for a, b in params]
     hashed = shingled.select(F.col(id_col), base)
     aggs = [F.min(lane).alias(f"h{i}") for i, lane in enumerate(lanes)]
     sig = hashed.groupBy(id_col).agg(*aggs)

@@ -642,6 +642,24 @@ def test_lang_langdir_datatype_for_dirlangstring(spark):
     assert b.lg.value == "fr" and b.d.value == ""
     assert b.dt.value.endswith("langString")
 
+    # SPARQL 1.2 constructors/testers: STRLANGDIR, hasLANG, hasLANGDIR
+    q2 = """
+    SELECT ?s (STRLANGDIR(STR(?o), "de", "RTL") AS ?z)
+           (hasLANG(?o) AS ?hl) (hasLANGDIR(?o) AS ?hd)
+    WHERE { ?s <http://e/l> ?o }
+    """
+    got2 = {r.s.value: r for r in sparql_query(df, q2).df.collect()}
+    a2, b2 = got2["http://e/a"], got2["http://e/b"]
+    assert a2.z.lang == "de--rtl" and a2.z.value == "x"
+    assert a2.hl.value == "true" and a2.hd.value == "true"
+    assert b2.hl.value == "true" and b2.hd.value == "false"
+    # invalid direction is an evaluation error → unbound, not a crash
+    got3 = sparql_query(
+        df,
+        'SELECT ?s (STRLANGDIR("v", "de", "sideways") AS ?z) WHERE { ?s <http://e/l> ?o }',
+    ).df.collect()
+    assert all(r.z is None for r in got3)
+
 
 def test_in_not_in_operators(spark):
     """IN / NOT IN (SPARQL 17.4.1.9-10), desugared per spec into =/|| and
