@@ -69,11 +69,20 @@ def bm25_topk(
         # the (element, index) form and shadow the captured term
         return lambda x: x == F.lit(term)
 
-    toks = docs.select(
+    # explode_outer(array(...)) is a generator barrier: it materializes the
+    # token array ONCE per row per pass. Referencing tokens_col() directly
+    # in _dl and each _tf would re-inline the split under ProjectCollapsing,
+    # and nested higher-order functions defeat codegen's subexpression
+    # elimination (~3x measured at sf0.1) — same failure mode as the
+    # round-2 fingerprint plan.
+    tk = docs.select(
+        F.col(id_col), F.explode_outer(F.array(tokens_col(text_col))).alias("_tk")
+    )
+    toks = tk.select(
         F.col(id_col),
-        F.size(tokens_col(text_col)).alias("_dl"),
+        F.size("_tk").alias("_dl"),
         *[
-            F.size(F.filter(tokens_col(text_col), eq(t))).alias(f"_tf_{i}")
+            F.size(F.filter(F.col("_tk"), eq(t))).alias(f"_tf_{i}")
             for i, t in enumerate(terms)
         ],
     )
