@@ -85,6 +85,8 @@ class Query:
     group_by: list = field(default_factory=list)  # [var name]
     having: list = field(default_factory=list)  # [expr Node]
     describe: list = field(default_factory=list)  # [("var",n)|("term",t)]
+    from_graphs: list = field(default_factory=list)  # [iri str] — FROM
+    from_named: list = field(default_factory=list)  # [iri str] — FROM NAMED
 
 
 class SparqlError(ValueError):
@@ -190,9 +192,10 @@ class _QP:
         if self.kw("SELECT"):
             return self.select()
         if self.kw("ASK"):
+            fg, fn = self.dataset()
             self.kw("WHERE")
             where = self.group()
-            return Query("ask", [], False, where)
+            return Query("ask", [], False, where, from_graphs=fg, from_named=fn)
         if self.kw("CONSTRUCT"):
             return self.construct()
         if self.kw("DESCRIBE"):
@@ -201,12 +204,16 @@ class _QP:
                 resources.append(self.term())
             if not resources:
                 raise SparqlError("DESCRIBE needs at least one resource or variable")
+            fg, fn = self.dataset()
             where = PatternGroup()
             if self.kw("WHERE") or self.peek()[1] == "{":
                 where = self.group()
             elif any(r[0] == "var" for r in resources):
                 raise SparqlError("DESCRIBE ?var requires a WHERE clause")
-            q = Query("describe", [], False, where, describe=resources)
+            q = Query(
+                "describe", [], False, where, describe=resources,
+                from_graphs=fg, from_named=fn,
+            )
             self.modifiers(q)
             return q
         raise SparqlError(f"unsupported query form at {self.peek()[1]!r}")
@@ -235,19 +242,37 @@ class _QP:
                     variables.append((v2[1:], expr))
                 else:
                     break
+        fg, fn = self.dataset()
         self.kw("WHERE")
         where = self.group()
-        q = Query("select", variables, distinct, where)
+        q = Query("select", variables, distinct, where, from_graphs=fg, from_named=fn)
         self.modifiers(q)
         return q
+
+    def dataset(self) -> tuple[list, list]:
+        """DatasetClause* — ``FROM <g>`` / ``FROM NAMED <g>`` (SPARQL 13.2);
+        returns (from_graphs, from_named) as IRI strings."""
+        fg: list = []
+        fn: list = []
+        while self.kw("FROM"):
+            named = self.kw("NAMED")
+            kind, t = self.term()
+            if kind != "term" or t[0] != IRI:
+                raise SparqlError("FROM expects an IRI")
+            (fn if named else fg).append(t[1])
+        return fg, fn
 
     def construct(self) -> Query:
         self.expect("{")
         template = self.triples_until("}")
         self.expect("}")
+        fg, fn = self.dataset()
         self.kw("WHERE")
         where = self.group()
-        q = Query("construct", [], False, where, template=template)
+        q = Query(
+            "construct", [], False, where, template=template,
+            from_graphs=fg, from_named=fn,
+        )
         self.modifiers(q)
         return q
 
@@ -1052,6 +1077,25 @@ def _sparql_query_pinned(
     # enclosing now_scope (SPARQL 17.4.5.1)
     ok = quads.where(F.col("err").isNull()) if "err" in quads.columns else quads
     q = parse_query(query)
+
+    if q.from_graphs or q.from_named:
+        # SPARQL 13.2: the dataset clauses REPLACE the supplied dataset —
+        # default graph = union of the FROM graphs (empty if none), named
+        # graphs = exactly the FROM NAMED ones (none if none listed).
+        gval = F.col("g")["value"]
+        named = F.col("g").isNotNull()
+        parts = []
+        if q.from_graphs:
+            parts.append(
+                ok.where(named & gval.isin(q.from_graphs)).withColumn(
+                    "g", F.lit(None).cast(TERM_SQL_TYPE)
+                )
+            )
+        if q.from_named:
+            parts.append(ok.where(named & gval.isin(q.from_named)))
+        ok = parts[0]
+        for p in parts[1:]:
+            ok = ok.unionByName(p)
 
     if q.form == "describe":
         return _eval_describe(ok, q)

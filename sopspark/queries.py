@@ -836,6 +836,32 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_TOTAL = 40
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain-mixture sampling (text/analysis.py::mixture_sample):
+    per-domain rates derived from actual counts, deterministic hash-
+    Bernoulli keep filter — no data-path shuffle."""
+    from sopspark.text.analysis import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(docs, MIX_WEIGHTS, MIX_TOTAL).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    ).orderBy("doc_id")
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score (text/analysis.py::
+    bigram_lm_score): add-alpha smoothed, mean per-bigram ln-prob per doc —
+    two map-side-combined aggregates + one model join (AQE broadcast)."""
+    from sopspark.text.analysis import bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_score(docs).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -880,6 +906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "kmv_sketch": q_kmv_sketch,
     "event_windows": q_event_windows,
+    "lm_score": q_lm_score,
+    "mixture_sample": q_mixture_sample,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1611,3 +1639,56 @@ ORACLES["event_windows"] = """
            ROUND(SUM(value), 6) AS total
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# bigram LM score: the oracle retrains the identical add-0.5 bigram model
+# in SQL — counts are exact integers, so the only float op is the final
+# rounded average of identical ln() terms
+ORACLES["lm_score"] = """
+    WITH toks AS (
+      SELECT doc_id, list_prepend('<s>', list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+            FROM toks WHERE len(t) >= 2)
+    ), bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM big)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(ln((CAST(c12 AS DOUBLE) + 0.5)
+                 / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))), 6) AS lm_logp
+    FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+    GROUP BY b.doc_id ORDER BY doc_id
+"""
+
+
+def _mixture_oracle_sql() -> str:
+    """Replicates mixture_sample exactly: same target literals (computed
+    once in Python, embedded in both engines), same floor(rate*2^48)
+    threshold, same md5-lane hash."""
+    wsum = sum(MIX_WEIGHTS.values())
+    case = " ".join(
+        f"WHEN '{k}' THEN {float(MIX_TOTAL) * float(w) / wsum!r}"
+        for k, w in MIX_WEIGHTS.items()
+    )
+    doms = ", ".join(f"'{k}'" for k in MIX_WEIGHTS)
+    h = _md5hex48_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents
+      WHERE source IN ({doms}) GROUP BY 1
+    ), rates AS (
+      SELECT source,
+             least(1.0, (CASE source {case} END) / CAST(n AS DOUBLE)) AS rate
+      FROM counts
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+    FROM documents d JOIN rates USING (source)
+    WHERE {h} < CAST(floor(rate * 281474976710656.0) AS BIGINT)
+    ORDER BY doc_id
+    """
+
+
+ORACLES["mixture_sample"] = _mixture_oracle_sql()

@@ -339,3 +339,122 @@ def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_collapsed", F.size(toks) - F.size(F.col("_kept")))
         .drop("_toks", "_kept")
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style LM quality signal: train an add-alpha-smoothed bigram LM
+    on the corpus itself, then score every document by its mean per-bigram
+    natural-log probability (higher = more typical of the corpus;
+    boilerplate and garbage score low).
+
+    All Catalyst, two passes over the token stream:
+
+    1. bigram counts C(w1,w2) — one explode + one map-side-combined
+       aggregate; context counts C(w1) derive from the bigram table (no
+       extra scan), vocab size V is a 1-row aggregate broadcast back.
+    2. score join — each document bigram joins the model on (w1,w2) and a
+       per-document aggregate averages ``ln((C12+α)/(C1+αV))``.
+
+    The model table is vocabulary-sized, not corpus-sized; AQE picks
+    broadcast vs shuffle join at runtime. A ``<s>`` sentinel provides the
+    first token's context. Deterministic given the corpus (counts are
+    exact integers; the one double average is rounded to 6 places).
+    """
+    from sopspark.text.search import tokens_col
+
+    n = F.size("_tk")
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode_outer(F.array(tokens_col(text_col))).alias("_t0")
+        )
+        .select(F.col(id_col), F.concat(F.array(F.lit("<s>")), F.col("_t0")).alias("_tk"))
+        .where(F.size("_tk") >= 2)
+    )
+    big = toks.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.arrays_zip(
+                F.slice(F.col("_tk"), 1, n - 1).alias("w1"),
+                F.slice(F.col("_tk"), 2, n - 1).alias("w2"),
+            )
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = big.agg(F.count_distinct("w2").alias("v"))
+    model = bc.join(ctx, "w1").crossJoin(F.broadcast(vocab))
+
+    logp = F.log(
+        (F.col("c12").cast("double") + F.lit(alpha))
+        / (F.col("c1").cast("double") + F.lit(alpha) * F.col("v").cast("double"))
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("lm_logp"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted domain-mixture sampling: draw ~``total`` rows whose domain
+    proportions follow ``weights`` (the data-mixing step of a training
+    pipeline — e.g. 60% web, 30% code, 10% books). Domains absent from
+    ``weights`` are dropped.
+
+    Per-domain rate = min(1, total·w_d / Σw / n_d) — derived from actual
+    domain counts, so under-represented domains saturate at keep-all
+    rather than oversampling. Selection is the deterministic hash-
+    Bernoulli filter (`hash48(id) < rate·2^48`): no shuffle on the data
+    path, stable under retries/speculation. The only job beyond the scan
+    is the tiny per-domain count aggregate, broadcast back as a rate map.
+    """
+    wsum = float(sum(weights.values()))
+    if wsum <= 0 or total <= 0:
+        raise ValueError("weights must sum > 0 and total must be positive")
+
+    counts = (
+        df.where(F.col(domain_col).isin(list(weights)))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    target = F.create_map(
+        *[
+            x
+            for k, w in weights.items()
+            for x in (F.lit(k), F.lit(float(total) * float(w) / wsum))
+        ]
+    )
+    rates = counts.select(
+        F.col(domain_col),
+        F.least(
+            F.lit(1.0), target[F.col(domain_col)] / F.col("_n").cast("double")
+        ).alias("_rate"),
+    )
+    # the rate table is |domains| rows — broadcast join, then the same
+    # deterministic threshold filter as stratified_sample
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(
+            # explicit floor: double→int truncation direction differs
+            # between engines (Spark truncates, DuckDB rounds), floor is
+            # identical in both
+            _md5_unit48(F.col(id_col))
+            < F.floor(F.col("_rate") * F.lit(float(2**48)))
+        )
+        .drop("_rate")
+    )

@@ -202,3 +202,56 @@ def test_collapse_repeats_closed_form(spark):
     assert got[1] == ("a the b", 3)
     assert got[2] == ("x y z", 0)
     assert got[3] == ("q", 3)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from sopspark.text.analysis import mixture_sample
+
+    rows = [(i, "web" if i < 800 else ("code" if i < 900 else "books"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # targets: web 100, code 80, books 20 → rates 0.125, 0.8, keep-all (20/100 docs... books has 100 docs → 0.2)
+    out = mixture_sample(df, {"web": 0.5, "code": 0.4, "books": 0.1}, total=200)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    # hash-Bernoulli: expected web=100 of 800, code=80 of 100, books=20 of 100
+    assert 60 <= counts["web"] <= 140
+    assert 60 <= counts["code"] <= 95
+    assert 10 <= counts["books"] <= 32
+    # unknown domains are dropped entirely
+    assert set(counts) == {"web", "code", "books"}
+
+    # deterministic under repartitioning (pure hash filter, no RNG state)
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(17), {"web": 0.5, "code": 0.4, "books": 0.1}, total=200
+        ).collect()
+    )
+    assert ids1 == ids2
+
+    # saturation: a domain whose target exceeds its size keeps every row
+    sat = mixture_sample(df, {"books": 1.0}, total=5000)
+    assert sat.count() == 100
+
+
+def test_bigram_lm_score_closed_form(spark):
+    import math
+
+    from sopspark.text.analysis import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in bigram_lm_score(docs, alpha=0.5).collect()}
+    # bigrams: (<s>,a)x3, (a,b)x2, (a,c)x1 → C(<s>)=3, C(a)=3, V=|{a,b,c}|=3
+    p_sa = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ab = (2 + 0.5) / (3 + 0.5 * 3)
+    p_ac = (1 + 0.5) / (3 + 0.5 * 3)
+    want1 = round((math.log(p_sa) + math.log(p_ab)) / 2, 6)
+    want3 = round((math.log(p_sa) + math.log(p_ac)) / 2, 6)
+    assert got[1].n_bigrams == 2 and abs(got[1].lm_logp - want1) < 1e-6
+    assert got[2].lm_logp == got[1].lm_logp  # identical docs score equal
+    assert abs(got[3].lm_logp - want3) < 1e-6
+    assert got[3].lm_logp < got[1].lm_logp  # rarer continuation scores lower

@@ -709,3 +709,52 @@ def test_sparql_star_accessor_functions(spark):
     """
     got2 = sparql_query(df, q2).df.collect()
     assert len(got2) == 1
+
+
+def test_from_and_from_named_dataset_clauses(spark):
+    """SPARQL 13.2 dataset clauses: FROM merges named graphs into the
+    default graph; FROM NAMED restricts which graphs GRAPH patterns see;
+    together they REPLACE the supplied dataset."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/p> "default" .',
+        '<http://e/a> <http://e/p> "one" <http://g/1> .',
+        '<http://e/a> <http://e/p> "two" <http://g/2> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+
+    # FROM <g1>: default graph = g1 only (the real default graph is gone)
+    got = sparql_query(
+        df, "SELECT ?o FROM <http://g/1> WHERE { <http://e/a> <http://e/p> ?o }"
+    ).df.collect()
+    assert [r.o.value for r in got] == ["one"]
+
+    # FROM g1 + g2: default graph = union of both
+    got2 = sparql_query(
+        df,
+        "SELECT ?o FROM <http://g/1> FROM <http://g/2> "
+        "WHERE { <http://e/a> <http://e/p> ?o }",
+    ).df.collect()
+    assert sorted(r.o.value for r in got2) == ["one", "two"]
+
+    # FROM NAMED g2: GRAPH ?g sees only g2; the default graph is empty
+    res3 = sparql_query(
+        df,
+        "SELECT ?g ?o FROM NAMED <http://g/2> "
+        "WHERE { GRAPH ?g { <http://e/a> <http://e/p> ?o } }",
+    ).df.collect()
+    assert [(r.g.value, r.o.value) for r in res3] == [("http://g/2", "two")]
+    res4 = sparql_query(
+        df,
+        "SELECT ?o FROM NAMED <http://g/2> WHERE { <http://e/a> <http://e/p> ?o }",
+    ).df.collect()
+    assert res4 == []
+
+    # ASK honors the clauses too
+    assert sparql_query(
+        df, 'ASK FROM <http://g/1> WHERE { ?s ?p "default" }'
+    ).value is False
+    assert sparql_query(
+        df, 'ASK FROM <http://g/1> WHERE { ?s ?p "one" }'
+    ).value is True
