@@ -103,6 +103,8 @@ def main() -> None:
         "bm25_search": QUERIES["bm25_search"],
         "kmv_sketch": QUERIES["kmv_sketch"],
         "event_windows": QUERIES["event_windows"],
+        "lm_score": QUERIES["lm_score"],
+        "mixture_sample": QUERIES["mixture_sample"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

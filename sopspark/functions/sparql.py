@@ -688,6 +688,13 @@ def _all_triples(g: PatternGroup):
 def parse_query(src: str) -> Query:
     p = _QP(src)
     q = p.parse()
+    if p.kw("VALUES"):
+        # trailing ValuesClause (grammar rule [28]): joined into the WHERE
+        # group's solutions. For non-aggregate queries this is exactly the
+        # spec algebra (18.2.4: Join(P, ToMultiSet(data))); with GROUP BY
+        # the spec joins after aggregation — a documented divergence for
+        # the rare VALUES-over-aggregated-vars case.
+        q.where.values.append(p.values_block())
     if p.peek()[0] != "eof":
         raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
     return q

@@ -758,3 +758,21 @@ def test_from_and_from_named_dataset_clauses(spark):
     assert sparql_query(
         df, 'ASK FROM <http://g/1> WHERE { ?s ?p "one" }'
     ).value is True
+
+
+def test_trailing_values_clause(spark):
+    """ValuesClause at the end of the query (grammar rule [28]) joins the
+    WHERE solutions like an inline VALUES."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/v> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/b> <http://e/v> "2"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/c> <http://e/v> "3"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    got = sparql_query(
+        df,
+        "SELECT ?s ?o WHERE { ?s <http://e/v> ?o } ORDER BY ?s VALUES ?s { <http://e/a> <http://e/c> }",
+    ).df.collect()
+    assert [r.s.value for r in got] == ["http://e/a", "http://e/c"]
