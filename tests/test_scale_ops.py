@@ -122,3 +122,52 @@ def test_kmv_exact_below_k_and_estimate(spark):
         for r in kmv_distinct(df.repartition(13), "g", "v", k=32).collect()
     }
     assert out2["b"] == est and out2["a"] == 7.0
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized reference-model check: asof_join (backward) must agree
+    with pandas.merge_asof on every row, including duplicate-timestamp
+    ties (pandas keeps the last sorted right row at equal ts; sorting by
+    (ts, rid) makes that the greatest rid — our tiebreak)."""
+    import numpy as np
+    import pandas as pd
+
+    from sopspark.operators.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 300, 300
+    base = dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        {
+            "id": np.arange(n_l),
+            "k": rng.integers(0, 5, n_l),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 50, n_l)],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "rid": np.arange(1000, 1000 + n_r),
+            "k": rng.integers(0, 6, n_r),  # key 5 never matches
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 50, n_r)],
+            "v": rng.random(n_r),
+        }
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values(["ts", "id"], kind="stable"),
+        rpdf.sort_values(["ts", "rid"], kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).set_index("id")["rid"].to_dict()
+
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = {
+        r["id"]: r["rid"]
+        for r in asof_join(left, right, on="k", tiebreak="rid").collect()
+    }
+    assert len(got) == n_l
+    for i in range(n_l):
+        w = want[i]
+        w = None if pd.isna(w) else int(w)
+        assert got[i] == w, f"row {i}: got {got[i]}, want {w}"
