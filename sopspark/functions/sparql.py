@@ -281,8 +281,25 @@ class _QP:
             if self.kw("GROUP"):
                 if not self.kw("BY"):
                     raise SparqlError("expected BY after GROUP")
-                while self.peek()[0] == "var":
-                    q.group_by.append(self.next()[1][1:])
+                # GroupCondition: Var | '(' Expression ('AS' Var)? ')'
+                while True:
+                    k, v = self.peek()
+                    if k == "var":
+                        q.group_by.append(self.next()[1][1:])
+                    elif v == "(":
+                        self.next()
+                        node = self.expr_until_as()
+                        if self.kw("AS"):
+                            k2, v2 = self.next()
+                            if k2 != "var":
+                                raise SparqlError("expected ?var after AS")
+                            name = v2[1:]
+                        else:
+                            name = f"_grp{len(q.group_by)}"
+                        self.expect(")")
+                        q.group_by.append((name, node))
+                    else:
+                        break
                 continue
             if self.kw("HAVING"):
                 self.expect("(")
@@ -1274,7 +1291,16 @@ def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list
         raise SparqlError(f"unsupported aggregate {name}")
 
     names: list[str] = []
-    group_cols = list(q.group_by)
+    group_cols: list[str] = []
+    for gc in q.group_by:
+        if isinstance(gc, str):
+            group_cols.append(gc)
+        else:
+            # GROUP BY (expr AS ?v): materialize the key before grouping
+            gname, gnode = gc
+            sol = sol.withColumn(gname, gnode.col({c: F.col(c) for c in sol.columns}, rd))
+            group_cols.append(gname)
+            env[gname] = F.col(gname)
     aggs: list[Column] = []
     for v in q.variables:
         if v == "*":

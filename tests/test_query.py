@@ -776,3 +776,31 @@ def test_trailing_values_clause(spark):
         "SELECT ?s ?o WHERE { ?s <http://e/v> ?o } ORDER BY ?s VALUES ?s { <http://e/a> <http://e/c> }",
     ).df.collect()
     assert [r.s.value for r in got] == ["http://e/a", "http://e/c"]
+
+
+def test_group_by_expression(spark):
+    """GroupCondition '(' Expression AS Var ')' — grouping on a computed
+    key (e.g. case-folded value), with and without AS."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/tag> "Foo" .',
+        '<http://e/b> <http://e/tag> "foo" .',
+        '<http://e/c> <http://e/tag> "Bar" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    res = sparql_query(
+        df,
+        "SELECT ?l (COUNT(?s) AS ?n) WHERE { ?s <http://e/tag> ?o } "
+        "GROUP BY (LCASE(?o) AS ?l) ORDER BY ?l",
+    )
+    got = [(r.l.value, r.n.value) for r in res.df.collect()]
+    assert got == [("bar", "1"), ("foo", "2")]
+
+    # without AS: the key is still usable for grouping (anonymous)
+    res2 = sparql_query(
+        df,
+        "SELECT (COUNT(?s) AS ?n) WHERE { ?s <http://e/tag> ?o } "
+        "GROUP BY (LCASE(?o)) ORDER BY DESC(?n)",
+    )
+    assert sorted(r.n.value for r in res2.df.collect()) == ["1", "2"]
