@@ -578,29 +578,37 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
     if n == "strlang":
         return _mk_literal(_plain_string(args[0]), None, _plain_string(args[1]))
     if n == "strlangdir":
-        # SPARQL 1.2: dirLangString constructor — tag carries "--dir" and
-        # an invalid direction is an evaluation error (NULL → row dropped)
-        d = F.lower(_plain_string(args[2]))
+        # SPARQL 1.2: dirLangString constructor — tag preserved as given
+        # (matching STRLANG), direction must be exactly lowercase
+        # "ltr"/"rtl"; anything else is an evaluation error (NULL → row
+        # dropped / unbound)
+        d = _plain_string(args[2])
         tag = F.when(
             d.isin("ltr", "rtl"),
-            F.concat(F.lower(_plain_string(args[1])), F.lit("--"), d),
+            F.concat(_plain_string(args[1]), F.lit("--"), d),
         )
         return F.when(tag.isNotNull(), _mk_literal(_plain_string(args[0]), None, tag)).otherwise(
             _null_term()
         )
     if n == "haslang":
-        # SPARQL 1.2: literal with a (possibly directional) language tag
+        # SPARQL 1.2: literal with a (possibly directional) language tag;
+        # an unbound/error argument propagates the error (NULL), it does
+        # not evaluate to false
         t = args[0]
-        return bool_term(
-            (t["kind"] == LITERAL) & (F.coalesce(t["lang"], F.lit("")) != "")
-        )
+        return F.when(
+            t.isNotNull(),
+            bool_term((t["kind"] == LITERAL) & (F.coalesce(t["lang"], F.lit("")) != "")),
+        ).otherwise(_null_term())
     if n == "haslangdir":
         # SPARQL 1.2: literal whose language tag carries a base direction
         t = args[0]
-        return bool_term(
-            (t["kind"] == LITERAL)
-            & F.coalesce(t["lang"], F.lit("")).contains("--")
-        )
+        return F.when(
+            t.isNotNull(),
+            bool_term(
+                (t["kind"] == LITERAL)
+                & F.coalesce(t["lang"], F.lit("")).contains("--")
+            ),
+        ).otherwise(_null_term())
     if n in ("md5", "sha1", "sha256", "sha384", "sha512"):
         s = _plain_string(args[0])
         if n == "md5":

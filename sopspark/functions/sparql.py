@@ -218,7 +218,7 @@ class _QP:
             return q
         raise SparqlError(f"unsupported query form at {self.peek()[1]!r}")
 
-    def select(self) -> Query:
+    def select(self, subselect: bool = False) -> Query:
         distinct = self.kw("DISTINCT")
         self.kw("REDUCED")
         variables: list = []
@@ -243,6 +243,10 @@ class _QP:
                 else:
                     break
         fg, fn = self.dataset()
+        if subselect and (fg or fn):
+            # the grammar forbids DatasetClause in a SubSelect; silently
+            # ignoring it would return rows the user asked to restrict
+            raise SparqlError("FROM/FROM NAMED are not allowed in a subquery")
         self.kw("WHERE")
         where = self.group()
         q = Query("select", variables, distinct, where, from_graphs=fg, from_named=fn)
@@ -392,7 +396,7 @@ class _QP:
                 if nk in ("name", "pname") and nv.upper() == "SELECT":
                     self.next()  # {
                     self.kw("SELECT")
-                    g.subselects.append(self.select())
+                    g.subselects.append(self.select(subselect=True))
                     self.expect("}")
                     continue
                 first = self.group()
@@ -1110,10 +1114,12 @@ def _sparql_query_pinned(
         named = F.col("g").isNotNull()
         parts = []
         if q.from_graphs:
+            # graph MERGE is set semantics: a triple present in several
+            # FROM graphs appears once in the merged default graph
             parts.append(
-                ok.where(named & gval.isin(q.from_graphs)).withColumn(
-                    "g", F.lit(None).cast(TERM_SQL_TYPE)
-                )
+                ok.where(named & gval.isin(q.from_graphs))
+                .withColumn("g", F.lit(None).cast(TERM_SQL_TYPE))
+                .dropDuplicates(["s", "p", "o"])
             )
         if q.from_named:
             parts.append(ok.where(named & gval.isin(q.from_named)))
@@ -1296,8 +1302,14 @@ def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list
         if isinstance(gc, str):
             group_cols.append(gc)
         else:
-            # GROUP BY (expr AS ?v): materialize the key before grouping
+            # GROUP BY (expr AS ?v): materialize the key before grouping.
+            # AS onto a variable already in scope is a query error (18.2.1)
+            # — overwriting it silently would return rewritten bindings.
             gname, gnode = gc
+            if gname in sol.columns:
+                raise SparqlError(
+                    f"GROUP BY ... AS ?{gname}: variable already in scope"
+                )
             sol = sol.withColumn(gname, gnode.col({c: F.col(c) for c in sol.columns}, rd))
             group_cols.append(gname)
             env[gname] = F.col(gname)

@@ -61,7 +61,10 @@ def asof_join(
     payload = F.struct(*[F.col(c).alias(c) for c in rcols])
     lcols = [c for c in left.columns]
 
-    r = right.select(
+    # a null right timestamp can never satisfy <= / >= — drop those rows
+    # up front (asc_nulls_first would otherwise sort them to the partition
+    # head and hand them out as spurious matches)
+    r = right.where(F.col(right_ts).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
@@ -79,16 +82,22 @@ def asof_join(
     )
     both = r.unionByName(l)
 
+    # the _pay struct participates in the ordering only when no explicit
+    # tiebreak is given (it makes ties deterministic, but a struct with an
+    # unorderable field — e.g. a map column — cannot be a sort key, so an
+    # explicit tiebreak must opt out of it)
+    pay_asc = [F.col("_pay").asc_nulls_first()] if tiebreak is None else []
+    pay_desc = [F.col("_pay").desc_nulls_first()] if tiebreak is None else []
     if direction == "backward":
         # right rows first at equal ts (<= includes them); last() picks the
         # right row with max (ts, tiebreak) among those at-or-before.
-        order = [F.col("_t").asc(), F.col("_side").asc(),
-                 F.col("_tb").asc_nulls_first(), F.col("_pay").asc_nulls_first()]
+        order = [F.col("_t").asc_nulls_first(), F.col("_side").asc(),
+                 F.col("_tb").asc_nulls_first(), *pay_asc]
     else:
         # scan time-descending so the running last() is the EARLIEST
         # at-or-after right row; right still sorts before left at equal ts.
-        order = [F.col("_t").desc(), F.col("_side").asc(),
-                 F.col("_tb").desc_nulls_first(), F.col("_pay").desc_nulls_first()]
+        order = [F.col("_t").desc_nulls_last(), F.col("_side").asc(),
+                 F.col("_tb").desc_nulls_first(), *pay_desc]
 
     w = (
         Window.partitionBy("_k")
@@ -100,6 +109,12 @@ def asof_join(
         .withColumn("_mt", F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
     )
+    # a null LEFT timestamp satisfies neither <= nor >= — mask any match
+    # the scan order handed it (backward's asc_nulls_first already yields
+    # none; forward's desc_nulls_last would otherwise see every right row)
+    matched = matched.withColumn(
+        "_m", F.when(F.col("_t").isNotNull(), F.col("_m"))
+    ).withColumn("_mt", F.when(F.col("_t").isNotNull(), F.col("_mt")))
     if tolerance_us is not None:
         gap = F.abs(
             F.unix_micros(F.col("_t").cast("timestamp"))

@@ -1122,10 +1122,9 @@ ORACLES["ivf_ann"] = ORACLES["ann_cosine_topk"]
 # because every partial sum < 2^53).
 
 def _md5hex48_sql(e: str) -> str:
-    return (
-        "CAST(list_sum(list_transform(range(1,13), i -> "
-        f"(strpos('0123456789abcdef', md5({e})[i:i]) - 1) * (16.0**(12-i)))) AS BIGINT)"
-    )
+    from sopspark.text.dedup import md5hex48_sql
+
+    return md5hex48_sql(e)
 
 
 def _langid_case_parts() -> tuple[str, str]:

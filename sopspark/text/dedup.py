@@ -45,6 +45,17 @@ def md5_hash48(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint")
 
 
+def md5hex48_sql(e: str) -> str:
+    """The DuckDB twin of :func:`md5_hash48` — SINGLE definition shared by
+    every oracle builder (queries.py, sketch.py). The 16.0**(12-i) partial
+    sums stay < 2^53, so the double arithmetic is exact for all 48-bit
+    values."""
+    return (
+        "CAST(list_sum(list_transform(range(1,13), i -> "
+        f"(strpos('0123456789abcdef', md5({e})[i:i]) - 1) * (16.0**(12-i)))) AS BIGINT)"
+    )
+
+
 def lane_params(num_perm: int, seed: int = 9176) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) universal-hash params < 2^31-1, via an LCG —
     identical literals are embedded in the DuckDB oracle SQL."""

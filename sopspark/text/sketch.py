@@ -52,10 +52,15 @@ def kmv_distinct(
     """
     from sopspark.text.dedup import md5_hash48
 
+    # null values hash to null and count nothing toward any group's
+    # distinct set — filtered identically on the oracle side (md5(NULL)
+    # IS NULL there too); a group whose values are ALL null therefore has
+    # no output row in either engine, and the filter also guarantees
+    # element_at(_hs, -1) below never sees an empty array
     hashed = df.select(
         F.col(group_col).cast("string").alias(group_col),
         md5_hash48(F.col(value_col).cast("string")).alias("h"),
-    )
+    ).where(F.col("h").isNotNull())
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -64,7 +69,9 @@ def kmv_distinct(
             pruned = (
                 pdf.drop_duplicates()
                 .sort_values([group_col, "h"])
-                .groupby(group_col, sort=False)
+                # dropna=False: a null GROUP key is a real group (matching
+                # Spark's groupBy and the SQL oracle), not a row to discard
+                .groupby(group_col, sort=False, dropna=False)
                 .head(k)
             )
             yield pruned
@@ -88,23 +95,17 @@ def kmv_distinct(
     )
 
 
-def _md5hex48_sql(e: str) -> str:
-    # identical idiom to queries.py: 16.0**(12-i) partial sums stay < 2^53
-    # so the double arithmetic is exact for all 48-bit values
-    return (
-        "CAST(list_sum(list_transform(range(1,13), i -> "
-        f"(strpos('0123456789abcdef', md5({e})[i:i]) - 1) * (16.0**(12-i)))) AS BIGINT)"
-    )
-
-
 def kmv_oracle_sql(group_col: str, value_expr: str, table: str, k: int = 64) -> str:
     """DuckDB SQL computing the identical per-group KMV sketch."""
-    h = _md5hex48_sql(f"CAST({value_expr} AS VARCHAR)")
+    from sopspark.text.dedup import md5hex48_sql
+
+    h = md5hex48_sql(f"CAST({value_expr} AS VARCHAR)")
     return f"""
 WITH hashed AS (
   SELECT DISTINCT CAST({group_col} AS VARCHAR) AS g,
          {h} AS h
   FROM {table}
+  WHERE {value_expr} IS NOT NULL
 ), ranked AS (
   SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
   FROM hashed

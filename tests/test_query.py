@@ -644,7 +644,7 @@ def test_lang_langdir_datatype_for_dirlangstring(spark):
 
     # SPARQL 1.2 constructors/testers: STRLANGDIR, hasLANG, hasLANGDIR
     q2 = """
-    SELECT ?s (STRLANGDIR(STR(?o), "de", "RTL") AS ?z)
+    SELECT ?s (STRLANGDIR(STR(?o), "de", "rtl") AS ?z)
            (hasLANG(?o) AS ?hl) (hasLANGDIR(?o) AS ?hd)
     WHERE { ?s <http://e/l> ?o }
     """
@@ -653,12 +653,26 @@ def test_lang_langdir_datatype_for_dirlangstring(spark):
     assert a2.z.lang == "de--rtl" and a2.z.value == "x"
     assert a2.hl.value == "true" and a2.hd.value == "true"
     assert b2.hl.value == "true" and b2.hd.value == "false"
-    # invalid direction is an evaluation error → unbound, not a crash
-    got3 = sparql_query(
+    # tag case is preserved (STRLANG parity); only lowercase ltr/rtl are
+    # valid directions — "RTL"/garbage are evaluation errors → unbound
+    for bad in ("sideways", "RTL"):
+        got3 = sparql_query(
+            df,
+            f'SELECT ?s (STRLANGDIR("v", "DE", "{bad}") AS ?z) WHERE {{ ?s <http://e/l> ?o }}',
+        ).df.collect()
+        assert all(r.z is None for r in got3)
+    ok = sparql_query(
         df,
-        'SELECT ?s (STRLANGDIR("v", "de", "sideways") AS ?z) WHERE { ?s <http://e/l> ?o }',
+        'SELECT ?s (STRLANGDIR("v", "DE", "ltr") AS ?z) WHERE { ?s <http://e/l> ?o }',
     ).df.collect()
-    assert all(r.z is None for r in got3)
+    assert all(r.z.lang == "DE--ltr" for r in ok)
+    # hasLANG/hasLANGDIR propagate an unbound argument as an error (not
+    # false): ?u is never bound
+    gotu = sparql_query(
+        df,
+        "SELECT ?s (hasLANG(?u) AS ?hl) WHERE { ?s <http://e/l> ?o OPTIONAL { ?s <http://e/none> ?u } }",
+    ).df.collect()
+    assert all(r.hl is None for r in gotu)
 
 
 def test_in_not_in_operators(spark):
@@ -804,3 +818,47 @@ def test_group_by_expression(spark):
         "GROUP BY (LCASE(?o)) ORDER BY DESC(?n)",
     )
     assert sorted(r.n.value for r in res2.df.collect()) == ["1", "2"]
+
+
+def test_from_merge_dedup_and_subquery_rejection(spark):
+    """Review fixes: FROM over several graphs merges with SET semantics
+    (no duplicated bindings), and FROM inside a subquery is a parse error
+    (grammar forbids DatasetClause in SubSelect)."""
+    import pytest
+
+    from sopspark.functions.sparql import SparqlError
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<http://e/a> <http://e/p> "x" <http://g/1> .',
+        '<http://e/a> <http://e/p> "x" <http://g/2> .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    got = sparql_query(
+        df,
+        "SELECT ?o FROM <http://g/1> FROM <http://g/2> "
+        "WHERE { <http://e/a> <http://e/p> ?o }",
+    ).df.collect()
+    assert len(got) == 1 and got[0].o.value == "x"
+
+    with pytest.raises(SparqlError, match="subquery"):
+        sparql_query(
+            df,
+            "SELECT ?x WHERE { { SELECT ?x FROM <http://g/1> WHERE { ?x ?p ?o } } }",
+        )
+
+
+def test_group_by_as_shadows_in_scope_var_is_error(spark):
+    import pytest
+
+    from sopspark.functions.sparql import SparqlError
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = ['<http://e/a> <http://e/tag> "Foo" .']
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    with pytest.raises(SparqlError, match="already in scope"):
+        sparql_query(
+            df,
+            "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s <http://e/tag> ?o } "
+            "GROUP BY (LCASE(?o) AS ?o)",
+        )

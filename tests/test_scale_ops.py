@@ -171,3 +171,52 @@ def test_asof_matches_pandas_merge_asof(spark):
         w = want[i]
         w = None if pd.isna(w) else int(w)
         assert got[i] == w, f"row {i}: got {got[i]}, want {w}"
+
+
+def test_asof_null_timestamps_and_map_payload(spark):
+    """Review fixes: null right-ts rows never match, null left-ts rows get
+    no match (both directions), and a map-typed right column doesn't break
+    the window ordering when an explicit tiebreak is given."""
+    left = spark.createDataFrame(
+        [(1, 10, _t(10)), (2, 10, None)], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, None, 1.0), (101, 10, _t(5), 2.0)],
+        "rid long, k long, ts timestamp, v double",
+    )
+    from sopspark.operators.asof import asof_join
+
+    for direction in ("backward", "forward"):
+        out = {
+            r["id"]: r["rid"]
+            for r in asof_join(
+                left, right, on="k", tiebreak="rid", direction=direction
+            ).collect()
+        }
+        # null left ts → no match either way
+        assert out[2] is None
+        # null right ts (rid=100) is never a match candidate
+        assert out[1] != 100
+
+    # map payload column: orderable only because tiebreak opts out of the
+    # _pay sort key
+    rmap = spark.createDataFrame(
+        [(101, 10, _t(5), {"a": "b"})],
+        "rid long, k long, ts timestamp, props map<string,string>",
+    )
+    got = asof_join(left, right=rmap, on="k", tiebreak="rid").collect()
+    assert {r["id"]: r["rid"] for r in got}[1] == 101
+
+
+def test_kmv_null_group_and_values(spark):
+    """Null group keys form a real group; null values count nothing; an
+    all-null-value group disappears (matching the SQL oracle) instead of
+    crashing element_at on an empty array."""
+    from sopspark.text.sketch import kmv_distinct
+
+    rows = [("a", 1), ("a", None), (None, 5), (None, 6), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=8).collect()}
+    assert out["a"]["est_distinct"] == 1.0          # null value ignored
+    assert out[None]["est_distinct"] == 2.0         # null group kept
+    assert "b" not in out                           # all-null group: no row
