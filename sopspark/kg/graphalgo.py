@@ -1,0 +1,128 @@
+"""Entity-graph analytics: distributed PageRank.
+
+The KG pipeline materializes an entity graph (mentions, owl:sameAs,
+typed relations); ranking its nodes (which entities anchor the corpus?)
+is the canonical follow-on analytic. This is the standard iterative
+DataFrame formulation — no GraphFrames dependency:
+
+  rank_{i+1}(v) = (1-d)/N + d · ( Σ_{u→v} rank_i(u)/outdeg(u)
+                                  + dangling_mass_i / N )
+
+Per iteration: one join of the edge list with the (node-sized) rank
+table + one aggregate — both shuffles keyed on node id, which AQE
+coalesces/skew-splits. The rank table is nodes-sized, so at 100 TB of
+edges the iteration cost is dominated by the edge-scan join, exactly the
+shape a Pregel implementation has. Lineage is truncated with
+``localCheckpoint`` every ``checkpoint_every`` iterations so the plan
+does not grow O(iters) deep (same idiom as the property-path closure in
+``functions/sparql.py``).
+
+Determinism: with a fixed iteration count the result is a closed form of
+the edge set; the only engine-order sensitivity is double summation
+(~1e-14 after 10 iterations), absorbed by rounding at the consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Ranks after ``iters`` synchronous iterations over the DISTINCT
+    edge set. Returns (node, rank). Dangling mass is redistributed
+    uniformly (the standard correction, keeps Σrank = 1)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # weight each edge once: contribution = rank(src)/deg(src)
+    ew = e.join(deg, "src").persist()
+    ew.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dangling = (
+            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("mass") / n)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iters: int = 10, damping: float = 0.85
+) -> str:
+    """DuckDB twin: the iteration UNROLLED as a CTE chain (recursive CTEs
+    allow only one reference to the recursive term, which the
+    contribution + dangling split needs two of). ``edges_sql`` must yield
+    columns (src, dst)."""
+    d = float(damping)
+    # AS MATERIALIZED: without it DuckDB inlines every CTE reference, and
+    # the unrolled chain re-opens the parquet scan per reference ("Too
+    # many open files" beyond a few iterations)
+    sql = f"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
+      FROM e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+      FROM r{p} r LEFT JOIN deg ON deg.src = r.node
+      WHERE deg.src IS NULL
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             (1.0 - {d!r}) / (SELECT n FROM nn)
+             + {d!r} * (COALESCE(c.contrib, 0.0)
+                        + (SELECT mass FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes LEFT JOIN c{i} c ON c.node = nodes.node
+    )"""
+    sql += f"""
+    SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return sql

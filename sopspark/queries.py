@@ -836,6 +836,46 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/rangejoin.py): purchase–error pairs by
+    the same user within 1 hour — bucket-quantized equi-join + exact
+    post-filter instead of Spark's O(n·m) nested-loop inequality plan.
+    The DuckDB oracle runs the plain inequality join."""
+    from sopspark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    j = range_join(purchases, errors, on="user_id", max_gap_us=3_600_000_000)
+    return j.select(
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        F.col("event_id_r").cast("bigint").alias("error_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).cast("bigint").alias("gap_us"),
+    ).orderBy("purchase_id", "error_id")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (kg/graphalgo.py) over the bipartite
+    user↔event-type entity graph, 10 synchronous iterations with uniform
+    dangling redistribution — per iteration one edge-scan join + one
+    aggregate; the DuckDB oracle unrolls the identical iteration as a CTE
+    chain."""
+    from sopspark.kg.graphalgo import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ut = ev.select(
+        F.concat(F.lit(USR), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit(EV), F.col("event_type")).alias("dst"),
+    )
+    edges = ut.unionByName(ut.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iters=10)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_TOTAL = 40
 
@@ -908,6 +948,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_windows": q_event_windows,
     "lm_score": q_lm_score,
     "mixture_sample": q_mixture_sample,
+    "range_join": q_range_join,
+    "pagerank": q_pagerank,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1691,3 +1733,33 @@ def _mixture_oracle_sql() -> str:
 
 
 ORACLES["mixture_sample"] = _mixture_oracle_sql()
+
+# range join: DuckDB runs the straight inequality join — fine at oracle
+# scale, quadratic at real scale (the Spark side bands instead)
+ORACLES["range_join"] = """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT CAST(l.event_id AS BIGINT) AS purchase_id,
+           CAST(r.event_id AS BIGINT) AS error_id,
+           CAST(l.user_id AS BIGINT) AS user_id,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+    FROM l JOIN r ON l.user_id = r.user_id
+    WHERE abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 3600000000
+    ORDER BY purchase_id, error_id
+"""
+
+
+def _pagerank_oracle() -> str:
+    from sopspark.kg.graphalgo import pagerank_oracle_sql
+
+    edges = (
+        "SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS src, "
+        "'http://example.org/event/' || event_type AS dst FROM events "
+        "UNION ALL "
+        "SELECT 'http://example.org/event/' || event_type, "
+        "'http://example.org/user/' || CAST(user_id AS VARCHAR) FROM events"
+    )
+    return pagerank_oracle_sql(edges, iters=10)
+
+
+ORACLES["pagerank"] = _pagerank_oracle()

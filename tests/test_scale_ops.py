@@ -220,3 +220,58 @@ def test_kmv_null_group_and_values(spark):
     assert out["a"]["est_distinct"] == 1.0          # null value ignored
     assert out[None]["est_distinct"] == 2.0         # null group kept
     assert "b" not in out                           # all-null group: no row
+
+
+def test_range_join_banding_exact(spark):
+    """The banded plan must equal the naive inequality join: boundary gap
+    == Δt is kept, Δt+1µs dropped, bucket-edge pairs (different buckets,
+    small gap) found, and no pair is emitted twice."""
+    from sopspark.operators.rangejoin import range_join
+
+    gap = 10_000_000  # 10 s bands
+    left = spark.createDataFrame(
+        [(1, 1, _t(10)), (2, 1, _t(29)), (3, 2, _t(40))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, _t(20)),   # 10 s from id=1 (== Δt, keep) and 9 s from id=2
+            (101, 1, _t(0)),    # 10 s from id=1 — bucket distance 1, keep
+            (102, 1, _t(21)),   # 11 s from id=1 → drop; 8 s from id=2 keep
+            (103, 2, _t(55)),   # 15 s from id=3 → drop
+        ],
+        "rid long, k long, ts timestamp",
+    )
+    got = sorted(
+        (r["id"], r["rid"])
+        for r in range_join(left, right, on="k", max_gap_us=gap).collect()
+    )
+    assert got == [(1, 100), (1, 101), (2, 100), (2, 102)]
+    # exactly once each (banding must not duplicate same-bucket pairs)
+    assert len(got) == len(set(got))
+
+
+def test_pagerank_closed_form_and_dangling(spark):
+    """3-node closed form: a→b, a→c, b→c, c dangling. Σrank stays 1 and
+    the 2-iteration values match a hand-rolled reference computation."""
+    from sopspark.kg.graphalgo import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=2, damping=0.85).collect()}
+
+    # reference model
+    ranks = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    deg = {"a": 2, "b": 1}
+    for _ in range(2):
+        contrib = {"b": ranks["a"] / 2, "c": ranks["a"] / 2 + ranks["b"]}
+        dang = ranks["c"]
+        ranks = {
+            v: (1 - 0.85) / 3 + 0.85 * (contrib.get(v, 0.0) + dang / 3)
+            for v in ("a", "b", "c")
+        }
+    for v in ("a", "b", "c"):
+        assert abs(got[v] - ranks[v]) < 1e-12, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["c"] > got["b"] > got["a"]  # sink collects the most rank
