@@ -105,6 +105,8 @@ def main() -> None:
         "event_windows": QUERIES["event_windows"],
         "lm_score": QUERIES["lm_score"],
         "mixture_sample": QUERIES["mixture_sample"],
+        "range_join": QUERIES["range_join"],
+        "pagerank": QUERIES["pagerank"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -385,14 +385,14 @@ def bigram_lm_score(
         ).alias("_b"),
     ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
 
-    # model derivation touches the token stream exactly ONCE (the bc
-    # aggregate): context counts come from a window over bc — the window
-    # partitions by w1, which the aggregate's exchange already clustered,
-    # so no extra shuffle — and V is counted over bc too (distinct w2 in
-    # the count table ≡ distinct w2 in the stream). A ctx self-join /
-    # stream-side vocab agg would each re-execute the whole tokenize
-    # subtree (4 scans instead of 2 overall).
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # the bigram count table is materialized ONCE (localCheckpoint): both
+    # consumers below (context-count window, vocab aggregate) would
+    # otherwise re-execute the whole tokenize+aggregate subtree, tripling
+    # the stream scans. After the checkpoint the token stream is read
+    # exactly twice overall — once for the counts, once for scoring. The
+    # checkpointed table is the LM model itself (vocab²-bounded, tiny
+    # relative to the corpus), which is the natural artifact to pin.
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(eager=True)
     wc1 = Window.partitionBy("w1")
     vocab = bc.select("w2").agg(F.count_distinct("w2").alias("v"))
     model = bc.withColumn("c1", F.sum("c12").over(wc1)).crossJoin(F.broadcast(vocab))
