@@ -876,6 +876,46 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (event_type → user bucket → grand
+    total) — Spark's rollup() is a single Expand+hash-aggregate plan, no
+    per-level re-scan; DuckDB replicates with GROUP BY ROLLUP."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = (F.col("user_id") % 10).cast("bigint")
+    return (
+        ev.select(F.col("event_type"), bucket.alias("user_bucket"), "value")
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("user_bucket").asc_nulls_first(),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user: rank window over one hash exchange
+    (no global sort); DuckDB replicates with QUALIFY row_number()."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.round(F.col("value"), 6).alias("value"),
+        )
+        .orderBy("user_id", "rk")
+    )
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_TOTAL = 40
 
@@ -950,6 +990,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "range_join": q_range_join,
     "pagerank": q_pagerank,
+    "rollup_agg": q_rollup_agg,
+    "topk_per_group": q_topk_per_group,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1763,3 +1805,24 @@ def _pagerank_oracle() -> str:
 
 
 ORACLES["pagerank"] = _pagerank_oracle()
+
+ORACLES["rollup_agg"] = """
+    SELECT event_type,
+           CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id % 10)
+    ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+"""
+
+ORACLES["topk_per_group"] = """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk,
+           CAST(event_id AS BIGINT) AS event_id,
+           ROUND(value, 6) AS value
+    FROM events
+    QUALIFY rk <= 3
+    ORDER BY user_id, rk
+"""
