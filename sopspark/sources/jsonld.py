@@ -89,6 +89,10 @@ class ContextLoader:
         return doc
 
 
+# sentinel distinguishing "@context: null" (reset) from an absent context
+_NULL_CTX: dict = {}
+
+
 class _Ctx:
     def __init__(
         self,
@@ -97,10 +101,23 @@ class _Ctx:
         loader: ContextLoader | None = None,
     ):
         self.terms: dict[str, dict] = dict(parent.terms) if parent else {}
+        self.protected: set[str] = set(parent.protected) if parent else set()
         self.loader = loader if loader is not None else (parent.loader if parent else None)
         self.vocab: str | None = parent.vocab if parent else None
         self.base: str | None = parent.base if parent else None
         for m in self._resolve(mapping, frozenset()):
+            if m is _NULL_CTX:
+                # @context: null resets to the initial (empty) context
+                # (§4.1) — invalid while protected term definitions are in
+                # scope (§4.1.11)
+                if self.protected:
+                    raise JsonLdError(
+                        "@context: null would clear protected terms: "
+                        + ", ".join(sorted(self.protected))
+                    )
+                self.terms, self.vocab, self.base = {}, None, None
+                continue
+            ctx_protected = bool(m.get("@protected", False))
             for k, v in m.items():
                 if k == "@vocab":
                     self.vocab = v  # None clears it (JSON-LD 1.1 §4.1.3)
@@ -111,19 +128,34 @@ class _Ctx:
                 if k.startswith("@"):
                     continue
                 if isinstance(v, str):
-                    self.terms[k] = {"@id": v}
+                    tdef = {"@id": v}
                 elif isinstance(v, dict) and ("@id" in v or "@reverse" in v):
                     if "@reverse" in v and "@id" not in v:
-                        self.terms[k] = {**v, "@id": v["@reverse"], "@is_reverse": True}
+                        tdef = {**v, "@id": v["@reverse"], "@is_reverse": True}
                     else:
-                        self.terms[k] = v
+                        tdef = v
                 elif isinstance(v, dict) and (
                     "@container" in v or "@context" in v or "@type" in v
                 ):
                     # JSON-LD 1.1: a term may define only @container /
                     # scoped @context / type coercion — the IRI then comes
                     # from @vocab or prefix expansion of the term itself
-                    self.terms[k] = v
+                    tdef = v
+                else:
+                    continue
+                # @protected (§4.1.11): redefining a protected term is an
+                # error unless the new definition is identical
+                if k in self.protected and self._strip(self.terms.get(k)) != self._strip(tdef):
+                    raise JsonLdError(f"attempt to redefine protected term {k!r}")
+                self.terms[k] = tdef
+                if ctx_protected or tdef.get("@protected"):
+                    self.protected.add(k)
+
+    @staticmethod
+    def _strip(tdef):
+        if not isinstance(tdef, dict):
+            return tdef
+        return {k: v for k, v in tdef.items() if k != "@protected"}
 
     def _resolve(self, mapping, seen: frozenset) -> list[dict]:
         """@context value (dict | IRI string | list | None) → mapping dicts
@@ -131,6 +163,7 @@ class _Ctx:
         out: list[dict] = []
         for v in mapping if isinstance(mapping, list) else [mapping]:
             if v is None:
+                out.append(_NULL_CTX)
                 continue
             if isinstance(v, dict):
                 out.append(v)

@@ -391,3 +391,56 @@ def test_rdfxml_property_attributes_blank_node():
     assert (ed[1], "http://ex.example/fullName", "Dave Beckett") in spo
     assert (ed[1], "http://ex.example/homePage", "http://purl.org/net/dajobe/") in spo
     assert len(quads) == 3
+
+
+def test_jsonld11_protected_and_null_context():
+    """@protected (§4.1.11): redefining a protected term errors (identical
+    redefinition allowed); @context:null resets the active context and is
+    rejected while protected terms are in scope."""
+    import json
+
+    import pytest
+
+    from sopspark.sources.jsonld import JsonLdError, parse_jsonld_text
+
+    # identical redefinition of a protected term is fine
+    ok = {
+        "@context": [
+            {"@protected": True, "name": "http://e/name"},
+            {"name": "http://e/name"},
+        ],
+        "@id": "http://e/a",
+        "name": "x",
+    }
+    preds = {q[1][1] for q in parse_jsonld_text(json.dumps(ok))}
+    assert "http://e/name" in preds
+
+    # conflicting redefinition errors
+    bad = {
+        "@context": [
+            {"@protected": True, "name": "http://e/name"},
+            {"name": "http://e/OTHER"},
+        ],
+        "@id": "http://e/a",
+        "name": "x",
+    }
+    with pytest.raises(JsonLdError, match="protected term"):
+        parse_jsonld_text(json.dumps(bad))
+
+    # @context: null resets — allowed without protected terms, and the
+    # pre-reset term no longer expands afterwards
+    reset = {
+        "@context": [{"name": "http://e/name"}, None, {"label": "http://e/label"}],
+        "@id": "http://e/a",
+        "label": "y",
+        "name": "z",
+    }
+    preds2 = {q[1][1] for q in parse_jsonld_text(json.dumps(reset))}
+    assert "http://e/label" in preds2 and "http://e/name" not in preds2
+
+    # ...but rejected while protected terms are in scope
+    with pytest.raises(JsonLdError, match="protected"):
+        parse_jsonld_text(json.dumps({
+            "@context": [{"@protected": True, "name": "http://e/name"}, None],
+            "@id": "http://e/a",
+        }))
