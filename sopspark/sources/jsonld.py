@@ -8,6 +8,13 @@ unnamed), value objects (``@value``/``@language``/``@type``), arrays,
 chains), ``@reverse`` (both the node key and reverse term definitions),
 top-level ``@graph``.
 
+JSON-LD 1.1 additions: ``@container`` ``@index``/``@id``/``@language``/
+``@type`` maps, ``@nest``, term-scoped ``@context`` (property-scoped,
+propagating — the 1.1 default; an explicit ``"@propagate": false``
+override is NOT honored, the one remaining expansion subset boundary),
+``@included``, ``@direction``, ``@json`` literals, ``@protected`` terms,
+``@context: null`` reset.
+
 Remote contexts (string / list ``@context`` values) resolve through a
 :class:`ContextLoader` — the reference's ``-l DIR`` FsLoader cache
 (``src/parse.rs:412-448``: every file or subdirectory ``ITEM`` of DIR serves
