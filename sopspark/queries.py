@@ -708,25 +708,29 @@ def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus summary (doc count, mean tokens, exact token
-    p50/p90): one hash aggregate keyed on the 5-value language column —
-    map-side combine collapses nearly everything, and the exact percentile
-    state is a per-group value list bounded by group cardinality. DuckDB's
-    continuous quantile matches Spark's exact interpolated percentile."""
+    p50/p90) via histogram-based exact percentiles (operators/stats.py) —
+    Spark's built-in percentile() buffers every group value (O(rows)
+    state, an OOM at 100 TB with 5 groups); the histogram path bounds
+    state by |distinct token counts| and still matches DuckDB's
+    quantile_cont bit-for-bit (same R-7 interpolation)."""
+    from sopspark.operators.stats import percentiles_by_histogram
     from sopspark.text.analysis import detect_language
 
     docs = detect_language(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = F.size(F.split(F.col("text"), r"\s+"))
-    return (
-        docs.select("lang_pred", toks.alias("n_tokens"))
-        .groupBy("lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
-            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
-            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
-        )
-        .orderBy("lang_pred")
+    stats = percentiles_by_histogram(
+        docs.select("lang_pred", toks.alias("n_tokens")),
+        "lang_pred",
+        "n_tokens",
+        {"p50_tokens": 0.5, "p90_tokens": 0.9},
     )
+    return stats.select(
+        "lang_pred",
+        F.col("n").alias("n_docs"),
+        F.round("mean", 4).alias("mean_tokens"),
+        F.round("p50_tokens", 4).alias("p50_tokens"),
+        F.round("p90_tokens", 4).alias("p90_tokens"),
+    ).orderBy("lang_pred")
 
 
 def q_entity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,3 +275,36 @@ def test_pagerank_closed_form_and_dangling(spark):
         assert abs(got[v] - ranks[v]) < 1e-12, (v, got[v], ranks[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["c"] > got["b"] > got["a"]  # sink collects the most rank
+
+
+def test_histogram_percentiles_match_builtin(spark):
+    """percentiles_by_histogram must equal Spark's exact percentile()
+    (R-7 interpolation) on a randomized multiset, while keeping state
+    bounded by distinct values instead of rows."""
+    import numpy as np
+
+    from sopspark.operators.stats import percentiles_by_histogram
+
+    rng = np.random.default_rng(11)
+    rows = [(["a", "b"][int(g)], int(v)) for g, v in
+            zip(rng.integers(0, 2, 500), rng.integers(0, 40, 500))]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r
+        for r in percentiles_by_histogram(df, "g", "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99}).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g").agg(
+            F.expr("percentile(v, 0.25) as p25"),
+            F.expr("percentile(v, 0.5) as p50"),
+            F.expr("percentile(v, 0.99) as p99"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("v").alias("mean"),
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert got[g]["n"] == want[g]["n"]
+        assert abs(got[g]["mean"] - want[g]["mean"]) < 1e-9
+        for q in ("p25", "p50", "p99"):
+            assert abs(got[g][q] - want[g][q]) < 1e-9, (g, q)
