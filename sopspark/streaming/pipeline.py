@@ -174,3 +174,55 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pairs sharing ``on`` whose
+    event times are within ``max_gap`` of each other.
+
+    This is the one interval-join shape Spark executes NATIVELY at scale —
+    a stream-stream inner join with a symmetric time-range condition. The
+    watermark plus the range predicate bound both state stores: a buffered
+    row is evicted once the other stream's watermark passes
+    ``ts + max_gap`` (the batch twin is
+    :func:`sopspark.operators.rangejoin.range_join`, which bands instead
+    because a batch shuffle join has no state store to bound).
+
+    Works on batch frames too (watermarks are no-ops there), which is how
+    the test pins it against the batch operator.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l = lw.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (on, left_ts)],
+    )
+    r = rw.select(
+        F.col(on).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on, right_ts)],
+    )
+    cond = (
+        (l["_k"] == r["_rk"])
+        & (r["_rts"] >= l["_lts"] - F.expr(f"INTERVAL {max_gap}"))
+        & (r["_rts"] <= l["_lts"] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("_k").alias(on),
+            F.col("_lts").alias("left_ts"),
+            F.col("_rts").alias("right_ts"),
+            *[c for c in l.columns if c.startswith("l_")],
+            *[c for c in r.columns if c.startswith("r_")],
+        )
+    )

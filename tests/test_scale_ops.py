@@ -308,3 +308,39 @@ def test_histogram_percentiles_match_builtin(spark):
         assert abs(got[g]["mean"] - want[g]["mean"]) < 1e-9
         for q in ("p25", "p50", "p99"):
             assert abs(got[g][q] - want[g][q]) < 1e-9, (g, q)
+
+
+def test_range_join_matches_naive_pandas(spark):
+    """Randomized reference-model check: the banded plan equals the naive
+    cross-filter join on 300x300 random rows with duplicate timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from sopspark.operators.rangejoin import range_join
+
+    rng = np.random.default_rng(3)
+    base = dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame({
+        "id": np.arange(300),
+        "k": rng.integers(0, 6, 300),
+        "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 120, 300)],
+    })
+    rpdf = pd.DataFrame({
+        "rid": np.arange(1000, 1300),
+        "k": rng.integers(0, 6, 300),
+        "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 120, 300)],
+    })
+    gap = 7_000_000  # 7 s
+    merged = lpdf.merge(rpdf, on="k", suffixes=("", "_r"))
+    naive = {
+        (int(r.id), int(r.rid))
+        for r in merged.itertuples()
+        if abs((r.ts - r.ts_r).total_seconds() * 1e6) <= gap
+    }
+    got = {
+        (r["id"], r["rid"])
+        for r in range_join(
+            spark.createDataFrame(lpdf), spark.createDataFrame(rpdf), on="k", max_gap_us=gap
+        ).collect()
+    }
+    assert got == naive and len(got) > 100

@@ -207,3 +207,51 @@ def test_streaming_curation_map_ops(spark, tmp_path):
     assert got[1].n_emails == 1 and "<EMAIL>" in got[1].text_redacted
     assert "the the" not in got[1].text_collapsed
     assert got[2].lang_pred == "en"
+
+
+def test_streaming_range_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (availableNow) produces the
+    same pair set as the batch banded range_join."""
+    import datetime as dt
+
+    from sopspark.operators.rangejoin import range_join
+    from sopspark.streaming.pipeline import streaming_range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [(1, 10, t0), (2, 10, t0 + dt.timedelta(minutes=90)), (3, 20, t0)]
+    rrows = [
+        (100, 10, t0 + dt.timedelta(minutes=30)),   # within 1h of id=1 and id=2
+        (101, 10, t0 + dt.timedelta(minutes=170)),  # within 1h of neither
+        (102, 20, t0 + dt.timedelta(minutes=59)),   # within 1h of id=3
+    ]
+    ls, rs = "id long, k long, ts timestamp", "rid long, k long, ts timestamp"
+    lb, rb = spark.createDataFrame(lrows, ls), spark.createDataFrame(rrows, rs)
+
+    want = {
+        (r["id"], r["rid"])
+        for r in range_join(lb, rb, on="k", max_gap_us=3_600_000_000).collect()
+    }
+    assert want == {(1, 100), (2, 100), (3, 102)}
+
+    lp, rp = str(tmp_path / "l_pq"), str(tmp_path / "r_pq")
+    lb.write.parquet(lp)
+    rb.write.parquet(rp)
+    q = (
+        streaming_range_join(
+            spark.readStream.schema(ls).parquet(lp),
+            spark.readStream.schema(rs).parquet(rp),
+            on="k",
+            max_gap="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("rj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_id"], r["r_rid"])
+        for r in spark.sql("select * from rj_sink").collect()
+    }
+    assert got == want
