@@ -15,10 +15,11 @@ kill the job at any boundary and the rerun resumes mid-pipeline. On a real
 deployment the same manifests land in Iceberg snapshot metadata
 (SURVEY.md §4.3.6); parquet-dir + JSON is the sandbox equivalent.
 
-NOTE: returned DataFrames are lazy readers over the checkpoint parquet; a
-*later* run that overwrites the same workdir invalidates handles from an
-earlier run (Spark FAILED_READ_FILE). Re-read via the returned dict of the
-latest run.
+Snapshots: every re-materialization writes a NEW ``data_vN`` directory and
+appends to the stage's ``_snapshots.json`` log (append-only, the Iceberg
+snapshot-history twin) — so handles from earlier runs stay readable,
+``read_snapshot`` time-travels to any retained version, and
+``expire_snapshots`` is the retention knob.
 """
 
 from __future__ import annotations
@@ -51,6 +52,58 @@ class Stage:
 
 def _manifest_path(workdir: str, stage: str) -> str:
     return os.path.join(workdir, stage, "_lineage.json")
+
+
+def _snap_log_path(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, stage, "_snapshots.json")
+
+
+def snapshots(workdir: str, stage: str) -> list[dict]:
+    """The stage's snapshot log, oldest first — the sandbox twin of
+    Iceberg's snapshot history. Each entry: version, manifest_hash, rows,
+    written_at, path."""
+    p = _snap_log_path(workdir, stage)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_snapshot(
+    spark: SparkSession, workdir: str, stage: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: read a stage's output as of ``version`` (default:
+    current). Raises listing the available versions on a miss."""
+    snaps = snapshots(workdir, stage)
+    if not snaps:
+        raise FileNotFoundError(f"stage {stage!r} has no snapshots in {workdir}")
+    if version is None:
+        entry = snaps[-1]
+    else:
+        match = [s for s in snaps if s["version"] == version]
+        if not match:
+            have = [s["version"] for s in snaps]
+            raise FileNotFoundError(
+                f"stage {stage!r} has no snapshot v{version} (available: {have})"
+            )
+        entry = match[0]
+    return spark.read.parquet(os.path.join(workdir, stage, entry["path"]))
+
+
+def expire_snapshots(workdir: str, stage: str, keep: int = 1) -> list[int]:
+    """Drop all but the newest ``keep`` snapshots (Iceberg
+    ``expire_snapshots`` twin). Returns the expired version numbers."""
+    import shutil
+
+    snaps = snapshots(workdir, stage)
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    expired, kept = snaps[:-keep], snaps[-keep:]
+    for s in expired:
+        shutil.rmtree(os.path.join(workdir, stage, s["path"]), ignore_errors=True)
+    with open(_snap_log_path(workdir, stage), "w") as f:
+        json.dump(kept, f, indent=2)
+    return [s["version"] for s in expired]
 
 
 def _load_manifest(workdir: str, stage: str) -> dict | None:
@@ -86,7 +139,11 @@ def run_pipeline(
     manifests: dict[str, str] = {}
 
     for st in stages:
-        data_dir = os.path.join(workdir, st.name, "data")
+        snaps = snapshots(workdir, st.name)
+        # current data dir: latest snapshot, or the legacy un-versioned
+        # layout from pre-snapshot checkpoints
+        cur_rel = snaps[-1]["path"] if snaps else "data"
+        data_dir = os.path.join(workdir, st.name, cur_rel)
         cfg = st.config_hash()
         input_sig = {d: manifests.get(d, "source") for d in st.deps}
         prior = _load_manifest(workdir, st.name)
@@ -100,6 +157,12 @@ def run_pipeline(
             results[st.name] = spark.read.parquet(data_dir)
             manifests[st.name] = prior["manifest_hash"]
             continue
+
+        # new snapshot version (append-only — time travel via
+        # read_snapshot, retention via expire_snapshots)
+        version = (snaps[-1]["version"] + 1) if snaps else 1
+        rel = f"data_v{version}"
+        data_dir = os.path.join(workdir, st.name, rel)
 
         t0 = time.time()
         out = st.fn(spark, {d: results[d] for d in st.deps}, **st.params)
@@ -120,6 +183,17 @@ def run_pipeline(
         manifest["manifest_hash"] = mh
         with open(_manifest_path(workdir, st.name), "w") as f:
             json.dump(manifest, f, indent=2)
+        snaps.append(
+            {
+                "version": version,
+                "manifest_hash": mh,
+                "rows": manifest["rows"],
+                "written_at": manifest["written_at"],
+                "path": rel,
+            }
+        )
+        with open(_snap_log_path(workdir, st.name), "w") as f:
+            json.dump(snaps, f, indent=2)
         results[st.name] = spark.read.parquet(data_dir)
         manifests[st.name] = mh
 

@@ -165,3 +165,52 @@ def test_submit_entrypoint_runs_and_resumes(spark, tmp_path):
     assert rc2 == 0
     again = json.loads(buf2.getvalue().strip().splitlines()[-1])["stages"]
     assert again == first
+
+
+def test_snapshot_time_travel_and_expire(spark, tmp_path):
+    """Every re-materialization appends a snapshot: time travel reads old
+    versions, handles from earlier runs stay valid, and expire_snapshots
+    drops all but the newest."""
+    from pyspark.sql import functions as F
+
+    from sopspark.kg.pipeline import (
+        Stage,
+        expire_snapshots,
+        read_snapshot,
+        run_pipeline,
+        snapshots,
+    )
+
+    wd = str(tmp_path / "wd")
+    src = spark.range(10).withColumnRenamed("id", "x")
+
+    def double(spark_, inputs, factor=2):
+        return inputs["src"].select((F.col("x") * factor).alias("y"))
+
+    stages = [Stage("double", double, deps=["src"], params={"factor": 2})]
+    run_pipeline(spark, wd, stages, {"src": src})
+    v1 = read_snapshot(spark, wd, "double")
+    assert sorted(r.y for r in v1.collect())[:3] == [0, 2, 4]
+    assert [s["version"] for s in snapshots(wd, "double")] == [1]
+
+    # unchanged config+inputs → resume skips, no new snapshot
+    run_pipeline(spark, wd, stages, {"src": src})
+    assert [s["version"] for s in snapshots(wd, "double")] == [1]
+
+    # changed params → new snapshot; v1 still readable (no overwrite)
+    stages2 = [Stage("double", double, deps=["src"], params={"factor": 3})]
+    run_pipeline(spark, wd, stages2, {"src": src})
+    log = snapshots(wd, "double")
+    assert [s["version"] for s in log] == [1, 2]
+    assert sorted(r.y for r in read_snapshot(spark, wd, "double", version=1).collect())[:3] == [0, 2, 4]
+    assert sorted(r.y for r in read_snapshot(spark, wd, "double", version=2).collect())[:3] == [0, 3, 6]
+    # default = current
+    assert sorted(r.y for r in read_snapshot(spark, wd, "double").collect())[:3] == [0, 3, 6]
+
+    # retention drops v1; reading it now fails with the available list
+    assert expire_snapshots(wd, "double", keep=1) == [1]
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="available"):
+        read_snapshot(spark, wd, "double", version=1)
+    assert sorted(r.y for r in read_snapshot(spark, wd, "double").collect())[:3] == [0, 3, 6]
