@@ -1,0 +1,108 @@
+"""Plan-shape regression tests: machine-checks of the physical-plan
+properties the 100 TB story depends on (filter pushdown, exchange counts,
+broadcast joins, generator barriers). A correctness-green change that
+re-introduces an extra shuffle or un-pushes a scan filter fails HERE.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are cheap by design)
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_asof_join_single_shuffle_and_pushdown(spark):
+    from sopspark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    l = ev.where(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    r = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id", "value")
+    j = asof_join(l, r, on="user_id", tiebreak="event_id")
+    phys = _physical(j)
+    # the operator itself costs exactly ONE hash exchange (the window)
+    assert _n_exchanges(phys) == 1, phys
+    # the event_type filters reach the parquet scans
+    assert phys.count("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,") == 2
+
+
+def test_bm25_tokenizes_once_per_pass(spark):
+    from sopspark.text.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _optimized(bm25_topk(docs, ["hash", "join", "vector"], topk=5))
+    # one tokenize per pass (scoring + stats), NOT one per query term —
+    # the round-2 fingerprint lesson, guarded forever
+    assert plan.count("split(lower") == 2, plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    from sopspark.queries import q_broadcast_join
+
+    phys = _physical(q_broadcast_join(spark, SF))
+    assert "BroadcastHashJoin" in phys
+
+
+def test_curation_single_shuffle(spark):
+    from sopspark.text.analysis import curate_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    phys = _physical(curate_documents(docs))
+    # the composed gauntlet's contract: ONE exchange end-to-end
+    assert _n_exchanges(phys) == 1, phys
+
+
+def test_minhash_signatures_no_duplicated_shingle_expr(spark):
+    from sopspark.text.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _optimized(minhash_signatures(docs, num_perm=16))
+    # the shingle higher-order expression must appear once (the
+    # explode_outer barrier) — InferFiltersFromGenerate would duplicate it
+    # into a size()>0 filter under a plain explode
+    assert plan.count("transform(sequence(0,") == 1, plan
+
+
+def test_agg_pushdown_reaches_scan(spark):
+    from sopspark.queries import q_agg_pushdown
+
+    phys = _physical(q_agg_pushdown(spark, SF))
+    assert "PushedFilters: [" in phys and "partial_" in phys.lower() or "HashAggregate" in phys
+
+
+def test_stratified_sample_no_shuffle(spark):
+    from sopspark.text.analysis import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "lang_pred", F.lit("en")
+    )
+    phys = _physical(stratified_sample(docs, {"en": 0.5}))
+    # pure filter: zero exchanges on the data path
+    assert _n_exchanges(phys) == 0, phys
+
+
+def test_kg_linking_no_shuffle_joins(spark):
+    """Entity linking must stay broadcast — a sort-merge join here would
+    shuffle the full mention stream."""
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+    from sopspark.kg.synth import alias_df, synth_corpus
+
+    transcripts, _ = synth_corpus(spark, n_convs=50, seed=42)
+    linked = link_entities(extract_triples(assemble_turns(transcripts)), alias_df(spark))
+    phys = _physical(linked)
+    assert "SortMergeJoin" not in phys
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
