@@ -214,3 +214,44 @@ def test_snapshot_time_travel_and_expire(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="available"):
         read_snapshot(spark, wd, "double", version=1)
     assert sorted(r.y for r in read_snapshot(spark, wd, "double").collect())[:3] == [0, 3, 6]
+
+
+def test_write_graph_table_subject_pruning_layout(spark, tmp_path):
+    """write_graph_table produces non-overlapping per-file subject ranges
+    (parquet footer min/max → file-level pruning for subject lookups)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sopspark.kg.canon import materialize_graph, sameas_closure
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+    from sopspark.kg.synth import alias_df, sameas_df, synth_corpus
+    from sopspark.kg.canon import write_graph_table
+
+    transcripts, _ = synth_corpus(spark, n_convs=60, seed=42)
+    quads = materialize_graph(
+        link_entities(extract_triples(assemble_turns(transcripts)), alias_df(spark)),
+        sameas_closure(sameas_df(spark)),
+    )
+    out = str(tmp_path / "graph")
+    write_graph_table(quads, out, partitions=4)
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        si = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "s.value"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(si).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # consecutive files' subject ranges must not interleave
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
