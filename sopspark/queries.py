@@ -920,6 +920,46 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD_CUTOFF = "2024-01-16 00:00:00"
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history merge (operators/scd.py): per-user latest-event-type
+    dimension built from the pre-cutoff events, merged with the
+    post-cutoff batch — changed attrs close + reinsert, unchanged no-op,
+    new keys insert. One shuffle family on the key."""
+    from sopspark.operators.scd import scd2_merge
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(wk)).where(F.col("_rn") == 1).drop("_rn")
+        )
+
+    cut = F.lit(SCD_CUTOFF).cast("timestamp")
+    cur = latest(ev.where(F.col("ts") < cut)).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = latest(ev.where(F.col("ts") >= cut)).select(
+        "user_id", "event_type", F.col("ts").alias("eff_ts")
+    )
+    out = scd2_merge(cur, upd, key="user_id", attrs=["event_type"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp")).cast("bigint")  # noqa: E731
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        us("valid_from").alias("from_us"),
+        us("valid_to").alias("to_us"),
+    ).orderBy("user_id", "from_us")
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_TOTAL = 40
 
@@ -996,6 +1036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "rollup_agg": q_rollup_agg,
     "topk_per_group": q_topk_per_group,
+    "scd2_merge": q_scd2_merge,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1829,4 +1870,47 @@ ORACLES["topk_per_group"] = """
     FROM events
     QUALIFY rk <= 3
     ORDER BY user_id, rk
+"""
+
+# scd2_merge: the oracle replicates the dimension build + one merge batch
+# in SQL — open rows close at the winning update's time when the
+# attribute changed, unchanged rows pass, new keys insert
+ORACLES["scd2_merge"] = f"""
+    WITH cur AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM events WHERE ts < TIMESTAMP '{SCD_CUTOFF}'
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ), upd AS (
+      SELECT user_id, event_type, ts AS eff
+      FROM events WHERE ts >= TIMESTAMP '{SCD_CUTOFF}'
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ), j AS (
+      SELECT COALESCE(c.user_id, u.user_id) AS user_id,
+             c.event_type AS c_type, c.valid_from,
+             u.event_type AS u_type, u.eff
+      FROM cur c FULL OUTER JOIN upd u ON c.user_id = u.user_id
+    ), changed AS (
+      SELECT *,
+             (eff IS NOT NULL AND (valid_from IS NULL OR eff > valid_from)) AS applies,
+             (valid_from IS NOT NULL AND eff IS NOT NULL
+              AND (valid_from IS NULL OR eff > valid_from)
+              AND c_type IS DISTINCT FROM u_type) AS chg
+      FROM j
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           epoch_us(from_ts) AS from_us, epoch_us(to_ts) AS to_us
+    FROM (
+      -- surviving open rows (unchanged or no applicable update)
+      SELECT user_id, c_type AS event_type, valid_from AS from_ts,
+             CAST(NULL AS TIMESTAMP) AS to_ts
+      FROM changed WHERE valid_from IS NOT NULL AND NOT chg
+      UNION ALL
+      -- closed-out versions of changed rows
+      SELECT user_id, c_type, valid_from, eff FROM changed WHERE chg
+      UNION ALL
+      -- new open rows (changed keys + brand-new keys)
+      SELECT user_id, u_type, eff, CAST(NULL AS TIMESTAMP)
+      FROM changed WHERE applies AND (chg OR valid_from IS NULL)
+    )
+    ORDER BY user_id, from_us
 """

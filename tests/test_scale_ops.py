@@ -344,3 +344,46 @@ def test_range_join_matches_naive_pandas(spark):
         ).collect()
     }
     assert got == naive and len(got) > 100
+
+
+def test_scd2_merge_semantics(spark):
+    """SCD2: changed attrs close + reinsert, unchanged no-op (idempotent),
+    new keys insert, stale updates ignored, latest-in-batch wins."""
+    from sopspark.operators.scd import scd2_merge
+
+    cur = spark.createDataFrame(
+        [
+            (1, "red", _t(0), _t(5)),     # closed history row
+            (1, "blue", _t(5), None),     # open
+            (2, "green", _t(0), None),    # open, update won't change it
+            (3, "black", _t(8), None),    # open, stale update arrives
+        ],
+        "k long, color string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "gold", _t(7)),
+            (1, "silver", _t(9)),   # same batch, later → wins
+            (2, "green", _t(9)),    # unchanged → no-op
+            (3, "white", _t(6)),    # eff <= valid_from → ignored
+            (4, "pink", _t(9)),     # new key
+        ],
+        "k long, color string, eff_ts timestamp",
+    )
+    out = scd2_merge(cur, upd, key="k", attrs=["color"])
+    rows = {(r.k, r.color, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "red", _t(0), _t(5)),
+        (1, "blue", _t(5), _t(9)),      # closed at the winning update
+        (1, "silver", _t(9), None),     # new open row
+        (2, "green", _t(0), None),      # untouched
+        (3, "black", _t(8), None),      # stale update ignored
+        (4, "pink", _t(9), None),       # inserted
+    }
+
+    # idempotence: re-applying the same batch is a no-op
+    again = scd2_merge(out, upd, key="k", attrs=["color"])
+    assert {(r.k, r.color, r.valid_from, r.valid_to) for r in again.collect()} == rows
+    # invariant: exactly one open row per live key
+    opens = [r.k for r in out.where("valid_to is null").collect()]
+    assert sorted(opens) == [1, 2, 3, 4]
