@@ -3,9 +3,10 @@ metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signatures, batch shapes, error quarantine. Codec status: PNG
-(:func:`decode_png`) and WAV (:func:`decode_wav`) decode FOR REAL with
-stdlib-only code; other formats (JPEG, mp3, mp4) need codec libraries
-absent from this container, so ``decode_image`` raises
+(:func:`decode_png`), WAV (:func:`decode_wav`), and APNG video frames
+(:func:`decode_apng_frames`) decode FOR REAL with stdlib-only code;
+other formats (JPEG, mp3, mp4) need codec libraries absent from this
+container, so ``decode_image`` raises
 ``NotImplementedError`` for them unless ``fake=True``, in which case a
 deterministic fake decoder (seeded from the bytes) produces stable
 "features" so the distributed plumbing can still be exercised end-to-end.
@@ -324,9 +325,144 @@ def extract_features(
     return assets.select("asset_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        yield typ, data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+
+
+def decode_apng_frames(data: bytes) -> list[tuple[int, bytes]]:
+    """APNG (animated PNG) → [(delay_ms, single-frame PNG bytes)].
+
+    Real, stdlib-only: each frame's fdAT chunks are re-wrapped as IDAT
+    under a frame-sized IHDR, yielding standalone PNGs that
+    :func:`decode_png` decodes. Supported profile: full-canvas frames
+    (blend SOURCE over the whole canvas — the common screen-capture /
+    synthetic shape); partial-canvas or blend-OVER frames raise
+    ``ValueError`` (quarantined upstream, never a job kill)."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG/APNG (bad signature)")
+    ihdr = plte = None
+    actl = False
+    frames: list[tuple[int, bytes]] = []
+    cur: dict | None = None  # {'w','h','delay','data':[...]}
+    first_is_frame = False
+    default_idat: list[bytes] = []
+
+    for typ, chunk in _png_chunks(data):
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"acTL":
+            actl = True
+        elif typ == b"fcTL":
+            if cur is not None:
+                frames.append((cur["delay"], _frame_png(ihdr, plte, cur)))
+            w = int.from_bytes(chunk[4:8], "big")
+            h = int.from_bytes(chunk[8:12], "big")
+            cw = int.from_bytes(ihdr[0:4], "big")
+            ch = int.from_bytes(ihdr[4:8], "big")
+            if (w, h) != (cw, ch) or chunk[12:20] != b"\x00" * 8:
+                raise ValueError("unsupported APNG (partial-canvas frame)")
+            blend = chunk[25]
+            if blend != 0:  # APNG_BLEND_OP_SOURCE only
+                raise ValueError("unsupported APNG (blend OVER)")
+            num = int.from_bytes(chunk[20:22], "big")
+            den = int.from_bytes(chunk[22:24], "big") or 100
+            delay_ms = int(1000 * num / den)
+            cur = {"w": w, "h": h, "delay": delay_ms, "data": []}
+            if not default_idat:
+                first_is_frame = True
+        elif typ == b"IDAT":
+            default_idat.append(chunk)
+            if cur is not None and first_is_frame and not frames:
+                cur["data"].append(chunk)
+        elif typ == b"fdAT":
+            if cur is None:
+                raise ValueError("fdAT before fcTL")
+            cur["data"].append(chunk[4:])  # strip the sequence number
+        elif typ == b"IEND":
+            break
+    if not actl:
+        raise ValueError("not animated (no acTL chunk)")
+    if cur is not None:
+        frames.append((cur["delay"], _frame_png(ihdr, plte, cur)))
+    if not frames:
+        raise ValueError("APNG with no frames")
+    _ = zlib  # reserved for future recompression paths
+    return frames
+
+
+def _frame_png(ihdr: bytes, plte: bytes | None, cur: dict) -> bytes:
+    """Assemble a standalone PNG for one APNG frame."""
+    import zlib as _z
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + _z.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    for d in cur["data"]:
+        out += chunk(b"IDAT", d)
+    return out + chunk(b"IEND", b"")
+
+
+def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Minimal APNG encoder (RGB full-canvas frames, blend SOURCE) — the
+    synth/test twin of :func:`decode_apng_frames`."""
+    import zlib as _z
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + _z.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    h, w, _ = frames[0].shape
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    out += chunk(b"acTL", len(frames).to_bytes(4, "big") + (0).to_bytes(4, "big"))
+    seq = 0
+    for i, img in enumerate(frames):
+        fctl = (
+            seq.to_bytes(4, "big")
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+            + delay_ms.to_bytes(2, "big") + (1000).to_bytes(2, "big")
+            + bytes([0, 0])  # dispose NONE, blend SOURCE
+        )
+        out += chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h))
+        comp = _z.compress(raw)
+        if i == 0:
+            out += chunk(b"IDAT", comp)
+        else:
+            out += chunk(b"fdAT", seq.to_bytes(4, "big") + comp)
+            seq += 1
+    return out + chunk(b"IEND", b"")
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """Video → frame rows (1 per ``every_ms``). The explode happens inside
-    an iterator UDF — rows yielded incrementally, bounded memory."""
+    an iterator UDF — rows yielded incrementally, bounded memory.
+
+    APNG payloads decode FOR REAL (:func:`decode_apng_frames` — each
+    emitted frame_payload is a standalone PNG, and event-time sampling
+    picks the nearest frame at each ``every_ms`` tick). Other containers
+    (mp4 etc.) need codec libraries absent here: ``fake=True`` emits
+    deterministic digests so the plumbing still runs; ``fake=False``
+    quarantines them via the err column."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -335,11 +471,28 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) ->
                 pdf["asset_id"].values, pdf["payload"].values, pdf["duration_ms"].values
             )
             for aid, payload, dur in cols:
+                base = bytes(payload)
+                if base[:8] == PNG_SIG:
+                    try:
+                        frames = decode_apng_frames(base)
+                        # frame timeline → nearest frame per sampling tick
+                        starts, t = [], 0
+                        for delay, png in frames:
+                            starts.append((t, png))
+                            t += max(1, delay)
+                        total = t
+                        k = 0
+                        for i, tick in enumerate(range(0, total, every_ms)):
+                            while k + 1 < len(starts) and starts[k + 1][0] <= tick:
+                                k += 1
+                            out.append((aid, i, starts[k][1], None))
+                    except Exception as e:
+                        out.append((aid, None, None, f"decode error: {e}"))
+                    continue
                 if not fake:
                     out.append((aid, None, None, "decode error: no video codec"))
                     continue
                 n = max(1, int(dur or 0) // every_ms)
-                base = bytes(payload)
                 out.extend(
                     (aid, i, hashlib.sha256(base + i.to_bytes(4, "big")).digest()[:16], None)
                     for i in range(n)
@@ -359,6 +512,7 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
+        dur = None
         if modality == "image":
             # real PNG payload — the decode path is exercised for real
             px_seed = int.from_bytes(hashlib.sha256(f"{seed}:{i}".encode()).digest()[:8], "big")
@@ -370,16 +524,25 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
             hz = 200.0 + 50.0 * (i % 7)
             payload = encode_wav(0.5 * np.sin(2 * np.pi * hz * t), rate=16000)
         else:
-            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+            # real APNG payload: duration_ms/1000 full-canvas frames of
+            # 1000 ms each, so frame sampling decodes for real
+            dur = rng.randint(1000, 10000)
+            fr_seed = int.from_bytes(hashlib.sha256(f"{seed}:v{i}".encode()).digest()[:8], "big")
+            frng = np.random.default_rng(fr_seed)
+            n_frames = max(1, dur // 1000)
+            payload = encode_apng(
+                [frng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(n_frames)],
+                delay_ms=1000,
+            )
         rows.append(
             (
                 i,
                 modality,
                 bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+                {"image": "image/png", "audio": "audio/wav", "video": "image/apng"}[modality],
                 64 if modality == "image" else None,
                 64 if modality == "image" else None,
-                rng.randint(1000, 10000) if modality == "video" else None,
+                dur,
                 None,
             )
         )
