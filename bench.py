@@ -107,6 +107,12 @@ def main() -> None:
         "mixture_sample": QUERIES["mixture_sample"],
         "range_join": QUERIES["range_join"],
         "pagerank": QUERIES["pagerank"],
+        "rollup_agg": QUERIES["rollup_agg"],
+        "topk_per_group": QUERIES["topk_per_group"],
+        "scd2_merge": QUERIES["scd2_merge"],
+        "tpch_pricing": QUERIES["tpch_pricing"],
+        "tpch_shipping": QUERIES["tpch_shipping"],
+        "tpch_local_volume": QUERIES["tpch_local_volume"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -48,13 +48,26 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # weight each edge once: contribution = rank(src)/deg(src)
     ew = e.join(deg, "src").persist()
     ew.count()
 
+    try:
+        return _pagerank_iterate(nodes, deg, ew, n, iters, damping, checkpoint_every)
+    finally:
+        # the final ranks are localCheckpoint-materialized, so the cached
+        # inputs are safe to release — without this, every call leaks
+        # three persisted datasets for the session lifetime
+        for cached in (nodes, deg, ew):
+            cached.unpersist()
+
+
+def _pagerank_iterate(nodes, deg, ew, n, iters, damping, checkpoint_every):
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iters):
@@ -83,7 +96,8 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
 
-    return ranks
+    # materialize before the caller's unpersist of nodes/deg/ew
+    return ranks.localCheckpoint(eager=True)
 
 
 def pagerank_oracle_sql(

@@ -61,9 +61,22 @@ def _snap_log_path(workdir: str, stage: str) -> str:
 def snapshots(workdir: str, stage: str) -> list[dict]:
     """The stage's snapshot log, oldest first — the sandbox twin of
     Iceberg's snapshot history. Each entry: version, manifest_hash, rows,
-    written_at, path."""
+    written_at, path. A pre-snapshot (un-versioned ``data``) checkpoint
+    surfaces as a synthesized version-0 entry so time travel and
+    retention see it too."""
     p = _snap_log_path(workdir, stage)
     if not os.path.exists(p):
+        if os.path.isdir(os.path.join(workdir, stage, "data")):
+            legacy = _load_manifest(workdir, stage) or {}
+            return [
+                {
+                    "version": 0,
+                    "manifest_hash": legacy.get("manifest_hash", "legacy"),
+                    "rows": legacy.get("rows"),
+                    "written_at": legacy.get("written_at"),
+                    "path": "data",
+                }
+            ]
         return []
     with open(p) as f:
         return json.load(f)
@@ -98,6 +111,8 @@ def expire_snapshots(workdir: str, stage: str, keep: int = 1) -> list[int]:
     snaps = snapshots(workdir, stage)
     if keep < 1:
         raise ValueError("keep must be >= 1")
+    if not snaps:
+        return []  # never-materialized stage: nothing to expire, no log
     expired, kept = snaps[:-keep], snaps[-keep:]
     for s in expired:
         shutil.rmtree(os.path.join(workdir, stage, s["path"]), ignore_errors=True)

@@ -141,17 +141,10 @@ def encode_png(img: np.ndarray) -> bytes:
 
     h, w, _ = img.shape
     raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h))
-
-    def chunk(typ: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big") + typ + body
-            + zlib.crc32(typ + body).to_bytes(4, "big")
-        )
-
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
     return (
-        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
     )
 
 
@@ -325,6 +318,17 @@ def extract_features(
     return assets.select("asset_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    """One PNG chunk: length + type + body + CRC (shared by every encoder
+    in this module)."""
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big") + typ + body
+        + zlib.crc32(typ + body).to_bytes(4, "big")
+    )
+
+
 def _png_chunks(data: bytes):
     pos = 8
     while pos + 8 <= len(data):
@@ -343,8 +347,6 @@ def decode_apng_frames(data: bytes) -> list[tuple[int, bytes]]:
     (blend SOURCE over the whole canvas — the common screen-capture /
     synthetic shape); partial-canvas or blend-OVER frames raise
     ``ValueError`` (quarantined upstream, never a job kill)."""
-    import zlib
-
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG/APNG (bad signature)")
     ihdr = plte = None
@@ -362,6 +364,12 @@ def decode_apng_frames(data: bytes) -> list[tuple[int, bytes]]:
         elif typ == b"acTL":
             actl = True
         elif typ == b"fcTL":
+            # malformed layouts are ValueErrors (the documented quarantine
+            # contract), never TypeError/IndexError
+            if ihdr is None:
+                raise ValueError("malformed APNG (fcTL before IHDR)")
+            if len(chunk) < 26:
+                raise ValueError("malformed APNG (truncated fcTL)")
             if cur is not None:
                 frames.append((cur["delay"], _frame_png(ihdr, plte, cur)))
             w = int.from_bytes(chunk[4:8], "big")
@@ -395,43 +403,28 @@ def decode_apng_frames(data: bytes) -> list[tuple[int, bytes]]:
         frames.append((cur["delay"], _frame_png(ihdr, plte, cur)))
     if not frames:
         raise ValueError("APNG with no frames")
-    _ = zlib  # reserved for future recompression paths
     return frames
 
 
 def _frame_png(ihdr: bytes, plte: bytes | None, cur: dict) -> bytes:
     """Assemble a standalone PNG for one APNG frame."""
-    import zlib as _z
-
-    def chunk(typ: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big") + typ + body
-            + _z.crc32(typ + body).to_bytes(4, "big")
-        )
-
-    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
     if plte is not None:
-        out += chunk(b"PLTE", plte)
+        out += _chunk(b"PLTE", plte)
     for d in cur["data"]:
-        out += chunk(b"IDAT", d)
-    return out + chunk(b"IEND", b"")
+        out += _chunk(b"IDAT", d)
+    return out + _chunk(b"IEND", b"")
 
 
 def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
     """Minimal APNG encoder (RGB full-canvas frames, blend SOURCE) — the
     synth/test twin of :func:`decode_apng_frames`."""
-    import zlib as _z
-
-    def chunk(typ: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big") + typ + body
-            + _z.crc32(typ + body).to_bytes(4, "big")
-        )
+    import zlib
 
     h, w, _ = frames[0].shape
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
-    out = PNG_SIG + chunk(b"IHDR", ihdr)
-    out += chunk(b"acTL", len(frames).to_bytes(4, "big") + (0).to_bytes(4, "big"))
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", len(frames).to_bytes(4, "big") + (0).to_bytes(4, "big"))
     seq = 0
     for i, img in enumerate(frames):
         fctl = (
@@ -441,16 +434,16 @@ def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
             + delay_ms.to_bytes(2, "big") + (1000).to_bytes(2, "big")
             + bytes([0, 0])  # dispose NONE, blend SOURCE
         )
-        out += chunk(b"fcTL", fctl)
+        out += _chunk(b"fcTL", fctl)
         seq += 1
         raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h))
-        comp = _z.compress(raw)
+        comp = zlib.compress(raw)
         if i == 0:
-            out += chunk(b"IDAT", comp)
+            out += _chunk(b"IDAT", comp)
         else:
-            out += chunk(b"fdAT", seq.to_bytes(4, "big") + comp)
+            out += _chunk(b"fdAT", seq.to_bytes(4, "big") + comp)
             seq += 1
-    return out + chunk(b"IEND", b"")
+    return out + _chunk(b"IEND", b"")
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:

@@ -35,7 +35,13 @@ def percentiles_by_histogram(
     Returns one row per group with, for each ``name: q`` in ``qs``, a
     double column ``name``; plus ``n`` (count) and ``mean``.
     """
-    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    # null measures are ignored, matching the builtin percentile()/avg()
+    # (a NULL bucket would otherwise sort first and shift every rank)
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     wg = Window.partitionBy(group_col)
     wcum = wg.orderBy(value_col)
     cum = (

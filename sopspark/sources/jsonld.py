@@ -155,8 +155,14 @@ class _Ctx:
                 if k in self.protected and self._strip(self.terms.get(k)) != self._strip(tdef):
                     raise JsonLdError(f"attempt to redefine protected term {k!r}")
                 self.terms[k] = tdef
-                if ctx_protected or tdef.get("@protected"):
+                # per-term @protected overrides the context-wide flag in
+                # BOTH directions (§4.1.11: "@protected": false exempts
+                # the term from a protected context)
+                term_flag = tdef.get("@protected") if isinstance(tdef, dict) else None
+                if term_flag is True or (term_flag is None and ctx_protected):
                     self.protected.add(k)
+                elif term_flag is False:
+                    self.protected.discard(k)
 
     @staticmethod
     def _strip(tdef):

@@ -444,3 +444,23 @@ def test_jsonld11_protected_and_null_context():
             "@context": [{"@protected": True, "name": "http://e/name"}, None],
             "@id": "http://e/a",
         }))
+
+
+def test_jsonld11_per_term_protected_false_override():
+    """Review fix: a per-term "@protected": false exempts the term from a
+    context-wide "@protected": true (§4.1.11)."""
+    import json
+
+    from sopspark.sources.jsonld import parse_jsonld_text
+
+    doc = {
+        "@context": [
+            {"@protected": True,
+             "name": {"@id": "http://e/name", "@protected": False}},
+            {"name": "http://e/other"},
+        ],
+        "@id": "http://e/a",
+        "name": "x",
+    }
+    preds = {q[1][1] for q in parse_jsonld_text(json.dumps(doc))}
+    assert preds == {"http://e/other"}

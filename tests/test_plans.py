@@ -80,7 +80,10 @@ def test_agg_pushdown_reaches_scan(spark):
     from sopspark.queries import q_agg_pushdown
 
     phys = _physical(q_agg_pushdown(spark, SF))
-    assert "PushedFilters: [" in phys and "partial_" in phys.lower() or "HashAggregate" in phys
+    # both must hold: the scan filter is pushed AND the aggregate is the
+    # two-phase hash form (partial/map-side combine before the exchange)
+    assert "PushedFilters: [IsNotNull" in phys or "PushedFilters: [EqualTo" in phys, phys
+    assert "HashAggregate" in phys and phys.count("HashAggregate") >= 2, phys
 
 
 def test_stratified_sample_no_shuffle(spark):

@@ -387,3 +387,14 @@ def test_scd2_merge_semantics(spark):
     # invariant: exactly one open row per live key
     opens = [r.k for r in out.where("valid_to is null").collect()]
     assert sorted(opens) == [1, 2, 3, 4]
+
+
+def test_histogram_percentiles_ignore_nulls(spark):
+    """Review fix: NULL measures are ignored, matching the builtin."""
+    from sopspark.operators.stats import percentiles_by_histogram
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("a", 2)], "g string, v long"
+    )
+    r = percentiles_by_histogram(df, "g", "v", {"p50": 0.5}).collect()[0]
+    assert r["n"] == 2 and r["p50"] == 1.5 and r["mean"] == 1.5

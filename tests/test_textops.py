@@ -419,3 +419,22 @@ def test_apng_roundtrip_and_frame_sampling(spark):
     )
     rows_bad = sample_frames(assets_bad, every_ms=100, fake=False).collect()
     assert len(rows_bad) == 1 and "blend OVER" in rows_bad[0].err
+
+
+def test_apng_malformed_layouts_raise_valueerror():
+    """Review fix: hostile chunk layouts raise the documented ValueError,
+    not TypeError/IndexError."""
+    import pytest
+
+    from sopspark.multimodal import PNG_SIG, _chunk, decode_apng_frames
+
+    # fcTL before IHDR
+    bad1 = PNG_SIG + _chunk(b"fcTL", b"\x00" * 26) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="before IHDR"):
+        decode_apng_frames(bad1)
+
+    # truncated fcTL
+    ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bad2 = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"fcTL", b"\x00" * 10) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truncated fcTL"):
+        decode_apng_frames(bad2)
