@@ -89,6 +89,12 @@ class Query:
     from_named: list = field(default_factory=list)  # [iri str] — FROM NAMED
 
 
+
+def _unescape_plocal(local: str) -> str:
+    """PN_LOCAL_ESC (grammar [173]): backslash-escapes in prefixed-name
+    local parts unescape to the raw char in the IRI; %XX passes through."""
+    return re.sub(r"\\(.)", r"\1", local)
+
 class SparqlError(ValueError):
     pass
 
@@ -107,7 +113,7 @@ _TOK = re.compile(
   | (?P<dtmark>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<punct>(?:[{}().;,\[\]*=!>|&+/^-]|<(?![^<>\s]*>)|\?(?!\w))+)
-  | (?P<pname>[A-Za-z_][\w-]*)?:(?P<plocal>[\w.-]*)
+  | (?P<pname>[A-Za-z_][\w-]*)?:(?P<plocal>(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[\w.-])*)
   | (?P<name>[A-Za-z_]\w*)
     """,
     re.VERBOSE,
@@ -570,7 +576,7 @@ class _QP:
             pfx, _, local = v.partition(":")
             if pfx not in self.prefixes:
                 raise SparqlError(f"undefined prefix {pfx!r}")
-            return ("link", self.prefixes[pfx] + local)
+            return ("link", self.prefixes[pfx] + _unescape_plocal(local))
         raise SparqlError(f"unexpected token {v!r} in property path")
 
     def term(self) -> tuple:
@@ -606,7 +612,7 @@ class _QP:
             pfx, _, local = v.partition(":")
             if pfx not in self.prefixes:
                 raise SparqlError(f"undefined prefix {pfx!r}")
-            return ("term", (IRI, self.prefixes[pfx] + local, None, None))
+            return ("term", (IRI, self.prefixes[pfx] + _unescape_plocal(local), None, None))
         if k == "string":
             from sopspark.sources.ntriples import unescape_literal
 
@@ -652,7 +658,7 @@ class _QP:
             elif k == "pname" and ":" in v:
                 pfx, _, local = v.partition(":")
                 if pfx in self.prefixes:
-                    parts.append(f"<{self.prefixes[pfx] + local}>")
+                    parts.append("<" + self.prefixes[pfx] + _unescape_plocal(local) + ">")
                 else:
                     parts.append(v)
             else:

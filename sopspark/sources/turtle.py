@@ -56,7 +56,7 @@ TOKEN_RE = re.compile(
   | (?P<dtmark>\^\^)
   | (?P<tstar><<|>>)
   | (?P<punct>[;,.\[\]()={}])
-  | (?P<pname>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?:(?:[A-Za-z0-9_:%-](?:[A-Za-z0-9_.:%-]*[A-Za-z0-9_:%-])?)?
+  | (?P<pname>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?:(?:(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z0-9_:-])(?:(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z0-9_.:-])*(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z0-9_:-]))?)?
   | (?P<kw>[A-Za-z]+)
     """,
     re.VERBOSE,
@@ -267,6 +267,9 @@ class _Parser:
             pfx, _, local = v.partition(":")
             if pfx not in self.prefixes:
                 raise TurtleError(f"undefined prefix {pfx!r}:")
+            # PN_LOCAL_ESC (\, \& …) unescapes to the raw char in the IRI;
+            # PERCENT sequences pass through untouched (Turtle §6.5)
+            local = re.sub(r"\\(.)", r"\1", local)
             return (IRI, self.prefixes[pfx] + local, None, None)
         if k in ("string", "longstr"):
             raw = v[3:-3] if k == "longstr" else v[1:-1]

@@ -378,3 +378,20 @@ def test_dir_lang_string_roundtrip(spark):
     assert lines == ['<http://e/a> <http://e/label> "hello"@en--ltr .']
     df2 = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
     assert collect_nq_lines(df2) == lines
+
+
+def test_turtle_pn_local_escapes_and_percent(spark):
+    """Turtle §6.5 PN_LOCAL: local-name escapes (\\, \\= …) unescape into
+    the IRI, PERCENT sequences pass through literally."""
+    from sopspark.sources.turtle import parse_turtle_text
+
+    ttl = (
+        "@prefix ex: <http://e/> .\n"
+        "ex:a\\,b ex:p ex:c%2Fd .\n"
+        "ex:x ex:q ex:order\\=5 .\n"
+    )
+    got = {(q[0][1], q[1][1], q[2][1]) for q in parse_turtle_text(ttl)}
+    assert got == {
+        ("http://e/a,b", "http://e/p", "http://e/c%2Fd"),
+        ("http://e/x", "http://e/q", "http://e/order=5"),
+    }

@@ -862,3 +862,16 @@ def test_group_by_as_shadows_in_scope_var_is_error(spark):
             "SELECT ?o (COUNT(?s) AS ?n) WHERE { ?s <http://e/tag> ?o } "
             "GROUP BY (LCASE(?o) AS ?o)",
         )
+
+
+def test_pname_local_escapes_in_query(spark):
+    """SPARQL PN_LOCAL_ESC + PERCENT in prefixed names match the IRIs the
+    Turtle parser produces for the same escaped local parts."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = ['<http://e/s> <http://e/a,b> <http://e/c%2Fd> .']
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    got = sparql_query(
+        df, "PREFIX ex: <http://e/> SELECT ?s WHERE { ?s ex:a\\,b ex:c%2Fd }"
+    ).df.collect()
+    assert [r.s.value for r in got] == ["http://e/s"]
