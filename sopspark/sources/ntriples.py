@@ -260,6 +260,11 @@ def _decode_position(ext: pd.DataFrame, tag: str) -> tuple[pd.Series, pd.Series,
     if has_esc.any():
         lit = lit.copy()
         lit[has_esc] = lit[has_esc].map(unescape_literal)
+    # IRIREF UCHAR (grammar [8]): \uXXXX / \UXXXXXXXX decode to code points
+    iri_esc = iri.notna() & iri.str.contains("\\", regex=False)
+    if iri_esc.any():
+        iri = iri.copy()
+        iri[iri_esc] = iri[iri_esc].map(unescape_literal)
     value = pd.Series(
         np.select(
             [iri.notna(), bn.notna(), var.notna(), lit.notna()],

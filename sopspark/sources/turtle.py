@@ -46,7 +46,7 @@ TOKEN_RE = re.compile(
     (?P<ws>\s+|\#[^\n]*)
   | (?P<longstr>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<string>\"(?:[^"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*')
-  | (?P<iri><[^<>"{}|^`\\\s]*>)
+  | (?P<iri><(?:[^<>"{}|^`\\\s]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
   | (?P<bnode>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<directive>@prefix|@base)
   | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*(?:--[A-Za-z]+)?)
@@ -62,6 +62,18 @@ TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+
+
+def _uchar(iri: str) -> str:
+    """IRIREF UCHAR escapes (\\uXXXX / \\UXXXXXXXX) → code points
+    (Turtle grammar [18]); IRIs without a backslash pass through as-is."""
+    if "\\" not in iri:
+        return iri
+    return re.sub(
+        r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})",
+        lambda m: chr(int(m.group(1) or m.group(2), 16)),
+        iri,
+    )
 
 class TurtleError(ValueError):
     pass
@@ -175,13 +187,13 @@ class _Parser:
         k2, iri = self.next()
         if k2 != "iri":
             raise TurtleError("expected IRI in @prefix")
-        self.prefixes[pfx] = self.resolve(iri[1:-1])
+        self.prefixes[pfx] = self.resolve(_uchar(iri[1:-1]))
 
     def base_decl(self):
         k2, iri = self.next()
         if k2 != "iri":
             raise TurtleError("expected IRI in @base")
-        self.base = self.resolve(iri[1:-1])
+        self.base = self.resolve(_uchar(iri[1:-1]))
 
     def resolve(self, iri: str) -> str:
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
@@ -260,7 +272,7 @@ class _Parser:
             enc = " ".join(py_nt_term(t) for t in (s, p, o))
             return (QUOTED, f"<< {enc} >>", None, None)
         if k == "iri":
-            return (IRI, self.resolve(v[1:-1]), None, None)
+            return (IRI, self.resolve(_uchar(v[1:-1])), None, None)
         if k == "bnode":
             return (BNODE, v[2:], None, None)
         if k == "pname":

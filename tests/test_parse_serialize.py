@@ -395,3 +395,18 @@ def test_turtle_pn_local_escapes_and_percent(spark):
         ("http://e/a,b", "http://e/p", "http://e/c%2Fd"),
         ("http://e/x", "http://e/q", "http://e/order=5"),
     }
+
+
+def test_uchar_escapes_in_iris(spark):
+    """IRIREF UCHAR (\\uXXXX / \\UXXXXXXXX) decodes to code points in both
+    the NT fast path and the Turtle parser (NT grammar [8], Turtle [18])."""
+    from sopspark.sources.ntriples import parse_lines_df
+    from sopspark.sources.turtle import parse_turtle_text
+
+    rows = ['<http://e/\\u00e9> <http://e/p> "caf\\u00e9" .']
+    r = parse_lines_df(spark.createDataFrame([(x,) for x in rows], ["value"])).collect()[0]
+    assert r.err is None and r.s.value == "http://e/é" and r.o.value == "café"
+
+    ttl = '@prefix ex: <http://e/> .\n<http://e/\\u00e9> ex:q "\\U0001F600ok" .\n'
+    quads = parse_turtle_text(ttl)
+    assert quads[0][0][1] == "http://e/é" and quads[0][2][1] == "\U0001F600ok"
