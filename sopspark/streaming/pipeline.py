@@ -226,3 +226,73 @@ def streaming_range_join(
             *[c for c in r.columns if c.startswith("r_")],
         )
     )
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes its event time — re-deliveries inside the
+    watermark horizon are dropped, and state is evicted after it (the
+    unbounded-state ``dropDuplicates`` would grow forever on a stream).
+    Works on batch frames too (falls back to plain dropDuplicates there,
+    which is the same answer when every duplicate fits one batch)."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def streaming_kg_ingest(
+    stream, workdir: str, graph_dir: str = "graph"
+):
+    """Continuous transcript→KG ingestion: per micro-batch, run the batch
+    extraction+linking stages and MERGE the new triples into the
+    materialized graph table via ``kg.canon.merge_incremental`` — the
+    streaming twin of the checkpointed batch pipeline, with exactly-once
+    table updates from foreachBatch + idempotent merge (a replayed batch
+    re-merges to the identical table).
+
+    Returns the StreamingQuery; the graph parquet lives at
+    ``workdir/graph_dir``. Input schema = the input_hint transcript table.
+    """
+    import os
+
+    from sopspark.kg.canon import materialize_graph, merge_incremental, sameas_closure
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+    from sopspark.kg.synth import alias_df, sameas_df
+
+    out_path = os.path.join(workdir, graph_dir)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        quads = materialize_graph(
+            link_entities(extract_triples(assemble_turns(batch)), alias_df(spark)),
+            sameas_closure(sameas_df(spark)),
+        )
+        if os.path.isdir(out_path):
+            existing = spark.read.parquet(out_path)
+            merged = merge_incremental(existing, quads)
+        else:
+            merged = quads
+        # write-to-temp + atomic-ish swap keeps readers off half-written data
+        tmp = out_path + f"._b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        os.rename(tmp, out_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(workdir, "_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -255,3 +255,79 @@ def test_streaming_range_join_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from rj_sink").collect()
     }
     assert got == want
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops re-deliveries inside the
+    watermark horizon with bounded state; matches batch dedup here."""
+    import datetime as dt
+
+    from sopspark.streaming.pipeline import streaming_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0), (2, t0 + dt.timedelta(minutes=1)),
+        (2, t0 + dt.timedelta(minutes=2)), (3, t0 + dt.timedelta(minutes=3)),
+    ]
+    schema = "k long, ts timestamp"
+    batch = spark.createDataFrame(rows, schema)
+    pq = str(tmp_path / "dd_pq")
+    batch.write.parquet(pq)
+    q = (
+        streaming_exact_dedup(
+            spark.readStream.schema(schema).parquet(pq), keys=["k"], watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("dd_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.sql("select * from dd_sink").collect())
+    assert got == [1, 2, 3]
+    # batch fallback gives the same key set
+    assert sorted(
+        r["k"] for r in streaming_exact_dedup(batch, keys=["k"]).collect()
+    ) == [1, 2, 3]
+
+
+def test_streaming_kg_ingest_matches_batch(spark, tmp_path):
+    """foreachBatch ingestion: two transcript micro-batches merged
+    incrementally equal the one-shot batch pipeline's triple set."""
+    from sopspark.kg.canon import materialize_graph, sameas_closure
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.link import link_entities
+    from sopspark.kg.synth import alias_df, sameas_df, synth_corpus
+    from sopspark.operators.serialize import collect_nq_lines
+    from sopspark.streaming.pipeline import streaming_kg_ingest
+
+    transcripts, _ = synth_corpus(spark, n_convs=24, seed=42)
+    # one-shot reference
+    want = set(
+        collect_nq_lines(
+            materialize_graph(
+                link_entities(
+                    extract_triples(assemble_turns(transcripts)), alias_df(spark)
+                ),
+                sameas_closure(sameas_df(spark)),
+            )
+        )
+    )
+
+    # two parquet files → two-ish micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path / "stream_src")
+    transcripts.where("conv_id < 'c0000012'").coalesce(1).write.mode("overwrite").parquet(src)
+    transcripts.where("conv_id >= 'c0000012'").coalesce(1).write.mode("append").parquet(src)
+    wd = str(tmp_path / "wd")
+    stream = (
+        spark.readStream.schema(transcripts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_kg_ingest(stream, wd)
+    q.awaitTermination(240)
+    import os
+
+    got = set(collect_nq_lines(spark.read.parquet(os.path.join(wd, "graph"))))
+    assert got == want
