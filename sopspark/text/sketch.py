@@ -121,3 +121,49 @@ SELECT g AS {group_col},
              END, 4) AS est_distinct
 FROM topk
 """
+
+
+def kmv_sketch_table(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """The MERGEABLE sketch representation: per group, the sorted array of
+    (at most) k smallest distinct hashes. ``kmv_distinct`` is
+    ``kmv_finalize(kmv_sketch_table(...))``; shippable across jobs/tables
+    and unioned with :func:`kmv_merge`."""
+    from sopspark.text.dedup import md5_hash48
+
+    hashed = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        md5_hash48(F.col(value_col).cast("string")).alias("h"),
+    ).where(F.col("h").isNotNull())
+    return hashed.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Merge two sketch tables: union the retained hashes per group and
+    keep the k smallest distinct — EXACTLY the sketch of the unioned
+    inputs (the KMV merge property), so sharded corpora sketch
+    independently and combine without rescanning."""
+    both = a.unionByName(b)
+    ex = both.select(group_col, F.explode("hs").alias("h"))
+    return ex.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+    )
+
+
+def kmv_finalize(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Sketch table → the (n_hashes, kth_hash, est_distinct) estimate
+    columns (same output contract as :func:`kmv_distinct`)."""
+    n = F.size("hs")
+    kth = F.element_at("hs", -1)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(HASH_SPACE))
+    )
+    return sketch.select(
+        F.col(group_col),
+        n.alias("n_hashes"),
+        kth.cast("bigint").alias("kth_hash"),
+        F.round(est, 4).alias("est_distinct"),
+    )

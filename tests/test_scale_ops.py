@@ -398,3 +398,51 @@ def test_histogram_percentiles_ignore_nulls(spark):
     )
     r = percentiles_by_histogram(df, "g", "v", {"p50": 0.5}).collect()[0]
     assert r["n"] == 2 and r["p50"] == 1.5 and r["mean"] == 1.5
+
+
+def test_kmv_sketch_merge_property(spark):
+    """KMV mergeability: sketch(A) ⊕ sketch(B) == sketch(A ∪ B) exactly —
+    sharded corpora sketch independently and combine without rescanning."""
+    from sopspark.text.sketch import (
+        kmv_distinct,
+        kmv_finalize,
+        kmv_merge,
+        kmv_sketch_table,
+    )
+
+    rows_a = [("g", i) for i in range(300)]
+    rows_b = [("g", i) for i in range(150, 450)]  # overlapping halves
+    a = spark.createDataFrame(rows_a, "g string, v long")
+    b = spark.createDataFrame(rows_b, "g string, v long")
+    merged = kmv_finalize(
+        kmv_merge(
+            kmv_sketch_table(a, "g", "v", k=32),
+            kmv_sketch_table(b, "g", "v", k=32),
+            "g",
+            k=32,
+        ),
+        "g",
+        k=32,
+    ).collect()[0]
+    direct = kmv_distinct(a.unionByName(b), "g", "v", k=32).collect()[0]
+    assert merged["kth_hash"] == direct["kth_hash"]
+    assert merged["est_distinct"] == direct["est_distinct"]
+
+
+def test_salted_agg_matches_plain_on_zipf_skew(spark):
+    """Hot-key stress: one key owns half the rows; the salted two-phase
+    count must equal the plain GROUP BY exactly."""
+    import numpy as np
+
+    from sopspark.kg.link import salted_agg_count
+
+    rng = np.random.default_rng(13)
+    hot = ["K0"] * 5000
+    tail = [f"K{int(x)}" for x in rng.integers(1, 200, 5000)]
+    df = spark.createDataFrame([(k,) for k in hot + tail], "entity string")
+    got = {
+        r["entity"]: r["n"]
+        for r in salted_agg_count(df, "entity", salt_buckets=32).collect()
+    }
+    want = {r["entity"]: r["count"] for r in df.groupBy("entity").count().collect()}
+    assert got == want and got["K0"] == 5000
