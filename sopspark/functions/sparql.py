@@ -113,7 +113,7 @@ _TOK = re.compile(
   | (?P<dtmark>\^\^)
   | (?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<punct>(?:[{}().;,\[\]*=!>|&+/^-]|<(?![^<>\s]*>)|\?(?!\w))+)
-  | (?P<pname>[A-Za-z_][\w-]*)?:(?P<plocal>(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[\w.-])*)
+  | (?P<pname>[A-Za-z_][\w-]*)?:(?P<plocal>(?:(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[\w.-])*(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[\w-]))?)
   | (?P<name>[A-Za-z_]\w*)
     """,
     re.VERBOSE,

@@ -260,11 +260,6 @@ def _decode_position(ext: pd.DataFrame, tag: str) -> tuple[pd.Series, pd.Series,
     if has_esc.any():
         lit = lit.copy()
         lit[has_esc] = lit[has_esc].map(unescape_literal)
-    # IRIREF UCHAR (grammar [8]): \uXXXX / \UXXXXXXXX decode to code points
-    iri_esc = iri.notna() & iri.str.contains("\\", regex=False)
-    if iri_esc.any():
-        iri = iri.copy()
-        iri[iri_esc] = iri[iri_esc].map(unescape_literal)
     value = pd.Series(
         np.select(
             [iri.notna(), bn.notna(), var.notna(), lit.notna()],
@@ -318,8 +313,44 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return _parse_fast(out_lines, out_src)
 
 
+_UCHAR_ONLY_RE = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+
+
+def _uchar_iri_or_none(s: str) -> str | None:
+    """IRIREF allows ONLY UCHAR escapes (NT grammar [8]): decode
+    \\uXXXX / \\UXXXXXXXX; any other backslash sequence or out-of-range
+    code point makes the whole IRI invalid (None → err row, never a
+    task-killing exception)."""
+    out, pos = [], 0
+    for m in _UCHAR_ONLY_RE.finditer(s):
+        out.append(s[pos:m.start()])
+        cp = int(m.group(1) or m.group(2), 16)
+        if cp > 0x10FFFF:
+            return None
+        out.append(chr(cp))
+        pos = m.end()
+    rest = s[pos:]
+    if "\\" in rest or any("\\" in part for part in out[::2]):
+        return None  # ECHAR or stray backslash — illegal in IRIREF
+    return "".join(out) + rest
+
+
 def _parse_fast(out_lines: pd.Series, out_src: pd.Series) -> pd.DataFrame:
     ext = out_lines.str.extract(LINE_RE)
+
+    # IRIREF UCHAR decode, per position, BEFORE term assembly — rows whose
+    # IRI carries an illegal escape become err rows below
+    bad_iri = pd.Series(False, index=ext.index)
+    for tag in ("s", "p", "o", "g"):
+        col = ext[f"{tag}_iri"]
+        esc = col.notna() & col.str.contains("\\", regex=False)
+        if esc.any():
+            dec = col[esc].map(_uchar_iri_or_none)
+            bad = dec.isna()
+            if bad.any():
+                bad_iri.loc[bad[bad].index] = True
+            ext[f"{tag}_iri"] = col.copy()
+            ext.loc[esc, f"{tag}_iri"] = dec
 
     cols: dict[str, pd.Series] = {}
     for tag in ("s", "p", "o", "g"):
@@ -329,8 +360,10 @@ def _parse_fast(out_lines: pd.Series, out_src: pd.Series) -> pd.DataFrame:
         cols[f"{tag}_dt"] = dt
         cols[f"{tag}_lang"] = lang
 
-    # a line that matched nothing → err row carrying the offending text
+    # a line that matched nothing → err row carrying the offending text;
+    # likewise a line whose IRI carried an illegal (non-UCHAR) escape
     failed = ext["s_iri"].isna() & ext["s_bn"].isna() & ext["s_lit"].isna() & ext["s_var"].isna()
+    failed = failed | bad_iri
     err = pd.Series(pd.NA, index=ext.index, dtype="object")
     err[failed] = "parse error: " + out_lines[failed].str.slice(0, 200)
     for tag in ("s", "p", "o", "g"):

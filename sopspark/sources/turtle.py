@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from sopspark.sources.ntriples import FLAT_SCHEMA, _flat_to_quads, unescape_literal
 from sopspark.terms import (
     BNODE,
+    unescape_pn_local,
     IRI,
     LITERAL,
     QUOTED,
@@ -66,14 +67,19 @@ TOKEN_RE = re.compile(
 
 def _uchar(iri: str) -> str:
     """IRIREF UCHAR escapes (\\uXXXX / \\UXXXXXXXX) → code points
-    (Turtle grammar [18]); IRIs without a backslash pass through as-is."""
+    (Turtle grammar [18]); IRIs without a backslash pass through as-is.
+    Out-of-range code points raise TurtleError (a ValueError — surfaced
+    through the parser's err channel, never an uncaught OverflowError)."""
     if "\\" not in iri:
         return iri
-    return re.sub(
-        r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})",
-        lambda m: chr(int(m.group(1) or m.group(2), 16)),
-        iri,
-    )
+
+    def decode(m: re.Match) -> str:
+        cp = int(m.group(1) or m.group(2), 16)
+        if cp > 0x10FFFF:
+            raise TurtleError(f"UCHAR code point out of range in IRI: {iri!r}")
+        return chr(cp)
+
+    return re.sub(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})", decode, iri)
 
 class TurtleError(ValueError):
     pass

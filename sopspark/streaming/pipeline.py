@@ -258,6 +258,15 @@ def streaming_kg_ingest(
 
     Returns the StreamingQuery; the graph parquet lives at
     ``workdir/graph_dir``. Input schema = the input_hint transcript table.
+
+    PRECONDITION: each micro-batch must carry conversation-COMPLETE
+    transcripts (e.g. one file per conversation shard, the layout the
+    batch pipeline's writers produce) — turn assembly windows over
+    conv_id within the batch, so a conversation split across two batches
+    would reassemble per batch and emit different antecedent triples than
+    the one-shot pipeline. Stateful cross-batch reassembly is the
+    applyInPandasWithState path (``stateful_turn_progress``), not this
+    sink.
     """
     import os
 
@@ -268,7 +277,20 @@ def streaming_kg_ingest(
 
     out_path = os.path.join(workdir, graph_dir)
 
+    bak_path = out_path + "._prev"
+
+    def _current() -> str | None:
+        # crash recovery: if the swap died after moving current → backup
+        # but before renaming the new table in, the backup IS the table
+        if os.path.isdir(out_path):
+            return out_path
+        if os.path.isdir(bak_path):
+            return bak_path
+        return None
+
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch.sparkSession
         if batch.isEmpty():
             return
@@ -276,19 +298,23 @@ def streaming_kg_ingest(
             link_entities(extract_triples(assemble_turns(batch)), alias_df(spark)),
             sameas_closure(sameas_df(spark)),
         )
-        if os.path.isdir(out_path):
-            existing = spark.read.parquet(out_path)
-            merged = merge_incremental(existing, quads)
-        else:
-            merged = quads
-        # write-to-temp + atomic-ish swap keeps readers off half-written data
+        cur = _current()
+        merged = merge_incremental(spark.read.parquet(cur), quads) if cur else quads
+        # crash-safe swap: write new table aside, move current to backup,
+        # rename new into place, THEN drop the backup — at every step a
+        # restart finds a complete table via _current(); the old
+        # rmtree-then-rename order had a window that lost the whole graph
         tmp = out_path + f"._b{batch_id}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
+        if os.path.isdir(bak_path):
+            shutil.rmtree(bak_path)
         if os.path.isdir(out_path):
-            shutil.rmtree(out_path)
+            os.rename(out_path, bak_path)
         os.rename(tmp, out_path)
+        if os.path.isdir(bak_path):
+            shutil.rmtree(bak_path)
 
     return (
         stream.writeStream.foreachBatch(upsert)

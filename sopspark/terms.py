@@ -211,3 +211,14 @@ def py_nq_line(quad: tuple) -> str:
     if g is not None:
         parts.append(py_nt_term(g))
     return " ".join(parts) + " ."
+
+
+def unescape_pn_local(local: str) -> str:
+    """PN_LOCAL_ESC (Turtle [173] / SPARQL [169]): backslash-escapes in
+    prefixed-name local parts unescape to the raw char in the IRI; %XX
+    PERCENT sequences pass through untouched."""
+    import re as _re
+
+    if "\\" not in local:
+        return local
+    return _re.sub(r"\\(.)", r"\1", local)

@@ -34,29 +34,19 @@ from pyspark.sql import functions as F
 HASH_SPACE = float(1 << 48)
 
 
-def _partial_schema(group_col: str) -> str:
-    return f"{group_col} string, h bigint"
-
-
-def kmv_distinct(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    k: int = 64,
+def _pruned_hashes(
+    df: DataFrame, group_col: str, value_col: str, k: int
 ) -> DataFrame:
-    """Per-group KMV distinct-count estimate.
+    """(group, h) rows pruned to ≤ k smallest distinct hashes per (group ×
+    Arrow batch) — the bounded-state stage every KMV entry point shares.
 
-    Returns (group_col, n_hashes, kth_hash, est_distinct): ``n_hashes`` =
-    min(k, true distinct), ``kth_hash`` the largest retained hash, and the
-    estimate — exact when the group has fewer than k distinct values.
+    Null values hash to null and count nothing toward any group's distinct
+    set — filtered identically on the oracle side (md5(NULL) IS NULL there
+    too); a group whose values are ALL null therefore has no output row in
+    either engine.
     """
     from sopspark.text.dedup import md5_hash48
 
-    # null values hash to null and count nothing toward any group's
-    # distinct set — filtered identically on the oracle side (md5(NULL)
-    # IS NULL there too); a group whose values are ALL null therefore has
-    # no output row in either engine, and the filter also guarantees
-    # element_at(_hs, -1) below never sees an empty array
     hashed = df.select(
         F.col(group_col).cast("string").alias(group_col),
         md5_hash48(F.col(value_col).cast("string")).alias("h"),
@@ -66,7 +56,7 @@ def kmv_distinct(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pruned = (
+            yield (
                 pdf.drop_duplicates()
                 .sort_values([group_col, "h"])
                 # dropna=False: a null GROUP key is a real group (matching
@@ -74,25 +64,61 @@ def kmv_distinct(
                 .groupby(group_col, sort=False, dropna=False)
                 .head(k)
             )
-            yield pruned
 
-    partials = hashed.mapInPandas(partial, schema=_partial_schema(group_col))
-    topk = partials.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs")
+    return hashed.mapInPandas(partial, schema=f"{group_col} string, h bigint")
+
+
+def kmv_sketch_table(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """The MERGEABLE sketch representation: per group, the sorted array of
+    (at most) k smallest distinct hashes. Shippable across jobs/tables and
+    unioned with :func:`kmv_merge`; the input stream is pruned batch-side
+    first, so the final collect_set holds ≤ k × num_partitions values per
+    group — bounded by the plan, never by the data."""
+    return _pruned_hashes(df, group_col, value_col, k).groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
     )
-    n = F.size("_hs")
-    kth = F.element_at("_hs", -1)
-    est = F.when(
-        n < k, n.cast("double")
-    ).otherwise(
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Merge two sketch tables: union the retained hashes per group and
+    keep the k smallest distinct — EXACTLY the sketch of the unioned
+    inputs (the KMV merge property), so sharded corpora sketch
+    independently and combine without rescanning."""
+    both = a.unionByName(b)
+    ex = both.select(group_col, F.explode("hs").alias("h"))
+    return ex.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+    )
+
+
+def kmv_finalize(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Sketch table → (n_hashes, kth_hash, est_distinct): ``n_hashes`` =
+    min(k, true distinct), ``kth_hash`` the largest retained hash, and the
+    estimate — exact when the group has fewer than k distinct values."""
+    n = F.size("hs")
+    kth = F.element_at("hs", -1)
+    est = F.when(n < k, n.cast("double")).otherwise(
         F.lit(float(k - 1)) / (kth.cast("double") / F.lit(HASH_SPACE))
     )
-    return topk.select(
+    return sketch.select(
         F.col(group_col),
         n.alias("n_hashes"),
         kth.cast("bigint").alias("kth_hash"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate — literally
+    ``kmv_finalize(kmv_sketch_table(...))``."""
+    return kmv_finalize(kmv_sketch_table(df, group_col, value_col, k), group_col, k)
 
 
 def kmv_oracle_sql(group_col: str, value_expr: str, table: str, k: int = 64) -> str:
@@ -121,49 +147,3 @@ SELECT g AS {group_col},
              END, 4) AS est_distinct
 FROM topk
 """
-
-
-def kmv_sketch_table(
-    df: DataFrame, group_col: str, value_col: str, k: int = 64
-) -> DataFrame:
-    """The MERGEABLE sketch representation: per group, the sorted array of
-    (at most) k smallest distinct hashes. ``kmv_distinct`` is
-    ``kmv_finalize(kmv_sketch_table(...))``; shippable across jobs/tables
-    and unioned with :func:`kmv_merge`."""
-    from sopspark.text.dedup import md5_hash48
-
-    hashed = df.select(
-        F.col(group_col).cast("string").alias(group_col),
-        md5_hash48(F.col(value_col).cast("string")).alias("h"),
-    ).where(F.col("h").isNotNull())
-    return hashed.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
-    )
-
-
-def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = 64) -> DataFrame:
-    """Merge two sketch tables: union the retained hashes per group and
-    keep the k smallest distinct — EXACTLY the sketch of the unioned
-    inputs (the KMV merge property), so sharded corpora sketch
-    independently and combine without rescanning."""
-    both = a.unionByName(b)
-    ex = both.select(group_col, F.explode("hs").alias("h"))
-    return ex.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
-    )
-
-
-def kmv_finalize(sketch: DataFrame, group_col: str, k: int = 64) -> DataFrame:
-    """Sketch table → the (n_hashes, kth_hash, est_distinct) estimate
-    columns (same output contract as :func:`kmv_distinct`)."""
-    n = F.size("hs")
-    kth = F.element_at("hs", -1)
-    est = F.when(n < k, n.cast("double")).otherwise(
-        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(HASH_SPACE))
-    )
-    return sketch.select(
-        F.col(group_col),
-        n.alias("n_hashes"),
-        kth.cast("bigint").alias("kth_hash"),
-        F.round(est, 4).alias("est_distinct"),
-    )

@@ -410,3 +410,30 @@ def test_uchar_escapes_in_iris(spark):
     ttl = '@prefix ex: <http://e/> .\n<http://e/\\u00e9> ex:q "\\U0001F600ok" .\n'
     quads = parse_turtle_text(ttl)
     assert quads[0][0][1] == "http://e/é" and quads[0][2][1] == "\U0001F600ok"
+
+
+def test_illegal_iri_escapes_become_err_rows(spark):
+    """IRIREF permits only UCHAR: ECHARs, unknown escapes, and
+    out-of-range code points yield err rows — never a task-killing
+    exception, never a silently corrupted IRI."""
+    import pytest
+
+    from sopspark.sources.ntriples import parse_lines_df
+    from sopspark.sources.turtle import TurtleError, parse_turtle_text
+
+    rows = [
+        '<http://e/a\\tb> <http://e/p> <http://e/o> .',     # ECHAR in IRI
+        '<http://e/a\\zb> <http://e/p> <http://e/o> .',     # unknown escape
+        '<http://e/\\UFFFFFFFF> <http://e/p> <http://e/o> .',  # out of range
+        '<http://e/ok\\u00e9> <http://e/p> <http://e/o> .',    # valid UCHAR
+    ]
+    got = parse_lines_df(
+        spark.createDataFrame([(r,) for r in rows], ["value"])
+    ).collect()
+    errs = [r for r in got if r.err is not None]
+    ok = [r for r in got if r.err is None]
+    assert len(errs) == 3 and len(ok) == 1
+    assert ok[0].s.value == "http://e/oké"
+
+    with pytest.raises(TurtleError, match="out of range"):
+        parse_turtle_text('<http://e/\\UFFFFFFFF> <http://e/p> <http://e/o> .')
