@@ -15,7 +15,14 @@ from sopspark.terms import BNODE, IRI, LITERAL, py_escape, py_nq_line
 
 # --- strategies -----------------------------------------------------------
 
-iri_chars = st.text(alphabet=string.ascii_letters + string.digits + ":/._-#", min_size=1, max_size=30)
+# include non-ASCII IRI code points: canonical NT writes raw UTF-8 IRIs
+# and the parser must round-trip them (UCHAR escapes are the READ-side
+# alternative form, covered separately)
+iri_chars = st.text(
+    alphabet=string.ascii_letters + string.digits + ":/._-#éλ中😀",
+    min_size=1,
+    max_size=30,
+)
 iris = st.builds(lambda s: (IRI, "http://e/" + s, None, None), iri_chars)
 bnodes = st.builds(lambda s: (BNODE, "b" + s, None, None), st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=8))
 lit_text = st.text(min_size=0, max_size=40).filter(lambda s: "\ud800" <= "" or all(not ("\ud800" <= c <= "\udfff") for c in s))
