@@ -1022,6 +1022,27 @@ def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily forward-filled resample of each user's purchase value
+    (operators/resample.py): tick grid via sequence+explode, last
+    at-or-before observation via the single-shuffle as-of join. Oracle:
+    generate_series + inequality-join QUALIFY."""
+    from sopspark.operators.resample import resample_ffill
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = resample_ffill(ev, key_col="user_id", ts_col="ts", step="1 day", tiebreak="event_id")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("tick").cast("timestamp")).alias("tick_us"),
+        F.col("event_id").cast("bigint").alias("obs_event_id"),
+        F.round(F.col("value"), 6).alias("obs_value"),
+    ).orderBy("user_id", "tick_us")
+
+
 SCD_CUTOFF = "2024-01-16 00:00:00"
 
 
@@ -1142,6 +1163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_pricing": q_tpch_pricing,
     "tpch_shipping": q_tpch_shipping,
     "tpch_local_volume": q_tpch_local_volume,
+    "resample_ffill": q_resample_ffill,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2068,4 +2090,26 @@ ORACLES["tpch_local_volume"] = """
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name
     ORDER BY revenue DESC, n_name ASC
+"""
+
+ORACLES["resample_ffill"] = """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ), span AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM p GROUP BY 1
+    ), ticks AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS tick
+      FROM span
+    )
+    SELECT CAST(t.user_id AS BIGINT) AS user_id,
+           epoch_us(t.tick) AS tick_us,
+           CAST(o.event_id AS BIGINT) AS obs_event_id,
+           ROUND(o.value, 6) AS obs_value
+    FROM ticks t LEFT JOIN p o
+      ON t.user_id = o.user_id AND o.ts <= t.tick
+    QUALIFY row_number() OVER (
+        PARTITION BY t.user_id, t.tick
+        ORDER BY o.ts DESC NULLS LAST, o.event_id DESC NULLS LAST) = 1
+    ORDER BY user_id, tick_us
 """

@@ -446,3 +446,25 @@ def test_salted_agg_matches_plain_on_zipf_skew(spark):
     }
     want = {r["entity"]: r["count"] for r in df.groupBy("entity").count().collect()}
     assert got == want and got["K0"] == 5000
+
+
+def test_resample_ffill_grid_and_carry(spark):
+    """Ticks anchor at each key's first observation; every tick carries
+    the latest at-or-before value; grid stops at the last observation."""
+    from sopspark.operators.resample import resample_ffill
+
+    rows = [
+        (1, 100, _t(0), 1.0),
+        (1, 101, _t(25), 2.0),   # between tick 20 and 30
+        (1, 102, _t(55), 3.0),   # max ts 55 → ticks 0..50 (sequence stops <= max)
+        (2, 200, _t(7), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, event_id long, ts timestamp, v double")
+    out = resample_ffill(df, key_col="k", ts_col="ts", step="10 seconds", tiebreak="event_id")
+    got = {(r["k"], r["tick"].second): r["v"] for r in out.collect()}
+    # key 1: ticks 0,10,20,30,40,50 — values carry forward
+    assert got[(1, 0)] == 1.0 and got[(1, 10)] == 1.0 and got[(1, 20)] == 1.0
+    assert got[(1, 30)] == 2.0 and got[(1, 40)] == 2.0 and got[(1, 50)] == 2.0
+    # key 2: single observation → single tick at its own ts
+    assert got[(2, 7)] == 9.0
+    assert len(got) == 7
