@@ -113,6 +113,7 @@ def main() -> None:
         "tpch_pricing": QUERIES["tpch_pricing"],
         "tpch_shipping": QUERIES["tpch_shipping"],
         "tpch_local_volume": QUERIES["tpch_local_volume"],
+        "resample_ffill": QUERIES["resample_ffill"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage
