@@ -56,6 +56,7 @@ TOKEN_RE = re.compile(
   | (?P<integer>[+-]?\d+)
   | (?P<dtmark>\^\^)
   | (?P<tstar><<|>>)
+  | (?P<annot>\{\||\|\})
   | (?P<punct>[;,.\[\]()={}])
   | (?P<pname>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?:(?:(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z0-9_:-])(?:(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z0-9_.:-])*(?:%[0-9A-Fa-f]{2}|\\[_~.!$&'()*+,;=/?\#@%-]|[A-Za-z0-9_:-]))?)?
   | (?P<kw>[A-Za-z]+)
@@ -221,7 +222,7 @@ class _Parser:
                 # semicolons (`<s> <p> <o> ; .`, `[ <q> <o> ; ]`) are legal.
                 while self.peek()[1] == ";":
                     self.next()
-                if self.peek()[1] in (".", "]", "}") or self.peek()[0] == "eof":
+                if self.peek()[1] in (".", "]", "}", "|}") or self.peek()[0] == "eof":
                     break
                 continue
             break
@@ -230,6 +231,14 @@ class _Parser:
         while True:
             obj = self.term_or_collection()
             self.emit(subj, pred, obj)
+            if self.peek()[1] == "{|":
+                # Turtle-star annotation syntax: the base triple stays
+                # asserted (emitted above) and the annotation block's
+                # subject is the quoted triple << s p o >>
+                self.next()
+                enc = " ".join(py_nt_term(t) for t in (subj, pred, obj))
+                self.predicate_object_list((QUOTED, f"<< {enc} >>", None, None))
+                self.expect("|}")
             if self.peek()[1] == ",":
                 self.next()
                 continue

@@ -437,3 +437,31 @@ def test_illegal_iri_escapes_become_err_rows(spark):
 
     with pytest.raises(TurtleError, match="out of range"):
         parse_turtle_text('<http://e/\\UFFFFFFFF> <http://e/p> <http://e/o> .')
+
+
+def test_turtle_star_annotation_syntax(spark):
+    """Turtle-star annotations: `o {| q z |}` asserts the base triple AND
+    annotates the quoted triple; object lists continue after the block;
+    annotations nest."""
+    from sopspark.sources.turtle import parse_turtle_text
+    from sopspark.terms import QUOTED
+
+    ttl = (
+        "@prefix ex: <http://e/> .\n"
+        "ex:a ex:p ex:b {| ex:certainty 0.9 ; ex:src ex:doc1 |}, ex:c .\n"
+        "ex:x ex:q ex:y {| ex:by ex:z {| ex:meta 1 |} |} .\n"
+    )
+    quads = parse_turtle_text(ttl)
+    spo = {(q[0][1], q[1][1], q[2][1]) for q in quads}
+    QT = "<< <http://e/a> <http://e/p> <http://e/b> >>"
+    assert ("http://e/a", "http://e/p", "http://e/b") in spo       # base asserted
+    assert (QT, "http://e/certainty", "0.9") in spo
+    assert (QT, "http://e/src", "http://e/doc1") in spo
+    assert ("http://e/a", "http://e/p", "http://e/c") in spo       # list continues
+    # nested annotation subject is the doubly-quoted triple
+    assert (
+        "<< << <http://e/x> <http://e/q> <http://e/y> >> <http://e/by> <http://e/z> >>",
+        "http://e/meta",
+        "1",
+    ) in spo
+    assert sum(1 for q in quads if q[0][0] == QUOTED) == 4
