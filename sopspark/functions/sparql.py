@@ -146,7 +146,7 @@ class _QP:
             if k == "punct":
                 i = 0
                 while i < len(v):
-                    for op in ("||", "&&", "!=", "<=", ">=", "^^", "<<", ">>"):
+                    for op in ("||", "&&", "!=", "<=", ">=", "^^", "<<", ">>", "{|", "|}"):
                         if v.startswith(op, i):
                             toks.append(("punct", op))
                             i += len(op)
@@ -440,6 +440,11 @@ class _QP:
             while True:
                 o = self.term()
                 out.append(TriplePattern(s, p, o))
+                if self.peek()[1] == "{|":
+                    # SPARQL-star annotation block: the base pattern stays
+                    # and the block's subject is the quoted triple/pattern
+                    self.next()
+                    out.extend(self._annotation_block(s, p, o))
                 if self.peek()[1] == ",":
                     self.next()
                     continue
@@ -453,6 +458,49 @@ class _QP:
                     break
                 continue
             break
+        return out
+
+    def _annotation_block(self, s: tuple, p: tuple, o: tuple) -> list[TriplePattern]:
+        """`{| verb objectList (';' ...)* |}` with the quoted triple of
+        (s, p, o) as subject — ground terms encode as a QUOTED constant,
+        variables yield a qpat spec (same machinery as << ?s ?p ?o >>)."""
+        from sopspark.terms import QUOTED, py_nt_term
+
+        if p[0] == "link":
+            p = ("term", (IRI, p[1], None, None))
+        if p[0] not in ("term", "var"):
+            raise SparqlError("annotation blocks need a plain predicate, not a path")
+        for t in (s, p, o):
+            if t[0] == "qpat":
+                raise SparqlError("nested variable quoted-triple patterns are not supported")
+        if all(t[0] == "term" for t in (s, p, o)):
+            enc = " ".join(py_nt_term(t[1]) for t in (s, p, o))
+            qsubj = ("term", (QUOTED, f"<< {enc} >>", None, None))
+        else:
+            qsubj = ("qpat", (s, p, o))
+
+        out: list[TriplePattern] = []
+        while True:
+            k, v = self.peek()
+            ap = self.term() if k == "var" else self.path()
+            while True:
+                ao = self.term()
+                out.append(TriplePattern(qsubj, ap, ao))
+                if self.peek()[1] == "{|":
+                    self.next()
+                    out.extend(self._annotation_block(qsubj, ap, ao))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek()[1] == ";":
+                while self.peek()[1] == ";":
+                    self.next()
+                if self.peek()[1] == "|}":
+                    break
+                continue
+            break
+        self.expect("|}")
         return out
 
     def values_block(self) -> tuple[list[str], list[list]]:

@@ -875,3 +875,34 @@ def test_pname_local_escapes_in_query(spark):
         df, "PREFIX ex: <http://e/> SELECT ?s WHERE { ?s ex:a\\,b ex:c%2Fd }"
     ).df.collect()
     assert [r.s.value for r in got] == ["http://e/s"]
+
+
+def test_sparql_star_annotation_syntax(spark):
+    """SPARQL-star annotation blocks: `?s :p ?o {| :q ?z |}` matches the
+    base pattern AND the quoted-triple annotation (ground and variable
+    subject forms)."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        "<http://e/a> <http://e/p> <http://e/b> .",
+        '<< <http://e/a> <http://e/p> <http://e/b> >> <http://e/certainty> "0.9" .',
+        "<http://e/x> <http://e/p> <http://e/y> .",
+        '<< <http://e/x> <http://e/p> <http://e/y> >> <http://e/certainty> "0.4" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    # ground annotation pattern
+    got = sparql_query(
+        df,
+        "SELECT ?c WHERE { <http://e/a> <http://e/p> <http://e/b> "
+        "{| <http://e/certainty> ?c |} }",
+    ).df.collect()
+    assert [r.c.value for r in got] == ["0.9"]
+    # variable subject: base pattern + annotation join via the qpat spec
+    got2 = sparql_query(
+        df,
+        "SELECT ?s ?c WHERE { ?s <http://e/p> ?o {| <http://e/certainty> ?c |} }",
+    ).df.collect()
+    assert sorted((r.s.value, r.c.value) for r in got2) == [
+        ("http://e/a", "0.9"),
+        ("http://e/x", "0.4"),
+    ]
