@@ -289,17 +289,20 @@ def contamination(
     broadcast hash join → per-doc hash aggregate; the only shuffle is the
     final per-document aggregate keyed on unique doc ids (skew-free).
     """
-    from sopspark.text.dedup import _word_shingles
+    from sopspark.text.dedup import _tokens_barrier, _word_shingles_from
 
     bench_grams = (
-        bench.select(F.explode_outer(_word_shingles(text_col, k)).alias("g"))
+        _tokens_barrier(bench, text_col, keep=[])
+        .select(F.explode_outer(_word_shingles_from(F.col("_tk"), k)).alias("g"))
         .where(F.col("g").isNotNull())
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    doc_grams = df.select(
-        F.col(id_col), F.explode_outer(_word_shingles(text_col, k)).alias("g")
-    ).where(F.col("g").isNotNull())
+    doc_grams = (
+        _tokens_barrier(df, text_col, keep=[id_col])
+        .select(F.col(id_col), F.explode_outer(_word_shingles_from(F.col("_tk"), k)).alias("g"))
+        .where(F.col("g").isNotNull())
+    )
     scored = doc_grams.join(F.broadcast(bench_grams), on="g", how="left")
     return (
         scored.groupBy(id_col)

@@ -103,14 +103,34 @@ def _spread_for_explode(df: DataFrame) -> DataFrame:
     return df
 
 
-def _word_shingles(text_col: str, k: int) -> Column:
-    """Word k-grams as an array column, Catalyst-only."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+def _word_shingles_from(toks: Column, k: int) -> Column:
+    """Word k-grams from a PRE-MATERIALIZED token array column. Callers
+    should produce that column behind a generator barrier
+    (``explode_outer(array(split(...)))``): referencing the split inline
+    would re-evaluate it once per use below (n / idx / transform /
+    fallback = 4x per row — nested higher-order functions defeat codegen
+    subexpression elimination)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
+
+
+def _tokens_barrier(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """(keep..., _tk) with the lowercased token array materialized once
+    per row via the explode_outer(array(...)) generator barrier."""
+    return df.select(
+        *keep,
+        F.explode_outer(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("_tk"),
+    )
+
+
+def _word_shingles(text_col: str, k: int) -> Column:
+    """Word k-grams as an array column, Catalyst-only (inline-split form —
+    prefer the ``_tokens_barrier`` + ``_word_shingles_from`` pair in
+    per-row hot paths)."""
+    return _word_shingles_from(F.split(F.lower(F.col(text_col)), r"\s+"), k)
 
 
 def minhash_signatures(
@@ -138,9 +158,20 @@ def minhash_signatures(
     # expression (2x the scan-side compute). The shingle array is never
     # empty (the otherwise-branch yields a 1-element array), so outer is
     # value-identical; the cheap isNotNull guard covers null-text rows.
-    shingled = _spread_for_explode(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode_outer(_word_shingles(text_col, shingle_k)).alias("_s")
-    ).where(F.col("_s").isNotNull())
+    # Tokens materialize behind their own barrier first — the shingle
+    # expression references them 4x, and inline split would re-run 4x/row.
+    shingled = (
+        _tokens_barrier(
+            _spread_for_explode(df.select(F.col(id_col), F.col(text_col))),
+            text_col,
+            keep=[id_col],
+        )
+        .select(
+            F.col(id_col),
+            F.explode_outer(_word_shingles_from(F.col("_tk"), shingle_k)).alias("_s"),
+        )
+        .where(F.col("_s").isNotNull())
+    )
     # both variants derive permutation lanes from ONE base hash via the
     # same universal-hash LCG — 3 integer ops per lane. Re-hashing per lane
     # (xxhash64(_h, i)) measured ~1.7x slower at sf0.1 for zero quality
@@ -397,7 +428,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-k-gram Jaccard for candidate pairs (a, b) — the precision
     pass. array_intersect/array_union stay JVM-side."""
-    sh = df.select(F.col(id_col), F.array_distinct(_word_shingles(text_col, k)).alias("_sh"))
+    sh = _tokens_barrier(df, text_col, keep=[id_col]).select(
+        F.col(id_col), F.array_distinct(_word_shingles_from(F.col("_tk"), k)).alias("_sh")
+    )
     a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     return (
