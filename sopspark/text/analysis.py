@@ -149,7 +149,12 @@ def fingerprint(
         h = md5_hash48
     else:
         h = F.xxhash64
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # tokens behind their own generator barrier: the gram expression
+    # references them 4x and an inline split would re-run per reference
+    from sopspark.text.dedup import _tokens_barrier
+
+    tdf = _tokens_barrier(df, text_col, keep=list(df.columns))
+    toks = F.col("_tk")
     n = F.size(toks)
     grams = F.when(
         n >= k,
@@ -165,7 +170,7 @@ def fingerprint(
     # gram (O(n²) md5/xxhash per row; 112 s for 500 docs at sf0.01).  As a
     # named column referenced more than once below, CollapseProject keeps
     # the projection separate, so each gram is hashed exactly once.
-    gdf = df.withColumn("_grams", grams)
+    gdf = tdf.withColumn("_grams", grams).drop("_tk")
     g = F.col("_grams")
     winnowed = F.array_distinct(
         F.transform(
