@@ -94,9 +94,13 @@ def _pagerank_iterate(nodes, deg, ew, n, iters, damping, checkpoint_every):
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: truncates lineage when the final action materializes —
+            # an eager intermediate checkpoint would add a full job per
+            # truncation point (~30% of wall at small scale)
+            ranks = ranks.localCheckpoint(eager=False)
 
-    # materialize before the caller's unpersist of nodes/deg/ew
+    # the FINAL checkpoint is eager: it materializes the result before the
+    # caller's finally-block unpersists nodes/deg/ew
     return ranks.localCheckpoint(eager=True)
 
 
