@@ -276,6 +276,16 @@ class _QP:
         self.expect("{")
         template = self.triples_until("}")
         self.expect("}")
+        # qpat specs (<< ?s ?p ?o >> / annotation blocks over variables)
+        # are match-time destructure patterns — they have no projection
+        # form, so reject them here instead of crashing in _term_lit at
+        # execution time
+        for tp in template:
+            if any(spec[0] == "qpat" for spec in (tp.s, tp.p, tp.o)):
+                raise SparqlError(
+                    "variable quoted-triple patterns are not supported in "
+                    "CONSTRUCT templates (ground << ... >> terms are)"
+                )
         fg, fn = self.dataset()
         self.kw("WHERE")
         where = self.group()
@@ -429,8 +439,13 @@ class _QP:
         return out
 
     def triples_one(self) -> list[TriplePattern]:
-        out = []
-        s = self.term()
+        return self._po_items(self.term(), terminators=(".", "}"))
+
+    def _po_items(self, subj: tuple, terminators: tuple) -> list[TriplePattern]:
+        """verb objectList (';' ...)* against a fixed subject — shared by
+        BGP triples blocks and annotation blocks (same grammar, different
+        terminator set)."""
+        out: list[TriplePattern] = []
         while True:
             k, v = self.peek()
             if k == "var":
@@ -439,12 +454,12 @@ class _QP:
                 p = self.path()
             while True:
                 o = self.term()
-                out.append(TriplePattern(s, p, o))
+                out.append(TriplePattern(subj, p, o))
                 if self.peek()[1] == "{|":
                     # SPARQL-star annotation block: the base pattern stays
                     # and the block's subject is the quoted triple/pattern
                     self.next()
-                    out.extend(self._annotation_block(s, p, o))
+                    out.extend(self._annotation_block(subj, p, o))
                 if self.peek()[1] == ",":
                     self.next()
                     continue
@@ -454,7 +469,7 @@ class _QP:
                 # terminator is legal and ends the predicate list.
                 while self.peek()[1] == ";":
                     self.next()
-                if self.peek()[1] in (".", "}") or self.peek()[0] == "eof":
+                if self.peek()[1] in terminators or self.peek()[0] == "eof":
                     break
                 continue
             break
@@ -466,8 +481,6 @@ class _QP:
         variables yield a qpat spec (same machinery as << ?s ?p ?o >>)."""
         from sopspark.terms import QUOTED, py_nt_term
 
-        if p[0] == "link":
-            p = ("term", (IRI, p[1], None, None))
         if p[0] not in ("term", "var"):
             raise SparqlError("annotation blocks need a plain predicate, not a path")
         for t in (s, p, o):
@@ -479,27 +492,7 @@ class _QP:
         else:
             qsubj = ("qpat", (s, p, o))
 
-        out: list[TriplePattern] = []
-        while True:
-            k, v = self.peek()
-            ap = self.term() if k == "var" else self.path()
-            while True:
-                ao = self.term()
-                out.append(TriplePattern(qsubj, ap, ao))
-                if self.peek()[1] == "{|":
-                    self.next()
-                    out.extend(self._annotation_block(qsubj, ap, ao))
-                if self.peek()[1] == ",":
-                    self.next()
-                    continue
-                break
-            if self.peek()[1] == ";":
-                while self.peek()[1] == ";":
-                    self.next()
-                if self.peek()[1] == "|}":
-                    break
-                continue
-            break
+        out = self._po_items(qsubj, terminators=("|}",))
         self.expect("|}")
         return out
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 # The fast path hashes with xxhash64 (JVM codegen, no equivalent in DuckDB).
 # For machine-verified parity the pipelines also accept hash_fn="md5": a
 # 48-bit integer from the first 12 hex chars of md5, which DuckDB replicates
-# exactly as a strpos()-polynomial (see sopspark.queries.MD5_HEX48_SQL), plus
+# exactly as a strpos()-polynomial (see md5hex48_sql below), plus
 # universal-hash lanes (a_i*h + b_i mod 2^31-1) from a fixed seeded table so
 # both engines evaluate the identical arithmetic.
 
@@ -124,13 +124,6 @@ def _tokens_barrier(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
         *keep,
         F.explode_outer(F.array(F.split(F.lower(F.col(text_col)), r"\s+"))).alias("_tk"),
     )
-
-
-def _word_shingles(text_col: str, k: int) -> Column:
-    """Word k-grams as an array column, Catalyst-only (inline-split form —
-    prefer the ``_tokens_barrier`` + ``_word_shingles_from`` pair in
-    per-row hot paths)."""
-    return _word_shingles_from(F.split(F.lower(F.col(text_col)), r"\s+"), k)
 
 
 def minhash_signatures(
