@@ -293,3 +293,45 @@ def test_cli_serialize_trig_no_pretty(spark, capsys, tmp_path):
 
     lines = open(_glob.glob(str(outf / "part-*"))[0]).read().strip().splitlines()
     assert "<http://e/g> { <http://e/s> <http://e/p> <http://e/o> . }" in lines
+
+
+def test_cli_map_g_variable(spark, capsys, fixtures_dir):
+    # README.md:219 — sop parse sample.nt ! map -g "?s": each triple lands
+    # in the named graph of its own subject
+    rc, out = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/sample.nt", "!",
+        "map", "-g", "?s", "!",
+        "serialize", "-f", "nq",
+    )
+    assert rc == 0
+    assert any(
+        l.endswith("<http://example.org/s> .") and l.count("<http://example.org/s>") == 2
+        for l in out
+    )
+
+
+def test_cli_double_tee_two_files(spark, capsys, fixtures_dir, tmp_path):
+    # README.md:34 — sop parse X ! serialize -o A ! serialize -o B writes
+    # the same stream to BOTH sinks (tee keeps quads flowing)
+    a, b = str(tmp_path / "a.nt"), str(tmp_path / "b.nq")
+    rc = run_pipeline_cli(
+        [
+            "parse", f"{fixtures_dir}/sample.nt", "!",
+            "serialize", "-f", "nt", "-o", a, "!",
+            "serialize", "-f", "nq", "-o", b,
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+    def lines(path):
+        import glob
+
+        got = []
+        for f in sorted(glob.glob(path + "/part-*") or [path]):
+            if os.path.isfile(f):
+                got.extend(x for x in open(f).read().splitlines() if x)
+        return sorted(got)
+
+    assert lines(a) == lines(b) != []
