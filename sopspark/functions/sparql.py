@@ -1059,6 +1059,88 @@ def _scan_path_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
     return df.select(*[c.alias(v) for v, c in cols.items()])
 
 
+def _expr_vars(n: Node) -> set[str]:
+    """Variable names referenced anywhere in an expression tree."""
+    out: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, Node):
+            if x.op == "var":
+                out.add(x.args[0])
+            for a in x.args:
+                walk(a)
+        elif isinstance(x, (tuple, list)):
+            for e in x:
+                walk(e)
+
+    walk(n)
+    return out
+
+
+def _bindable_vars(g: PatternGroup) -> set[str]:
+    """Variables a group can BIND (patterns, BIND, VALUES, subselect
+    projections, nested groups) — not EXISTS/MINUS, which never bind."""
+    vs: set[str] = set()
+
+    def spec(t):
+        if t[0] == "var":
+            vs.add(t[1])
+        elif t[0] == "qpat":
+            for inner in t[1]:
+                spec(inner)
+
+    for tp in g.triples:
+        spec(tp.s)
+        if tp.p[0] == "var":
+            vs.add(tp.p[1])
+        spec(tp.o)
+        if tp.graph and tp.graph[0] == "var":
+            vs.add(tp.graph[1])
+    for var, _node in g.binds:
+        vs.add(var)
+    for vars_, _rows in g.values:
+        vs.update(vars_)
+    for sub in g.subgroups:
+        vs |= _bindable_vars(sub)
+    for o in g.optionals:
+        vs |= _bindable_vars(o)
+    for branches in g.unions:
+        for b in branches:
+            vs |= _bindable_vars(b)
+    for sq in g.subselects:
+        for v in sq.variables:
+            if v == "*":
+                vs |= _bindable_vars(sq.where)
+            else:
+                vs.add(v[0])
+    return vs
+
+
+def _left_join_filtered(a: DataFrame, b: DataFrame, deferred: list[Node]) -> DataFrame:
+    """SPARQL algebra LeftJoin(P1, P2, F): the deferred filters join the
+    MERGED binding as part of the left-join condition — a row of P1 with
+    no F-satisfying extension survives with the P2 vars unbound (the
+    classic OPTIONAL-filter-sees-outer-vars case, §8.2/§5.2.3)."""
+    shared = [c for c in a.columns if c in b.columns]
+    bb = b
+    for c in b.columns:
+        bb = bb.withColumnRenamed(c, f"_r_{c}")
+    cond = F.lit(True)
+    for c in shared:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    env = {c: F.col(c) for c in a.columns}
+    for c in b.columns:
+        if c not in a.columns:
+            env[c] = F.col(f"_r_{c}")
+    for fnode in deferred:
+        cond = cond & F.coalesce(_compile_bool(fnode, env, True), F.lit(False))
+    out = a.join(bb, on=cond, how="left")
+    keep = [F.col(c) for c in a.columns] + [
+        F.col(f"_r_{c}").alias(c) for c in b.columns if c not in a.columns
+    ]
+    return out.select(*keep)
+
+
 def _join_solutions(a: DataFrame | None, b: DataFrame, how: str = "inner") -> DataFrame:
     if a is None:
         return b
@@ -1104,9 +1186,25 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         env = {c: F.col(c) for c in sol.columns}
         sol = sol.withColumn(var, node.col(env, True))
     for opt in g.optionals:
-        opt_sol = _eval_group(quads, opt)
-        if opt_sol is not None:
-            sol = _join_solutions(sol, opt_sol, how="left")
+        # filters that reference variables the optional group cannot bind
+        # belong to the LEFT JOIN condition (LeftJoin(P1, P2, F)), not to
+        # the group's standalone evaluation — there the outer vars would be
+        # unbound and the filter would drop every row
+        inner_vars = _bindable_vars(opt)
+        deferred = [f for f in opt.filters if not _expr_vars(f) <= inner_vars]
+        if deferred and sol is not None:
+            from dataclasses import replace as _dc_replace
+
+            opt_inner = _dc_replace(
+                opt, filters=[f for f in opt.filters if f not in deferred]
+            )
+            opt_sol = _eval_group(quads, opt_inner)
+            if opt_sol is not None:
+                sol = _left_join_filtered(sol, opt_sol, deferred)
+        else:
+            opt_sol = _eval_group(quads, opt)
+            if opt_sol is not None:
+                sol = _join_solutions(sol, opt_sol, how="left")
     for sub, positive in g.exists:
         inner = _eval_group(quads, sub)
         shared = [c for c in sol.columns if c in inner.columns]

@@ -906,3 +906,34 @@ def test_sparql_star_annotation_syntax(spark):
         ("http://e/a", "0.9"),
         ("http://e/x", "0.4"),
     ]
+
+
+def test_optional_filter_sees_outer_vars(spark):
+    """LeftJoin(P1, P2, F) — the classic OPTIONAL case (§8.2): a FILTER
+    inside OPTIONAL referencing an outer variable joins the merged
+    binding; rows with no F-satisfying extension keep unbound vars."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    X = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    rows = [
+        f'<http://e/a> <http://e/p> "5"{X} .',
+        f'<http://e/a> <http://e/q> "9"{X} .',
+        f'<http://e/b> <http://e/p> "5"{X} .',
+        f'<http://e/b> <http://e/q> "3"{X} .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    res = sparql_query(
+        df,
+        "SELECT ?s ?v WHERE { ?s <http://e/p> ?o "
+        "OPTIONAL { ?s <http://e/q> ?v FILTER(?v > ?o) } }",
+    )
+    got = sorted((r.s.value, r.v.value if r.v else None) for r in res.df.collect())
+    assert got == [("http://e/a", "9"), ("http://e/b", None)]
+    # inner-only filters still evaluate inside the group (old path)
+    res2 = sparql_query(
+        df,
+        "SELECT ?s ?v WHERE { ?s <http://e/p> ?o "
+        "OPTIONAL { ?s <http://e/q> ?v FILTER(?v > 4) } }",
+    )
+    got2 = sorted((r.s.value, r.v.value if r.v else None) for r in res2.df.collect())
+    assert got2 == [("http://e/a", "9"), ("http://e/b", None)]
