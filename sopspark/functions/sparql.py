@@ -90,10 +90,8 @@ class Query:
 
 
 
-def _unescape_plocal(local: str) -> str:
-    """PN_LOCAL_ESC (grammar [173]): backslash-escapes in prefixed-name
-    local parts unescape to the raw char in the IRI; %XX passes through."""
-    return re.sub(r"\\(.)", r"\1", local)
+from sopspark.terms import unescape_pn_local as _unescape_plocal
+
 
 class SparqlError(ValueError):
     pass
@@ -1116,11 +1114,14 @@ def _bindable_vars(g: PatternGroup) -> set[str]:
     return vs
 
 
-def _left_join_filtered(a: DataFrame, b: DataFrame, deferred: list[Node]) -> DataFrame:
-    """SPARQL algebra LeftJoin(P1, P2, F): the deferred filters join the
-    MERGED binding as part of the left-join condition — a row of P1 with
-    no F-satisfying extension survives with the P2 vars unbound (the
-    classic OPTIONAL-filter-sees-outer-vars case, §8.2/§5.2.3)."""
+def _join_filtered(
+    a: DataFrame, b: DataFrame, deferred: list[Node], how: str
+) -> DataFrame:
+    """Join with deferred filters in the CONDITION over the merged binding
+    — SPARQL algebra LeftJoin(P1, P2, F) for OPTIONAL (§8.2) and the
+    correlated form of (NOT) EXISTS (§8.1.1: the substituted pattern sees
+    the outer row's bindings). MINUS deliberately does NOT take this path
+    (§8.3 evaluates it independently of the outer bindings)."""
     shared = [c for c in a.columns if c in b.columns]
     bb = b
     for c in b.columns:
@@ -1134,7 +1135,9 @@ def _left_join_filtered(a: DataFrame, b: DataFrame, deferred: list[Node]) -> Dat
             env[c] = F.col(f"_r_{c}")
     for fnode in deferred:
         cond = cond & F.coalesce(_compile_bool(fnode, env, True), F.lit(False))
-    out = a.join(bb, on=cond, how="left")
+    out = a.join(bb, on=cond, how=how)
+    if how in ("left_semi", "left_anti"):
+        return out  # left columns only
     keep = [F.col(c) for c in a.columns] + [
         F.col(f"_r_{c}").alias(c) for c in b.columns if c not in a.columns
     ]
@@ -1200,16 +1203,28 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
             )
             opt_sol = _eval_group(quads, opt_inner)
             if opt_sol is not None:
-                sol = _left_join_filtered(sol, opt_sol, deferred)
+                sol = _join_filtered(sol, opt_sol, deferred, how="left")
         else:
             opt_sol = _eval_group(quads, opt)
             if opt_sol is not None:
                 sol = _join_solutions(sol, opt_sol, how="left")
     for sub, positive in g.exists:
+        how = "left_semi" if positive else "left_anti"
+        # filters over variables the EXISTS pattern cannot bind see the
+        # OUTER row's bindings (§8.1.1 substitution) → join condition
+        ex_inner_vars = _bindable_vars(sub)
+        ex_deferred = [f for f in sub.filters if not _expr_vars(f) <= ex_inner_vars]
+        if ex_deferred:
+            from dataclasses import replace as _dc_replace2
+
+            sub2 = _dc_replace2(sub, filters=[f for f in sub.filters if f not in ex_deferred])
+            inner = _eval_group(quads, sub2)
+            sol = _join_filtered(sol, inner, ex_deferred, how=how)
+            continue
         inner = _eval_group(quads, sub)
         shared = [c for c in sol.columns if c in inner.columns]
         if shared:
-            sol = sol.join(inner, on=shared, how="left_semi" if positive else "left_anti")
+            sol = sol.join(inner, on=shared, how=how)
         else:  # uncorrelated: constant guard over the whole solution set
             nonempty = inner.limit(1).count() > 0
             if nonempty != positive:

@@ -937,3 +937,26 @@ def test_optional_filter_sees_outer_vars(spark):
     )
     got2 = sorted((r.s.value, r.v.value if r.v else None) for r in res2.df.collect())
     assert got2 == [("http://e/a", "9"), ("http://e/b", None)]
+
+
+def test_exists_filter_sees_outer_vars(spark):
+    """Correlated (NOT) EXISTS (§8.1.1 substitution): a filter inside the
+    EXISTS pattern referencing an outer variable evaluates against the
+    outer row's bindings; MINUS deliberately stays independent (§8.3)."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    X = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    rows = [
+        f'<http://e/a> <http://e/p> "5"{X} .',
+        f'<http://e/a> <http://e/q> "9"{X} .',
+        f'<http://e/b> <http://e/p> "5"{X} .',
+        f'<http://e/b> <http://e/q> "3"{X} .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    q = "SELECT ?s WHERE { ?s <http://e/p> ?o FILTER %s { ?s <http://e/q> ?v FILTER(?v > ?o) } }"
+    assert sorted(
+        r.s.value for r in sparql_query(df, q % "EXISTS").df.collect()
+    ) == ["http://e/a"]
+    assert sorted(
+        r.s.value for r in sparql_query(df, q % "NOT EXISTS").df.collect()
+    ) == ["http://e/b"]
