@@ -12,7 +12,9 @@ plan:
   * GRAPH ?g / GRAPH <iri> → named-graph scans (``g IS NOT NULL``);
     patterns outside GRAPH match the default graph (``g IS NULL``).
   * FILTER → :mod:`sopspark.functions.expr` boolean compilation.
-  * OPTIONAL → left outer join on the shared variables.
+  * OPTIONAL → left outer join on the shared variables; filters over
+    outer variables ride the join condition (LeftJoin(P1, P2, F), §8.2),
+    and correlated (NOT) EXISTS does the same via semi/anti joins.
   * UNION → ``unionByName(allowMissingColumns)``.
   * SELECT/DISTINCT/ORDER BY/LIMIT/OFFSET → select/dropDuplicates/orderBy/
     limit/offset. ASK → ``limit(1).count() > 0``
