@@ -294,10 +294,9 @@ class _Parser:
             pfx, _, local = v.partition(":")
             if pfx not in self.prefixes:
                 raise TurtleError(f"undefined prefix {pfx!r}:")
-            # PN_LOCAL_ESC (\, \& …) unescapes to the raw char in the IRI;
-            # PERCENT sequences pass through untouched (Turtle §6.5)
-            local = re.sub(r"\\(.)", r"\1", local)
-            return (IRI, self.prefixes[pfx] + local, None, None)
+            # PN_LOCAL_ESC unescapes to the raw char in the IRI; PERCENT
+            # passes through untouched (Turtle §6.5)
+            return (IRI, self.prefixes[pfx] + unescape_pn_local(local), None, None)
         if k in ("string", "longstr"):
             raw = v[3:-3] if k == "longstr" else v[1:-1]
             lex = unescape_literal(raw)
