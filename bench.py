@@ -114,6 +114,7 @@ def main() -> None:
         "tpch_shipping": QUERIES["tpch_shipping"],
         "tpch_local_volume": QUERIES["tpch_local_volume"],
         "resample_ffill": QUERIES["resample_ffill"],
+        "gopher_quality": QUERIES["gopher_quality"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1109,6 +1109,31 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs).orderBy("doc_id")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal rules (text/analysis.py::gopher_quality,
+    arXiv:2112.11446 §A1.1): duplicate-line fractions, top-bigram char
+    coverage (shuffle-free sorted-run mode), symbol/alpha/stopword rules —
+    one map-only projection fused into the scan."""
+    from sopspark.text.analysis import gopher_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        gopher_quality(docs)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_words",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_bigram_char_frac",
+            "symbol_word_ratio",
+            "alpha_word_frac",
+            "stop_hits",
+            "gopher_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1164,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_shipping": q_tpch_shipping,
     "tpch_local_volume": q_tpch_local_volume,
     "resample_ffill": q_resample_ffill,
+    "gopher_quality": q_gopher_quality,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2112,4 +2138,54 @@ ORACLES["resample_ffill"] = """
         PARTITION BY t.user_id, t.tick
         ORDER BY o.ts DESC NULLS LAST, o.event_id DESC NULLS LAST) = 1
     ORDER BY user_id, tick_us
+"""
+
+ORACLES["gopher_quality"] = r"""
+    WITH tk AS (
+      SELECT doc_id, text, length(text) AS nc,
+             regexp_split_to_array(text, '\s+') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), lc AS (
+      SELECT doc_id,
+             SUM(cnt * length(l)) AS line_chars,
+             SUM(CASE WHEN cnt > 1 THEN cnt * length(l) ELSE 0 END) AS dup_chars,
+             SUM(cnt) AS n_lines,
+             COUNT(*) AS n_distinct
+      FROM (SELECT doc_id, l, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(lines) AS l FROM tk)
+            GROUP BY 1, 2)
+      GROUP BY 1
+    ), bg AS (
+      SELECT doc_id, pr[1] || ' ' || pr[2] AS b, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+            FROM tk WHERE len(toks) >= 2)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, b, cnt FROM bg
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, b ASC) = 1
+    ), f AS (
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS INT) AS n_words,
+             ROUND(1.0 - lc.n_distinct / CAST(lc.n_lines AS DOUBLE), 6) AS dup_line_frac,
+             ROUND(lc.dup_chars / CAST(GREATEST(lc.line_chars, 1) AS DOUBLE), 6) AS dup_line_char_frac,
+             ROUND(COALESCE(top.cnt * (length(top.b) - 1)
+                   / CAST(GREATEST(t.nc, 1) AS DOUBLE), 0.0), 6) AS top_bigram_char_frac,
+             ROUND(((t.nc - length(replace(t.text, '#', '')))
+                  + (t.nc - length(replace(t.text, '...', ''))) / 3
+                  + (t.nc - length(replace(t.text, '…', ''))))
+                   / CAST(GREATEST(len(t.toks), 1) AS DOUBLE), 6) AS symbol_word_ratio,
+             ROUND(len(list_filter(t.toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(GREATEST(len(t.toks), 1) AS DOUBLE), 6) AS alpha_word_frac,
+             CAST(len(list_intersect(
+                   list_distinct(list_transform(t.toks, x -> lower(x))),
+                   ['the','and','of','to','a','in','is','it','that','for'])) AS INT) AS stop_hits
+      FROM tk t JOIN lc USING (doc_id) LEFT JOIN top USING (doc_id)
+    )
+    SELECT *,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top_bigram_char_frac <= 0.18 AND symbol_word_ratio <= 0.10
+            AND alpha_word_frac >= 0.80 AND n_words BETWEEN 50 AND 100000
+            AND stop_hits >= 2) AS gopher_keep
+    FROM f ORDER BY doc_id
 """

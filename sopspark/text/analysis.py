@@ -473,3 +473,159 @@ def mixture_sample(
         )
         .drop("_rate")
     )
+
+
+# --- Gopher-style repetition / quality rules --------------------------------
+# Rahimi et al. "Scaling Language Models: Methods, Analysis & Insights from
+# Training Gopher" (arXiv:2112.11446) §A1.1 repetition-removal heuristics,
+# re-expressed as one map-only Catalyst projection: every feature is a pure
+# function of the row's own text (lines/tokens/bigram arrays materialized
+# once behind a projection barrier), so at 100 TB this fuses into the scan
+# with zero exchanges — the per-document hashmap of the original becomes a
+# sorted-array run-length aggregate.
+
+GOPHER_THRESHOLDS = {
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_bigram_char_frac": 0.18,
+    "max_symbol_word_ratio": 0.10,
+    "min_alpha_word_frac": 0.80,
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-removal features + keep decision, pure Catalyst.
+
+    Features (per arXiv:2112.11446 §A1.1, whitespace-token / newline-line
+    granularity): duplicate-line fraction, duplicate-line CHARACTER
+    fraction, fraction of characters in the most common word bigram,
+    symbol-to-word ratio (# and ellipses), fraction of words with an
+    alphabetic character, stopword hits (the en profile), word count.
+
+    The top-bigram mode is computed WITHOUT a shuffle: sort the per-doc
+    bigram array and take the longest run (ties → lexicographically
+    smallest bigram, the first run scanned) via one ``aggregate`` — the
+    O(L log L) in-row analogue of the reference pattern's per-document
+    hash table. ``gopher_keep`` applies ``GOPHER_THRESHOLDS``.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        id_col,
+        text_col,
+        F.explode_outer(F.array(F.split(t, r"\n"))).alias("_lines"),
+    ).select(
+        id_col,
+        text_col,
+        "_lines",
+        F.explode_outer(F.array(F.split(t, r"\s+"))).alias("_tk"),
+    )
+    lines, toks = F.col("_lines"), F.col("_tk")
+    n_lines = F.size(lines)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+
+    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double")
+    # chars inside lines that occur more than once / total line chars
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_line_chars = F.aggregate(
+        F.transform(
+            F.array_distinct(lines),
+            lambda l: F.when(
+                F.size(F.filter(lines, lambda x: x == l)) > 1,
+                F.size(F.filter(lines, lambda x: x == l)).cast("long") * F.length(l),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    dup_line_char_frac = dup_line_chars / F.greatest(line_chars, F.lit(1)).cast("double")
+
+    # most-common word bigram via sorted-run scan (no shuffle): the state
+    # struct tracks the current run and the best run seen; strict > keeps
+    # the FIRST maximal run, i.e. the lexicographically smallest bigram
+    bigrams = F.when(
+        n_words >= 2,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), n_words - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit("").alias("best"),
+        F.lit(0).alias("bestrun"),
+    )
+    scan = F.aggregate(
+        bigrams,
+        run0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+                > acc["bestrun"],
+                x,
+            ).otherwise(acc["best"]).alias("best"),
+            F.greatest(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                acc["bestrun"],
+            ).alias("bestrun"),
+        ),
+    )
+    # bigram char coverage: count * (len("w1 w2") - 1 separator space)
+    top_bigram_char_frac = F.when(
+        F.size(bigrams) > 0,
+        scan["bestrun"].cast("double")
+        * (F.length(scan["best"]) - 1)
+        / F.greatest(n_chars, F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    n_hash = n_chars - F.length(F.regexp_replace(t, r"#", ""))
+    n_ell3 = (n_chars - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
+    n_ell1 = n_chars - F.length(F.regexp_replace(t, "…", ""))
+    symbol_word_ratio = (n_hash + n_ell3 + n_ell1).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+
+    alpha_word_frac = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+
+    en_stop = _PROFILES[0][1]
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in en_stop]),
+        )
+    )
+
+    th = GOPHER_THRESHOLDS
+    out = (
+        base.withColumn("n_words", n_words)
+        .withColumn("dup_line_frac", F.round(dup_line_frac, 6))
+        .withColumn("dup_line_char_frac", F.round(dup_line_char_frac, 6))
+        .withColumn("top_bigram_char_frac", F.round(top_bigram_char_frac, 6))
+        .withColumn("symbol_word_ratio", F.round(symbol_word_ratio, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_word_frac, 6))
+        .withColumn("stop_hits", stop_hits)
+    )
+    keep = (
+        (F.col("dup_line_frac") <= th["max_dup_line_frac"])
+        & (F.col("dup_line_char_frac") <= th["max_dup_line_char_frac"])
+        & (F.col("top_bigram_char_frac") <= th["max_top_bigram_char_frac"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+        & F.col("n_words").between(th["min_words"], th["max_words"])
+        & (F.col("stop_hits") >= th["min_stop_hits"])
+    )
+    return out.withColumn("gopher_keep", keep).drop("_lines", "_tk")

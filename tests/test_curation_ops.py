@@ -255,3 +255,40 @@ def test_bigram_lm_score_closed_form(spark):
     assert got[2].lm_logp == got[1].lm_logp  # identical docs score equal
     assert abs(got[3].lm_logp - want3) < 1e-6
     assert got[3].lm_logp < got[1].lm_logp  # rarer continuation scores lower
+
+
+def test_gopher_quality_closed_form(spark):
+    from sopspark.text.analysis import gopher_quality
+
+    rows = [
+        # 2 dup lines of 'aaaa' (4 chars each) among 3 lines; dup_line_frac
+        # = 1 - 2/3; dup chars = 8 of 12
+        (1, "aaaa\naaaa\nbbbb"),
+        # 'x y' bigram repeated 5x in 19 chars; bigram covers 2 word chars
+        (2, "x y x y x y x y x y"),
+        # symbols: 3 hashes + one '...' + one unicode ellipsis over 3 words
+        (3, "### word… ..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+
+    assert out[1]["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert out[1]["dup_line_char_frac"] == round(8 / 12, 6)
+    assert out[2]["top_bigram_char_frac"] == round(5 * 2 / 19, 6)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["symbol_word_ratio"] == round((3 + 1 + 1) / 3, 6)
+    assert out[3]["alpha_word_frac"] == round(1 / 3, 6)
+    # every fixture fails at least one Gopher rule
+    assert not any(r["gopher_keep"] for r in out.values())
+
+
+def test_gopher_quality_keep_path(spark):
+    from sopspark.text.analysis import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over a lazy dog and it is fine that"]
+        + [f"w{i} r{i} f{i}" for i in range(20)]
+    )
+    df = spark.createDataFrame([(1, good)], "doc_id long, text string")
+    row = gopher_quality(df).collect()[0]
+    assert row["gopher_keep"], dict(row.asDict())
