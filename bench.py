@@ -115,6 +115,7 @@ def main() -> None:
         "tpch_local_volume": QUERIES["tpch_local_volume"],
         "resample_ffill": QUERIES["resample_ffill"],
         "gopher_quality": QUERIES["gopher_quality"],
+        "semdedup": QUERIES["semdedup"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1134,6 +1134,20 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (text/similarity.py::semdedup, arXiv:2303.09540): seed
+    clustering (k lowest-id vectors, broadcast) + within-cluster cosine
+    near-dup flags — candidate pairs bounded per cluster, never all-pairs."""
+    from sopspark.text.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, k=16, tau=0.4).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_dup",
+    ).orderBy("vec_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1190,6 +1204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_local_volume": q_tpch_local_volume,
     "resample_ffill": q_resample_ffill,
     "gopher_quality": q_gopher_quality,
+    "semdedup": q_semdedup,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2188,4 +2203,31 @@ ORACLES["gopher_quality"] = r"""
             AND alpha_word_frac >= 0.80 AND n_words BETWEEN 50 AND 100000
             AND stop_hits >= 2) AS gopher_keep
     FROM f ORDER BY doc_id
+"""
+
+ORACLES["semdedup"] = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS sid, e AS se FROM v ORDER BY vec_id LIMIT 16
+    ), assigned AS (
+      SELECT v.vec_id, s.sid AS cluster
+      FROM v CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY ROUND(list_cosine_similarity(v.e, s.se), 6) DESC, s.sid ASC
+        ) = 1
+    ), dups AS (
+      SELECT DISTINCT bb.vec_id
+      FROM assigned aa
+      JOIN assigned bb ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+      JOIN v va ON va.vec_id = aa.vec_id
+      JOIN v vb ON vb.vec_id = bb.vec_id
+      WHERE list_cosine_similarity(va.e, vb.e) >= 0.4
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster AS BIGINT) AS cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned a LEFT JOIN dups d USING (vec_id)
+    ORDER BY vec_id
 """

@@ -328,3 +328,86 @@ def embedding_near_dups(
         .select(F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "cosine")
         .distinct()
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 16,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space, then drop within-cluster semantic near-duplicates — a vector is
+    a dup iff some LOWER-id vector in its cluster has cosine ≥ ``tau``
+    (pair-set semantics, not greedy-order-dependent → oracle-replicable).
+
+    Deterministic seed clustering: the ``k`` lowest-id vectors are the
+    cluster seeds; every vector joins its max-cosine seed (round-6 cosine,
+    ties → lowest seed id). The refined-centroid variant is
+    :func:`_kmeans_centroids` + :func:`ivf_cosine_topk`'s assignment; the
+    seed variant is the oracle-shared path.
+
+    Scale shape: seeds are a k-row broadcast (assignment is a map-side
+    expansion + one window exchange on ``id_col``); the dup check is an
+    equi-join on the cluster key — candidate pairs are bounded per cluster,
+    never all-pairs. At 100 TB, pick k ≈ √n so clusters stay executor-sized
+    (the paper's regime), or pre-shard giant clusters like the LSH
+    ``max_bucket`` cap.
+
+    Returns (id, cluster, is_dup) for every input row.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).select(id_col, "_v", _norm_col(F.col("_v")).alias("_n"))
+    seeds = (
+        v.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.col("_v").alias("_sv"),
+            F.col("_n").alias("_sn"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(seeds)).withColumn(
+        "_cos",
+        F.round(_dot(F.col("_v"), F.col("_sv")) / (F.col("_n") * F.col("_sn")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_sid").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, F.col("_sid").alias("cluster"), "_v", "_n")
+    )
+    a = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("_a") < F.col("_b"))
+        .where(
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) >= tau
+        )
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
