@@ -116,6 +116,7 @@ def main() -> None:
         "resample_ffill": QUERIES["resample_ffill"],
         "gopher_quality": QUERIES["gopher_quality"],
         "semdedup": QUERIES["semdedup"],
+        "bloom_semi_join": QUERIES["bloom_semi_join"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

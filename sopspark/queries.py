@@ -1148,6 +1148,28 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime-pruned semi-join (operators/bloomjoin.py): a
+    broadcast bitmap over urgent orders' keys prefilters lineitem map-side
+    before the exact left-semi join — the exchange ships only candidates.
+    Result ≡ plain semi-join (false positives removed by the exact join)."""
+    from sopspark.operators.bloomjoin import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return (
+        out.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1205,6 +1227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_ffill": q_resample_ffill,
     "gopher_quality": q_gopher_quality,
     "semdedup": q_semdedup,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2230,4 +2253,15 @@ ORACLES["semdedup"] = """
            (d.vec_id IS NOT NULL) AS is_dup
     FROM assigned a LEFT JOIN dups d USING (vec_id)
     ORDER BY vec_id
+"""
+
+ORACLES["bloom_semi_join"] = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
 """

@@ -468,3 +468,39 @@ def test_resample_ffill_grid_and_carry(spark):
     # key 2: single observation → single tick at its own ts
     assert got[(2, 7)] == 9.0
     assert len(got) == 7
+
+
+def test_bloom_semi_join_equals_exact_semi(spark):
+    """Bloom prefilter never drops a true match (no false negatives), and
+    the final exact join removes any false positives — result identical to
+    a plain left-semi join, for long and string keys."""
+    from pyspark.sql import functions as F
+
+    from sopspark.operators.bloomjoin import bloom_semi_join
+
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    build = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    got = sorted(r.k for r in bloom_semi_join(probe, build, "k").collect())
+    want = sorted(range(0, 5000, 7))
+    assert got == want
+
+    sp = probe.select(F.concat(F.lit("u"), F.col("k")).alias("k"))
+    sb = build.select(F.concat(F.lit("u"), F.col("k")).alias("k"))
+    got_s = sorted(r.k for r in bloom_semi_join(sp, sb, "k").collect())
+    assert got_s == sorted(f"u{x}" for x in range(0, 5000, 7))
+
+
+def test_bloom_semi_join_empty_build_and_pruning(spark):
+    from pyspark.sql import functions as F
+
+    from sopspark.operators.bloomjoin import bloom_bitmap, bloom_candidates, bloom_semi_join
+
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    empty = probe.where(F.lit(False))
+    assert bloom_semi_join(probe, empty, "k").count() == 0
+
+    build = spark.range(0, 2000, 100).select(F.col("id").alias("k"))
+    cand = bloom_candidates(probe, bloom_bitmap(build, "k"), "k")
+    n_cand = cand.count()
+    # candidates must cover all 20 true matches but prune most of the rest
+    assert 20 <= n_cand < 400
