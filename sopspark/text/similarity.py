@@ -375,11 +375,14 @@ def semdedup(
         F.round(_dot(F.col("_v"), F.col("_sv")) / (F.col("_n") * F.col("_sn")), 6),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_sid").asc())
+    # checkpoint before the cluster self-join: both join branches AND the
+    # final flag join reuse `assigned`; without a materialization each
+    # would re-execute the k-way seed expansion + assignment window
     assigned = (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(id_col, F.col("_sid").alias("cluster"), "_v", "_n")
-    )
+    ).localCheckpoint()
     a = assigned.select(
         "cluster",
         F.col(id_col).alias("_a"),

@@ -109,3 +109,44 @@ def test_kg_linking_no_shuffle_joins(spark):
     phys = _physical(linked)
     assert "SortMergeJoin" not in phys
     assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+
+
+def test_gopher_quality_map_only(spark):
+    from sopspark.text.analysis import gopher_quality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    phys = _physical(gopher_quality(docs))
+    # pure per-row projection: zero exchanges, fuses into the scan
+    assert _n_exchanges(phys) == 0, phys
+
+
+def test_bloom_semi_join_probe_prefilter_shape(spark):
+    from sopspark.operators.bloomjoin import bloom_semi_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    phys = _physical(bloom_semi_join(li, orders, "l_orderkey", "o_orderkey"))
+    # the bitmap and the distinct key set arrive at the probe via broadcast
+    assert phys.count("BroadcastExchange") >= 2, phys
+    # the build-side o_orderpriority filter reaches the parquet scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in phys, phys
+    # the probe side itself is never shuffle-exchanged: the only hash
+    # exchanges belong to the build-side word/distinct aggregations
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", phys):
+        assert m.group(1).split("#")[0] in ("_w", "l_orderkey", "o_orderkey"), m.group(0)
+
+
+def test_semdedup_broadcast_seeds(spark):
+    from sopspark.text.similarity import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = semdedup(emb, k=8, tau=0.4)
+    phys = _physical(df)
+    # the assignment subtree (k-way seed expansion + window) materializes
+    # ONCE via localCheckpoint — downstream consumers read the RDD scan
+    assert "ExistingRDD" in phys, phys
+    # remaining exchanges: cluster-pair self-join (2) + dup-flag join (2);
+    # AQE broadcasts the tiny dup side at runtime
+    assert _n_exchanges(phys) <= 4, phys
