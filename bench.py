@@ -117,6 +117,7 @@ def main() -> None:
         "gopher_quality": QUERIES["gopher_quality"],
         "semdedup": QUERIES["semdedup"],
         "bloom_semi_join": QUERIES["bloom_semi_join"],
+        "funnel": QUERIES["funnel"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

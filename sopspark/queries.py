@@ -1170,6 +1170,25 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view→click→purchase (operators/funnel.py): one
+    shuffle on user_id, per-user sorted-array scan — no per-step self
+    joins. Step i+1 = earliest event of its type strictly after step i."""
+    from sopspark.operators.funnel import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        funnel(ev, ["view", "click", "purchase"])
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n_steps").cast("int").alias("n_steps"),
+            "t_first",
+            "t_last",
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1228,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "semdedup": q_semdedup,
     "bloom_semi_join": q_bloom_semi_join,
+    "funnel": q_funnel,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2264,4 +2284,28 @@ ORACLES["bloom_semi_join"] = """
       SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
     GROUP BY l_returnflag
     ORDER BY l_returnflag
+"""
+
+ORACLES["funnel"] = """
+    WITH e AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+    ), base AS (SELECT DISTINCT user_id FROM e)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS n_steps,
+           t1 AS t_first,
+           COALESCE(t3, t2, t1) AS t_last
+    FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+              LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
 """

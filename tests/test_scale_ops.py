@@ -504,3 +504,66 @@ def test_bloom_semi_join_empty_build_and_pruning(spark):
     n_cand = cand.count()
     # candidates must cover all 20 true matches but prune most of the rest
     assert 20 <= n_cand < 400
+
+
+def test_funnel_order_ties_and_window(spark):
+    """Closed-form funnel semantics: strict ordering between steps,
+    same-instant ties do not advance, the window anchors at step 1."""
+    import datetime as dt
+
+    from sopspark.operators.funnel import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 1, T(0), "view"), (1, 2, T(5), "click"), (1, 3, T(9), "purchase"),
+        (2, 4, T(0), "click"), (2, 5, T(1), "view"), (2, 6, T(2), "click"),
+        (3, 7, T(0), "purchase"),
+        (4, 8, T(0), "view"), (4, 9, T(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = {r.user_id: (r.n_steps, r.t_first, r.t_last)
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got[1] == (3, T(0), T(9))
+    assert got[2] == (2, T(1), T(2))   # pre-view click ignored
+    assert got[3] == (0, None, None)
+    assert got[4] == (1, T(0), T(0))   # same-instant click does not advance
+
+    # 240 s window anchored at the first view: click at +300 s is outside
+    gw = {r.user_id: r.n_steps
+          for r in funnel(df, ["view", "click", "purchase"], window_seconds=240).collect()}
+    assert gw[1] == 1 and gw[2] == 2
+
+
+def test_funnel_matches_reference_model(spark):
+    """Randomized property check against a pure-Python scan."""
+    import datetime as dt
+    import random
+
+    from sopspark.operators.funnel import funnel
+
+    rng = random.Random(11)
+    steps = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    for u in range(1, 30):
+        t = 0
+        for _ in range(rng.randint(1, 15)):
+            t += rng.choice([0, 1, 5])
+            rows.append((u, eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t),
+                         rng.choice(steps + ["x"])))
+            eid += 1
+    expect = {}
+    by_u = {}
+    for u, e, ts, ty in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        if ty not in steps:
+            continue
+        st, tl, tf = by_u.get(u, (0, None, None))
+        if st < len(steps) and ty == steps[st] and (tl is None or ts > tl):
+            st, tl = st + 1, ts
+            tf = tf or ts
+        by_u[u] = (st, tl, tf)
+        expect[u] = (st, tf, tl)
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = {r.user_id: (r.n_steps, r.t_first, r.t_last)
+           for r in funnel(df, steps).collect()}
+    assert got == expect
