@@ -496,6 +496,7 @@ GOPHER_THRESHOLDS = {
 }
 
 
+
 def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher repetition-removal features + keep decision, pure Catalyst.
 
@@ -505,11 +506,16 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     symbol-to-word ratio (# and ellipses), fraction of words with an
     alphabetic character, stopword hits (the en profile), word count.
 
-    The top-bigram mode is computed WITHOUT a shuffle: sort the per-doc
-    bigram array and take the longest run (ties → lexicographically
-    smallest bigram, the first run scanned) via one ``aggregate`` — the
+    Both repetition modes are computed WITHOUT a shuffle: sort the per-doc
+    array and run-length-scan it in one ``aggregate`` (ties in the bigram
+    mode → lexicographically smallest bigram, the first maximal run) — the
     O(L log L) in-row analogue of the reference pattern's per-document
-    hash table. ``gopher_keep`` applies ``GOPHER_THRESHOLDS``.
+    hash table. Every array (lines, tokens, sorted lines, sorted bigrams,
+    scan states) is materialized in its OWN projection, each referenced
+    ≥ 2× downstream so CollapseProject cannot re-inline the higher-order
+    subtree into its consumers (nested HOF lambdas evaluate interpreted
+    with no CSE — the round-2 fingerprint lesson). ``gopher_keep``
+    applies ``GOPHER_THRESHOLDS``.
     """
     t = F.col(text_col)
     base = df.select(
@@ -527,27 +533,6 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     n_words = F.size(toks)
     n_chars = F.length(t)
 
-    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines.cast("double")
-    # chars inside lines that occur more than once / total line chars
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    dup_line_chars = F.aggregate(
-        F.transform(
-            F.array_distinct(lines),
-            lambda l: F.when(
-                F.size(F.filter(lines, lambda x: x == l)) > 1,
-                F.size(F.filter(lines, lambda x: x == l)).cast("long") * F.length(l),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    dup_line_char_frac = dup_line_chars / F.greatest(line_chars, F.lit(1)).cast("double")
-
-    # most-common word bigram via sorted-run scan (no shuffle): the state
-    # struct tracks the current run and the best run seen; strict > keeps
-    # the FIRST maximal run, i.e. the lexicographically smallest bigram
     bigrams = F.when(
         n_words >= 2,
         F.array_sort(
@@ -559,15 +544,37 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    run0 = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit("").alias("best"),
-        F.lit(0).alias("bestrun"),
+    base = base.withColumn("_slines", F.array_sort(lines)).withColumn("_bg", bigrams)
+    sl, bg = F.col("_slines"), F.col("_bg")
+
+    # run-length scan over the sorted lines: total chars inside lines that
+    # occur more than once (first element: init.prev='' with run=0 flushes
+    # a zero-length run, so a genuine leading '' line still starts at 1)
+    lscan = F.aggregate(
+        sl,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == a["prev"], a["dup"]).otherwise(
+                a["dup"]
+                + F.when(a["run"] > 1, a["run"] * F.length(a["prev"])).otherwise(F.lit(0))
+            ).alias("dup"),
+        ),
+        lambda a: a["dup"]
+        + F.when(a["run"] > 1, a["run"] * F.length(a["prev"])).otherwise(F.lit(0)),
     )
-    scan = F.aggregate(
-        bigrams,
-        run0,
+    # longest run over the sorted bigrams (strict > keeps the FIRST, i.e.
+    # lexicographically smallest, maximal run)
+    bscan = F.aggregate(
+        bg,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit("").alias("best"), F.lit(0).alias("bestrun"),
+        ),
         lambda acc, x: F.struct(
             x.alias("prev"),
             F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
@@ -582,17 +589,22 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             ).alias("bestrun"),
         ),
     )
+    base = base.withColumn("_dupchars", lscan).withColumn("_bscan", bscan)
+
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    dup_line_frac = F.lit(1.0) - F.size(F.array_distinct(sl)) / n_lines.cast("double")
+    dup_line_char_frac = F.col("_dupchars") / F.greatest(line_chars, F.lit(1)).cast("double")
     # bigram char coverage: count * (len("w1 w2") - 1 separator space)
     top_bigram_char_frac = F.when(
-        F.size(bigrams) > 0,
-        scan["bestrun"].cast("double")
-        * (F.length(scan["best"]) - 1)
+        F.size(bg) > 0,
+        F.col("_bscan")["bestrun"].cast("double")
+        * (F.length(F.col("_bscan")["best"]) - 1)
         / F.greatest(n_chars, F.lit(1)).cast("double"),
     ).otherwise(F.lit(0.0))
 
     n_hash = n_chars - F.length(F.regexp_replace(t, r"#", ""))
     n_ell3 = (n_chars - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / F.lit(3)
-    n_ell1 = n_chars - F.length(F.regexp_replace(t, "…", ""))
+    n_ell1 = n_chars - F.length(F.regexp_replace(t, "\u2026", ""))
     symbol_word_ratio = (n_hash + n_ell3 + n_ell1).cast("double") / F.greatest(
         n_words, F.lit(1)
     ).cast("double")
@@ -628,4 +640,6 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         & F.col("n_words").between(th["min_words"], th["max_words"])
         & (F.col("stop_hits") >= th["min_stop_hits"])
     )
-    return out.withColumn("gopher_keep", keep).drop("_lines", "_tk")
+    return out.withColumn("gopher_keep", keep).drop(
+        "_lines", "_tk", "_slines", "_bg", "_dupchars", "_bscan"
+    )
