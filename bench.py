@@ -118,6 +118,7 @@ def main() -> None:
         "semdedup": QUERIES["semdedup"],
         "bloom_semi_join": QUERIES["bloom_semi_join"],
         "funnel": QUERIES["funnel"],
+        "paragraph_dedup": QUERIES["paragraph_dedup"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1189,6 +1189,30 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal (text/dedup.py::
+    paragraph_dedup, the paragraph-granular variant of Lee et al. 2021
+    arXiv:2107.06499): a paragraph occurrence survives iff it is the first
+    occurrence of that exact text corpus-wide; documents are reassembled in
+    order. Paragraph boundary here = the literal token ``' a '`` (the
+    synthetic docs carry no newlines); keeper table is a map-side-combined
+    min over the sha2 digest, so boilerplate hot keys collapse before the
+    exchange."""
+    from sopspark.text.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        paragraph_dedup(docs, sep=" a ")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_paras",
+            "n_kept",
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1248,6 +1272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "bloom_semi_join": q_bloom_semi_join,
     "funnel": q_funnel,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2308,4 +2333,25 @@ ORACLES["funnel"] = """
     FROM base LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
               LEFT JOIN s3 USING (user_id)
     ORDER BY user_id
+"""
+
+ORACLES["paragraph_dedup"] = """
+    WITH paras AS (
+      SELECT doc_id,
+             CAST(unnest(range(len(parts))) AS INT) AS pos,
+             unnest(parts) AS para
+      FROM (SELECT doc_id, string_split(text, ' a ') AS parts FROM documents)
+    ), flagged AS (
+      SELECT doc_id, pos, para,
+             (length(para) < 1) OR
+             (row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1)
+               AS keep
+      FROM paras
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN para END, ' a '
+                               ORDER BY pos), '') AS text
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
 """

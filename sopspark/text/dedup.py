@@ -436,3 +436,61 @@ def ngram_jaccard_pairs(
         )
         .select("a", "b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (Lee et al. 2021, arXiv:2107.06499 "ExactSubstr"
+# relaxed to paragraph granularity — the NearDup/paragraph variant)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    joiner: str | None = None,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal with document reassembly.
+
+    Each document splits into paragraphs on ``sep`` (a regex-safe literal —
+    it is used as a regex by Spark's ``split``); a paragraph occurrence
+    survives iff it is the FIRST occurrence of that exact paragraph text
+    corpus-wide (ordered by ``(doc_id, pos)``) or shorter than
+    ``min_chars``. Documents are reassembled from surviving paragraphs in
+    original order (``joiner`` defaults to ``sep``). Returns
+    ``(doc_id, text, n_paras, n_kept)`` — every input document appears,
+    even when all of its paragraphs were removed (empty text).
+
+    Scale shape: posexplode (no shuffle) → keeper table via
+    ``groupBy(sha2(para)).agg(min(struct(doc_id, pos)))`` — the min is
+    map-side combined, so a corpus-dominating boilerplate paragraph
+    (the classic hot key) collapses to one row per map task BEFORE the
+    exchange — → sort-merge join back on the 32-byte digest (AQE skew
+    join covers the probe side) → one groupBy(doc_id) reassembly whose
+    state is bounded by the largest single document. Paragraph text
+    never shuffles twice: the keeper table carries only the digest.
+    """
+    joiner = sep if joiner is None else joiner
+    paras = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para")
+    ).withColumn("_h", F.sha2(F.col("para"), 256))
+    firsts = (
+        paras.where(F.length("para") >= min_chars)
+        .groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("_first"))
+    )
+    flagged = paras.join(firsts, "_h", "left").withColumn(
+        "_keep",
+        (F.length("para") < min_chars)
+        | ((F.col("_first.i") == F.col(id_col)) & (F.col("_first.p") == F.col("pos"))),
+    )
+    parts = F.array_sort(F.collect_list(F.struct("pos", "para", "_keep")))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("_keep").cast("int")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            joiner,
+            F.transform(F.filter(parts, lambda s: s["_keep"]), lambda s: s["para"]),
+        ).alias(text_col),
+    )

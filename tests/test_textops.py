@@ -481,3 +481,43 @@ def test_semdedup_cross_cluster_pairs_ignored(spark):
     out = {r.vec_id: (r.cluster, r.is_dup) for r in semdedup(df, k=2, tau=0.99).collect()}
     assert out[2] == (0, True) and out[3] == (0, True)
     assert out[0] == (0, False) and out[1] == (1, False)
+
+
+def test_paragraph_dedup_closed_form(spark):
+    from sopspark.text.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nbeta\n\ngamma"),
+        (2, "beta\n\ndelta\n\nalpha"),  # beta+alpha already seen -> only delta
+        (3, "x\n\nbeta"),
+        (4, "\n\n\n\n"),  # three empty paragraphs, below min_chars -> all kept
+        (5, "gamma\n\ngamma"),  # both occurrences lose to doc 1's gamma
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "alpha\n\nbeta\n\ngamma" and out[1]["n_kept"] == 3
+    assert out[2]["text"] == "delta" and out[2]["n_paras"] == 3
+    assert out[3]["text"] == "x"
+    assert out[4]["text"] == "\n\n\n\n" and out[4]["n_kept"] == 3
+    assert out[5]["text"] == "" and out[5]["n_kept"] == 0  # doc still present
+
+
+def test_paragraph_dedup_min_chars_and_joiner(spark):
+    from sopspark.text.dedup import paragraph_dedup
+
+    rows = [(1, "aa|bb|aa"), (2, "bb|cc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # min_chars=3: every paragraph is "short" -> nothing deduped
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, sep=r"\|", joiner="|", min_chars=3).collect()
+    }
+    assert out[1]["text"] == "aa|bb|aa"
+    assert out[2]["text"] == "bb|cc"
+    # min_chars=1: corpus-wide first-occurrence wins, intra-doc dups drop
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, sep=r"\|", joiner="|", min_chars=1).collect()
+    }
+    assert out[1]["text"] == "aa|bb"
+    assert out[2]["text"] == "cc"
