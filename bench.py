@@ -119,6 +119,7 @@ def main() -> None:
         "bloom_semi_join": QUERIES["bloom_semi_join"],
         "funnel": QUERIES["funnel"],
         "paragraph_dedup": QUERIES["paragraph_dedup"],
+        "triangle_count": QUERIES["triangle_count"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1213,6 +1213,25 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (kg/graphalgo.py::triangle_count,
+    Suri & Vassilvitskii WWW'11) over the part co-occurrence graph (parts
+    sharing a high-quantity order line) — every wedge is enumerated at its
+    lowest-degree corner, bounding the self-join at O(m^1.5) regardless of
+    hub skew."""
+    from sopspark.kg.graphalgo import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(F.col("l_quantity") >= 45)
+    x = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
+    return (
+        triangle_count(edges)
+        .select(F.col("node").cast("bigint").alias("node"), "triangles")
+        .orderBy("node")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1273,6 +1292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semi_join": q_bloom_semi_join,
     "funnel": q_funnel,
     "paragraph_dedup": q_paragraph_dedup,
+    "triangle_count": q_triangle_count,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2354,4 +2374,29 @@ ORACLES["paragraph_dedup"] = """
            COALESCE(string_agg(CASE WHEN keep THEN para END, ' a '
                                ORDER BY pos), '') AS text
     FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["triangle_count"] = """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+    ), e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+    ), tri AS (
+      SELECT e1.a AS c1, e1.b AS c2, e2.b AS c3
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ), corners AS (
+      SELECT c1 AS node FROM tri
+      UNION ALL SELECT c2 FROM tri
+      UNION ALL SELECT c3 FROM tri
+    ), verts AS (
+      SELECT a AS node FROM e UNION SELECT b FROM e
+    )
+    SELECT CAST(v.node AS BIGINT) AS node,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS triangles
+    FROM verts v LEFT JOIN (SELECT node, count(*) AS n FROM corners GROUP BY 1) c
+      USING (node)
+    ORDER BY node
 """

@@ -567,3 +567,22 @@ def test_funnel_matches_reference_model(spark):
     got = {r.user_id: (r.n_steps, r.t_first, r.t_last)
            for r in funnel(df, steps).collect()}
     assert got == expect
+
+
+def test_triangle_count_k4_with_noise(spark):
+    from sopspark.kg.graphalgo import triangle_count
+
+    # K4 (every vertex in 3 triangles) + a pendant vertex, with duplicate,
+    # reversed, and self-loop edges that canonicalization must absorb
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_triangle_free(spark):
+    from sopspark.kg.graphalgo import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    out = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert set(out) == {1, 2, 3, 4} and set(out.values()) == {0}
