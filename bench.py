@@ -120,6 +120,7 @@ def main() -> None:
         "funnel": QUERIES["funnel"],
         "paragraph_dedup": QUERIES["paragraph_dedup"],
         "triangle_count": QUERIES["triangle_count"],
+        "label_propagation": QUERIES["label_propagation"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -146,6 +146,105 @@ def pagerank_oracle_sql(
     return sql
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, Phys. Rev. E 76) over an undirected graph. Returns
+    ``(node, community)`` for every vertex incident to ≥ 1 edge.
+
+    Deterministic variant: every node starts labeled with its own id;
+    each synchronous round every node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label. With a fixed
+    iteration count the result is a closed form of the edge set (no
+    random visit order), so a SQL engine unrolling the same rounds
+    produces identical output — that is what the DuckDB oracle does.
+
+    Scale shape: per round, one equi-join of the adjacency list with the
+    (node-sized) label table keyed on the neighbor id, then one
+    (node,label) count aggregate and one per-node argmax aggregate — the
+    argmax is a single ``min(struct(-cnt, label))`` so both aggregates
+    get map-side partial combine and no window/sort is needed. Hot hubs
+    skew only the count agg's (v,label) key, which is already salted by
+    the label dimension; AQE skew-split covers the join. Lineage is
+    truncated with lazy ``localCheckpoint`` every ``checkpoint_every``
+    rounds (same idiom as :func:`pagerank`).
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    ).persist()
+    labels = adj.select("v").distinct().withColumn("label", F.col("v"))
+    try:
+        for i in range(iters):
+            cnt = (
+                adj.join(labels.withColumnRenamed("v", "nbr"), "nbr")
+                .groupBy("v", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = (
+                cnt.groupBy("v")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                    ).alias("best")
+                )
+                .select("v", F.col("best.l").alias("label"))
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                labels = labels.localCheckpoint(eager=False)
+        # eager final checkpoint: materialize before adj is unpersisted
+        return labels.select(
+            F.col("v").alias("node"), F.col("label").alias("community")
+        ).localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
+
+
+def label_propagation_oracle_sql(edges_sql: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`label_propagation`: the synchronous rounds
+    unrolled as a CTE chain (``edges_sql`` must yield (src, dst)). The
+    per-node argmax is a row_number window ordered (cnt DESC, label) —
+    the same most-frequent-then-smallest-label rule."""
+    sql = f"""
+    WITH raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql})),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM adj)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    c{i} AS MATERIALIZED (
+      SELECT adj.v, l.label, COUNT(*) AS cnt
+      FROM adj JOIN l{p} l ON l.v = adj.nbr
+      GROUP BY adj.v, l.label
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT v, label FROM (
+        SELECT v, label,
+               row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT v AS node, label AS community FROM l{iters} ORDER BY node"""
+    return sql
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-vertex triangle counts over an undirected graph.
 

@@ -1232,6 +1232,29 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection
+    (kg/graphalgo.py::label_propagation, Raghavan et al. 2007) over the
+    supplier co-occurrence graph (suppliers sharing an order), 5
+    deterministic rounds with most-frequent-then-smallest-label updates
+    — per round one adjacency join + two map-side-combined aggregates;
+    the DuckDB oracle unrolls the identical rounds as a CTE chain."""
+    from sopspark.kg.graphalgo import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    x = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
+    return (
+        label_propagation(edges, iters=5)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("community").cast("bigint").alias("community"),
+        )
+        .orderBy("node")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1293,6 +1316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "paragraph_dedup": q_paragraph_dedup,
     "triangle_count": q_triangle_count,
+    "label_propagation": q_label_propagation,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2375,6 +2399,23 @@ ORACLES["paragraph_dedup"] = """
                                ORDER BY pos), '') AS text
     FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
+
+def _label_propagation_oracle() -> str:
+    from sopspark.kg.graphalgo import label_propagation_oracle_sql
+
+    edges = """
+      SELECT x.l_suppkey AS src, y.l_suppkey AS dst
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                                     AND x.l_suppkey < y.l_suppkey
+    """
+    inner = label_propagation_oracle_sql(edges, iters=5)
+    return f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(community AS BIGINT) AS community
+    FROM ({inner}) ORDER BY node
+    """
+
+
+ORACLES["label_propagation"] = _label_propagation_oracle()
 
 ORACLES["triangle_count"] = """
     WITH li AS (

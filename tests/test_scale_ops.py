@@ -586,3 +586,47 @@ def test_triangle_count_triangle_free(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     out = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
     assert set(out) == {1, 2, 3, 4} and set(out.values()) == {0}
+
+
+def test_label_propagation_matches_reference_model(spark):
+    import random
+    from collections import Counter
+    from sopspark.kg.graphalgo import label_propagation
+
+    def ref_lpa(edges, iters):
+        adj = {}
+        for s, d in edges:
+            if s is None or d is None or s == d:
+                continue
+            a, b = min(s, d), max(s, d)
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {v: v for v in adj}
+        for _ in range(iters):
+            lab = {
+                v: min(Counter(lab[u] for u in nbrs).items(),
+                       key=lambda kv: (-kv[1], kv[0]))[0]
+                for v, nbrs in adj.items()
+            }
+        return lab
+
+    rng = random.Random(13)
+    for _ in range(4):
+        n = rng.randint(4, 18)
+        edges = [(rng.randint(0, n), rng.randint(0, n))
+                 for _ in range(rng.randint(3, 35))]
+        iters = rng.choice([1, 2, 5])
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r.community
+               for r in label_propagation(df, iters=iters).collect()}
+        assert got == ref_lpa(edges, iters)
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    from sopspark.kg.graphalgo import label_propagation
+
+    # two triangles joined by one bridge edge: each keeps its own community
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.community for r in label_propagation(df, iters=5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
