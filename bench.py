@@ -121,6 +121,7 @@ def main() -> None:
         "paragraph_dedup": QUERIES["paragraph_dedup"],
         "triangle_count": QUERIES["triangle_count"],
         "label_propagation": QUERIES["label_propagation"],
+        "chunk_documents": QUERIES["chunk_documents"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1255,6 +1255,19 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG token-window chunking with overlap (text/chunk.py): split →
+    posexplode(sequence) → slice/array_join, a zero-shuffle map-side
+    narrow transform (whole-stage codegen end to end); the DuckDB oracle
+    replicates the window rule with string_split + unnest(range)."""
+    from sopspark.text.chunk import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return chunk_documents(docs, chunk_size=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1317,6 +1330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "triangle_count": q_triangle_count,
     "label_propagation": q_label_propagation,
+    "chunk_documents": q_chunk_documents,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2416,6 +2430,15 @@ def _label_propagation_oracle() -> str:
 
 
 ORACLES["label_propagation"] = _label_propagation_oracle()
+
+
+def _chunk_documents_oracle() -> str:
+    from sopspark.text.chunk import chunk_oracle_sql
+
+    return chunk_oracle_sql("SELECT doc_id, text FROM documents", 64, 16)
+
+
+ORACLES["chunk_documents"] = _chunk_documents_oracle()
 
 ORACLES["triangle_count"] = """
     WITH li AS (

@@ -521,3 +521,38 @@ def test_paragraph_dedup_min_chars_and_joiner(spark):
     }
     assert out[1]["text"] == "aa|bb"
     assert out[2]["text"] == "cc"
+
+
+def test_chunk_documents_windows(spark):
+    from sopspark.text.chunk import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(17))), (2, "short text"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_size=8, overlap=2).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 17 tokens, size 8, stride 6 -> 3 chunks; consecutive pairs share 2 tokens
+    c1 = by_doc[1]
+    assert [r.n_tokens for r in c1] == [8, 8, 5]
+    assert c1[0].chunk_text.split()[-2:] == c1[1].chunk_text.split()[:2]
+    assert c1[1].chunk_text.split()[-2:] == c1[2].chunk_text.split()[:2]
+    # full coverage: concatenating de-overlapped chunks restores the doc
+    rebuilt = c1[0].chunk_text.split()
+    for r in c1[1:]:
+        rebuilt += r.chunk_text.split()[2:]
+    assert rebuilt == [f"t{i}" for i in range(17)]
+    # short and empty docs produce exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short text"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+    from sopspark.text.chunk import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=8, overlap=8)
