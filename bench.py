@@ -122,6 +122,7 @@ def main() -> None:
         "triangle_count": QUERIES["triangle_count"],
         "label_propagation": QUERIES["label_propagation"],
         "chunk_documents": QUERIES["chunk_documents"],
+        "kmeans": QUERIES["kmeans"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1268,6 +1268,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table
+    (text/cluster.py::kmeans_assign, k=8, 3 rounds): per round one map
+    pass with the k×dim centroid table as broadcast literals + one
+    map-side-combined avg aggregate; rounding each round pins the
+    discrete assignment so the DuckDB unrolled-CTE twin is exact."""
+    from sopspark.text.cluster import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        kmeans_assign(emb, k=8, iters=3)
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.round("dist", 6).alias("dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1331,6 +1351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "label_propagation": q_label_propagation,
     "chunk_documents": q_chunk_documents,
+    "kmeans": q_kmeans,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2439,6 +2460,19 @@ def _chunk_documents_oracle() -> str:
 
 
 ORACLES["chunk_documents"] = _chunk_documents_oracle()
+
+
+def _kmeans_oracle() -> str:
+    from sopspark.text.cluster import kmeans_oracle_sql
+
+    inner = kmeans_oracle_sql("SELECT vec_id AS id, embedding FROM embeddings", 8, 3)
+    return f"""
+    SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, ROUND(dist, 6) AS dist
+    FROM ({inner}) ORDER BY vec_id
+    """
+
+
+ORACLES["kmeans"] = _kmeans_oracle()
 
 ORACLES["triangle_count"] = """
     WITH li AS (

@@ -1,0 +1,143 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The scalable shape (same as Spark MLlib's): the DATA never moves — each
+iteration is one map pass computing every row's nearest centroid (the
+k×dim centroid table rides along as literals, i.e. a broadcast of a few
+KB) followed by one map-side-combined aggregate producing the k new
+centroids, which are collected to the driver (k×dim doubles). At 100 TB
+the per-iteration cost is exactly one scan + one tiny agg; nothing is
+ever shuffled except k·P partial centroid rows.
+
+Determinism (what makes a SQL oracle possible): centroids are
+initialized from the k smallest-id rows (no RNG); every distance and
+every centroid coordinate is rounded to ``round_dp`` decimals each
+round, so double-precision summation-order noise (~1e-13) cannot leak
+into the discrete assignment; distance ties break toward the smallest
+cluster id. The DuckDB twin (:func:`kmeans_oracle_sql`) unrolls the
+identical rounds with ``list_distance`` + a (dist, cluster) row_number.
+
+Empty clusters drop out (no re-seeding), identically in both engines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist_to(vec_col, centroid: list[float], round_dp: int):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    sq = F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(F.sqrt(sq), round_dp)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; return ``(id_col, cluster, dist)``
+    with each row's final cluster and (rounded) euclidean distance."""
+    if k < 1 or iters < 1:
+        raise ValueError("require k >= 1 and iters >= 1")
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    init = v.orderBy("_id").limit(k).collect()
+    if not init:
+        return (
+            v.select(
+                F.col("_id").alias(id_col),
+                F.lit(0).alias("cluster"),
+                F.lit(0.0).alias("dist"),
+            )
+        )
+    centroids: dict[int, list[float]] = {j: list(r["_v"]) for j, r in enumerate(init)}
+    dim = len(init[0]["_v"])
+
+    assigned = None
+    for it in range(iters):
+        cands = [
+            F.struct(
+                _dist_to(F.col("_v"), cent, round_dp).alias("d"),
+                F.lit(j).alias("c"),
+            )
+            for j, cent in sorted(centroids.items())
+        ]
+        # lexicographic least of (dist, cluster): nearest centroid,
+        # smallest id on ties — one codegen expression, no join
+        best = cands[0] if len(cands) == 1 else F.least(*cands)
+        assigned = v.withColumn("_best", best).select(
+            "_id", "_v",
+            F.col("_best.d").alias("dist"),
+            F.col("_best.c").alias("cluster"),
+        )
+        if it + 1 < iters:
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(*[
+                    F.round(F.avg(F.col("_v")[i]), round_dp).alias(f"c{i}")
+                    for i in range(dim)
+                ])
+                .collect()
+            )
+            centroids = {
+                r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in rows
+            }
+    return assigned.select(
+        F.col("_id").alias(id_col), "cluster", "dist"
+    )
+
+
+def kmeans_oracle_sql(
+    emb_sql: str, k: int = 8, iters: int = 3, round_dp: int = 6
+) -> str:
+    """DuckDB twin of :func:`kmeans_assign`. ``emb_sql`` must yield
+    (id, embedding); output is (id, cluster, dist) after ``iters``
+    rounds of the identical deterministic update."""
+    sql = f"""
+    WITH emb AS MATERIALIZED (
+      SELECT id, CAST(embedding AS DOUBLE[]) AS v FROM ({emb_sql})
+    ),
+    c0 AS MATERIALIZED (
+      SELECT rn - 1 AS cluster, v AS c FROM (
+        SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM emb
+      ) WHERE rn <= {k}
+    )"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    a{i} AS MATERIALIZED (
+      SELECT id, v, cluster, dist FROM (
+        SELECT e.id, e.v, c.cluster,
+               ROUND(list_distance(e.v, c.c), {round_dp}) AS dist,
+               row_number() OVER (
+                 PARTITION BY e.id
+                 ORDER BY ROUND(list_distance(e.v, c.c), {round_dp}), c.cluster
+               ) AS rn
+        FROM emb e CROSS JOIN c{p} c
+      ) WHERE rn = 1
+    )"""
+        if i < iters:
+            sql += f""",
+    c{i} AS MATERIALIZED (
+      SELECT cluster, list(m ORDER BY dim) AS c FROM (
+        SELECT cluster, dim, ROUND(AVG(val), {round_dp}) AS m FROM (
+          SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM a{i}
+        ) GROUP BY cluster, dim
+      ) GROUP BY cluster
+    )"""
+    sql += f"""
+    SELECT id, cluster, dist FROM a{iters} ORDER BY id"""
+    return sql

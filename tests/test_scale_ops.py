@@ -630,3 +630,27 @@ def test_label_propagation_two_cliques_bridge(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.community for r in label_propagation(df, iters=5).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_kmeans_separated_clusters(spark):
+    from sopspark.text.cluster import kmeans_assign
+
+    # two tight blobs far apart: k=2 must split them exactly
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(5)] + \
+           [(i, [100.0 + 0.01 * i, 50.0]) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=3).collect()}
+    a = {out[i] for i in range(5)}
+    b = {out[i] for i in range(5, 10)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_kmeans_k1_and_validation(spark):
+    import pytest
+    from sopspark.text.cluster import kmeans_assign
+
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"])
+    out = kmeans_assign(df, k=1, iters=2).collect()
+    assert {r.cluster for r in out} == {0}
+    with pytest.raises(ValueError):
+        kmeans_assign(df, k=0)
