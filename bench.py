@@ -123,6 +123,7 @@ def main() -> None:
         "label_propagation": QUERIES["label_propagation"],
         "chunk_documents": QUERIES["chunk_documents"],
         "kmeans": QUERIES["kmeans"],
+        "bfs_levels": QUERIES["bfs_levels"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

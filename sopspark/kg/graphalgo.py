@@ -245,6 +245,88 @@ def label_propagation_oracle_sql(edges_sql: str, iters: int = 5) -> str:
     return sql
 
 
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    rounds: int = 6,
+    directed: bool = False,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source breadth-first search: shortest hop-distance from any
+    source, capped at ``rounds`` hops. Returns ``(node, dist)`` for every
+    REACHED node (unreached nodes are absent — at web scale the reached
+    frontier is the output, not the full vertex set).
+
+    Pregel shape: the frontier table carries (node, dist); each
+    synchronous round is one equi-join of the edge list with the current
+    distance table plus one min-aggregate — both keyed on node id,
+    map-side combined, AQE-skew-splittable. ``localCheckpoint`` truncates
+    lineage every ``checkpoint_every`` rounds (same idiom as
+    :func:`pagerank`). Integer arithmetic throughout, so the DuckDB
+    unrolled-CTE twin (:func:`bfs_levels_oracle_sql`) is exact.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    if not directed:
+        e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().persist()
+    dist = sources.select(F.col(source_col).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    )
+    try:
+        for i in range(rounds):
+            hop = (
+                e.join(dist.withColumnRenamed("node", "s"), "s")
+                .select(F.col("d").alias("node"), (F.col("dist") + 1).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(hop)
+                .groupBy("node")
+                .agg(F.min("dist").cast("int").alias("dist"))
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+                dist = dist.localCheckpoint(eager=False)
+        return dist.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+def bfs_levels_oracle_sql(
+    edges_sql: str, sources_sql: str, rounds: int = 6, directed: bool = False
+) -> str:
+    """DuckDB twin of :func:`bfs_levels`: the rounds unrolled as a CTE
+    chain. ``edges_sql`` yields (src, dst); ``sources_sql`` yields (node)."""
+    sym = "" if directed else "UNION ALL SELECT dst, src FROM raw"
+    sql = f"""
+    WITH raw AS MATERIALIZED (
+      SELECT src, dst FROM ({edges_sql})
+      WHERE src IS NOT NULL AND dst IS NOT NULL
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT src AS s, dst AS d FROM (SELECT src, dst FROM raw {sym})
+    ),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT node, 0 AS dist FROM ({sources_sql})
+    )"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql += f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{p}
+        UNION ALL
+        SELECT e.d AS node, x.dist + 1 AS dist FROM e JOIN d{p} x ON e.s = x.node
+      ) GROUP BY node
+    )"""
+    sql += f"""
+    SELECT node, CAST(dist AS INT) AS dist FROM d{rounds} ORDER BY node"""
+    return sql
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-vertex triangle counts over an undirected graph.
 

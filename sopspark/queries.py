@@ -1288,6 +1288,32 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (kg/graphalgo.py::bfs_levels,
+    4 synchronous rounds) from the low-id parts over the part
+    co-occurrence graph — per round one edge join + one min agg, the
+    Pregel shape; integer arithmetic makes the unrolled DuckDB twin
+    exact."""
+    from sopspark.kg.graphalgo import bfs_levels
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity") >= 45
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
+    sources = (
+        li.select(F.col("l_partkey").alias("node"))
+        .where(F.col("node") < 200)
+        .distinct()
+    )
+    return (
+        bfs_levels(edges, sources, rounds=4)
+        .select(F.col("node").cast("bigint").alias("node"), "dist")
+        .orderBy("node")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1352,6 +1378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "chunk_documents": q_chunk_documents,
     "kmeans": q_kmeans,
+    "bfs_levels": q_bfs_levels,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2473,6 +2500,28 @@ def _kmeans_oracle() -> str:
 
 
 ORACLES["kmeans"] = _kmeans_oracle()
+
+
+def _bfs_levels_oracle() -> str:
+    from sopspark.kg.graphalgo import bfs_levels_oracle_sql
+
+    edges = """
+      SELECT x.l_partkey AS src, y.l_partkey AS dst
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                                     AND x.l_partkey < y.l_partkey
+      WHERE x.l_quantity >= 45 AND y.l_quantity >= 45
+    """
+    sources = """
+      SELECT DISTINCT l_partkey AS node FROM lineitem
+      WHERE l_quantity >= 45 AND l_partkey < 200
+    """
+    inner = bfs_levels_oracle_sql(edges, sources, rounds=4)
+    return f"""
+    SELECT CAST(node AS BIGINT) AS node, dist FROM ({inner}) ORDER BY node
+    """
+
+
+ORACLES["bfs_levels"] = _bfs_levels_oracle()
 
 ORACLES["triangle_count"] = """
     WITH li AS (

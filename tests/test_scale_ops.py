@@ -654,3 +654,28 @@ def test_kmeans_k1_and_validation(spark):
     assert {r.cluster for r in out} == {0}
     with pytest.raises(ValueError):
         kmeans_assign(df, k=0)
+
+
+def test_bfs_levels_path_graph(spark):
+    from sopspark.kg.graphalgo import bfs_levels
+
+    # path 1-2-3-4-5-6 plus isolated source 9: rounds cap at 3 hops
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,), (9,)], ["node"])
+    got = {r.node: r.dist for r in bfs_levels(edges, sources, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 9: 0}  # 5,6 beyond the cap
+
+
+def test_bfs_levels_directed_vs_undirected(spark):
+    from sopspark.kg.graphalgo import bfs_levels
+
+    edges = spark.createDataFrame([(2, 1), (2, 3)], ["src", "dst"])
+    sources = spark.createDataFrame([(1,)], ["node"])
+    undirected = {r.node: r.dist
+                  for r in bfs_levels(edges, sources, rounds=3).collect()}
+    assert undirected == {1: 0, 2: 1, 3: 2}
+    directed = {r.node: r.dist
+                for r in bfs_levels(edges, sources, rounds=3, directed=True).collect()}
+    assert directed == {1: 0}  # no out-edges from 1
