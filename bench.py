@@ -124,6 +124,7 @@ def main() -> None:
         "chunk_documents": QUERIES["chunk_documents"],
         "kmeans": QUERIES["kmeans"],
         "bfs_levels": QUERIES["bfs_levels"],
+        "cms_heavy_hitters": QUERIES["cms_heavy_hitters"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

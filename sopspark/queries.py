@@ -1314,6 +1314,28 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (text/sketch.py::cms_sketch /
+    cms_estimate, d=4 md5 lanes × w=64 buckets): the sketch is ≤ d·w rows
+    (plan-bounded shuffle, broadcastable), estimates are min-over-lanes;
+    top-50 users by estimate with the exact count alongside — the DuckDB
+    oracle replicates the lane hashes bit-for-bit, so the (always ≥)
+    estimates match exactly."""
+    from sopspark.text.sketch import cms_sketch, cms_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cms_sketch(ev, "user_id", d=4, w=64)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sk, keys, "user_id", d=4, w=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est"), "user_id")
+        .limit(50)
+        .select(F.col("user_id").cast("bigint").alias("user_id"), "est", "exact")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1379,6 +1401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "kmeans": q_kmeans,
     "bfs_levels": q_bfs_levels,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2522,6 +2545,25 @@ def _bfs_levels_oracle() -> str:
 
 
 ORACLES["bfs_levels"] = _bfs_levels_oracle()
+
+
+def _cms_heavy_hitters_oracle() -> str:
+    from sopspark.text.sketch import cms_oracle_sql
+
+    cms = cms_oracle_sql("user_id", "events", 4, 64)
+    return f"""
+    WITH cms AS ({cms}),
+    exact AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS user_id, est, CAST(exact AS BIGINT) AS exact
+    FROM cms JOIN exact USING (k)
+    ORDER BY est DESC, user_id LIMIT 50
+    """
+
+
+ORACLES["cms_heavy_hitters"] = _cms_heavy_hitters_oracle()
 
 ORACLES["triangle_count"] = """
     WITH li AS (

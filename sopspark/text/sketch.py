@@ -121,6 +121,96 @@ def kmv_distinct(
     return kmv_finalize(kmv_sketch_table(df, group_col, value_col, k), group_col, k)
 
 
+def cms_sketch(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a key column:
+    d hash lanes × w buckets of counts. Returns ``(lane, bucket, cnt)``
+    — at most d·w rows regardless of input size, so the sketch is a
+    broadcastable, element-wise-mergeable summary (union two sketch
+    tables and re-sum to merge shards).
+
+    Scale shape: one map-side explode to d rows per input row, then a
+    single hash aggregate on (lane, bucket) — partial combine collapses
+    each partition to ≤ d·w rows before the exchange, so shuffle volume
+    is bounded by the PLAN (d·w·partitions), never by the data. Hashes
+    are the engine-shared 48-bit md5 lanes (seeded per lane), so a SQL
+    engine replicates the sketch bit-for-bit.
+    """
+    from sopspark.text.dedup import md5_hash48
+
+    v = F.col(value_col).cast("string")
+    lanes = F.array(*[
+        F.struct(
+            F.lit(j).alias("lane"),
+            F.pmod(md5_hash48(v, seed=j), F.lit(w)).cast("int").alias("bucket"),
+        )
+        for j in range(d)
+    ])
+    return (
+        df.where(v.isNotNull())
+        .select(F.explode(lanes).alias("lb"))
+        .groupBy(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` against a :func:`cms_sketch`
+    table: min over lanes of the key's bucket count (the CMS guarantee:
+    ``est >= true``, overestimates only from collisions). The join is
+    keys×d rows against ≤ d·w sketch rows — the sketch side broadcasts."""
+    from sopspark.text.dedup import md5_hash48
+
+    v = F.col(key_col).cast("string")
+    lanes = F.array(*[
+        F.struct(
+            F.lit(j).alias("lane"),
+            F.pmod(md5_hash48(v, seed=j), F.lit(w)).cast("int").alias("bucket"),
+        )
+        for j in range(d)
+    ])
+    probes = keys.select(F.col(key_col), F.explode(lanes).alias("lb")).select(
+        key_col, F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["lane", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )
+
+
+def cms_oracle_sql(
+    key_expr: str, table: str, d: int = 4, w: int = 256
+) -> str:
+    """DuckDB twin: the identical sketch + point estimates for every
+    distinct key of ``table`` (rows where ``key_expr`` is null are
+    excluded, matching the Spark side)."""
+    from sopspark.text.dedup import md5hex48_sql
+
+    parts = []
+    for j in range(d):
+        h = md5hex48_sql(f"CONCAT('{j}:', CAST({key_expr} AS VARCHAR))")
+        parts.append(
+            f"SELECT {j} AS lane, {h} % {w} AS bucket, "
+            f"CAST({key_expr} AS VARCHAR) AS k FROM {table} "
+            f"WHERE {key_expr} IS NOT NULL"
+        )
+    lane_rows = " UNION ALL ".join(parts)
+    return f"""
+WITH lanes AS MATERIALIZED ({lane_rows}),
+sketch AS MATERIALIZED (
+  SELECT lane, bucket, COUNT(*) AS cnt FROM lanes GROUP BY lane, bucket
+),
+probes AS MATERIALIZED (SELECT DISTINCT lane, bucket, k FROM lanes)
+SELECT k, CAST(MIN(cnt) AS BIGINT) AS est
+FROM probes JOIN sketch USING (lane, bucket)
+GROUP BY k
+"""
+
+
 def kmv_oracle_sql(group_col: str, value_expr: str, table: str, k: int = 64) -> str:
     """DuckDB SQL computing the identical per-group KMV sketch."""
     from sopspark.text.dedup import md5hex48_sql

@@ -679,3 +679,36 @@ def test_bfs_levels_directed_vs_undirected(spark):
     directed = {r.node: r.dist
                 for r in bfs_levels(edges, sources, rounds=3, directed=True).collect()}
     assert directed == {1: 0}  # no out-edges from 1
+
+
+def test_cms_never_underestimates(spark):
+    from sopspark.text.sketch import cms_sketch, cms_estimate
+
+    rows = [(f"k{i % 7}",) for i in range(100)] + [("hot",)] * 40
+    df = spark.createDataFrame(rows, ["k"])
+    sk = cms_sketch(df, "k", d=4, w=8)  # tiny width: force collisions
+    est = {r.k: r.est for r in
+           cms_estimate(sk, df.select("k").distinct(), "k", d=4, w=8).collect()}
+    from collections import Counter
+    true = Counter(k for k, in rows)
+    assert all(est[k] >= true[k] for k in true)
+    assert est["hot"] >= 40
+
+
+def test_cms_sketch_merges(spark):
+    from pyspark.sql import functions as F
+    from sopspark.text.sketch import cms_sketch, cms_estimate
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, ["k"])
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, ["k"])
+    merged = (
+        cms_sketch(a, "k", d=4, w=16).unionByName(cms_sketch(b, "k", d=4, w=16))
+        .groupBy("lane", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(a.unionByName(b), "k", d=4, w=16)
+    ms = sorted(tuple(r) for r in merged.collect())
+    ws = sorted(tuple(r) for r in whole.collect())
+    assert ms == ws  # merge of shard sketches == sketch of the union
+    keys = spark.createDataFrame([("x",), ("y",), ("z",)], ["k"])
+    est = {r.k: r.est for r in cms_estimate(merged, keys, "k", d=4, w=16).collect()}
+    assert est["x"] >= 8 and est["y"] >= 2 and est["z"] >= 4
