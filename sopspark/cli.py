@@ -434,11 +434,14 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
         elif name == "null":
             from sopspark.operators.transforms import validate
 
-            errs = validate(df).collect()
-            for e in errs:
+            # toLocalIterator: a fully-corrupt input yields one err row per
+            # line — stream them instead of materializing all on the driver
+            had_err = False
+            for e in validate(df).toLocalIterator():
                 print(f"error: {e.err}", file=sys.stderr)
+                had_err = True
             terminal = True
-            if errs:
+            if had_err:
                 return 1
         else:
             print(f"unknown subcommand: {name}", file=sys.stderr)
