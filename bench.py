@@ -125,6 +125,7 @@ def main() -> None:
         "kmeans": QUERIES["kmeans"],
         "bfs_levels": QUERIES["bfs_levels"],
         "cms_heavy_hitters": QUERIES["cms_heavy_hitters"],
+        "jaccard_join": QUERIES["jaccard_join"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1336,6 +1336,27 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs, Bayardo
+    et al. WWW'07; text/dedup.py::jaccard_similarity_join): word 4-gram
+    shingle sets, rare-first global token order, prefix inverted-index
+    equi-join + length filter, exact verify. The DuckDB oracle is the
+    PLAIN all-pairs threshold join — equality machine-verifies the
+    no-false-negative guarantee of the filter."""
+    from sopspark.text.dedup import jaccard_similarity_join
+
+    docs = _capped_docs(spark, sf_dir).select("doc_id", "text")
+    return (
+        jaccard_similarity_join(docs, threshold=0.4, shingle=4)
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1402,6 +1423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans": q_kmeans,
     "bfs_levels": q_bfs_levels,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "jaccard_join": q_jaccard_join,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2564,6 +2586,29 @@ def _cms_heavy_hitters_oracle() -> str:
 
 
 ORACLES["cms_heavy_hitters"] = _cms_heavy_hitters_oracle()
+
+# plain all-pairs threshold join — NO prefix filter on the oracle side, so
+# a parity match machine-verifies the filter's exactness (recall == 1.0)
+ORACLES["jaccard_join"] = _capped_docs_sql("""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4 THEN
+               list_distinct(list_transform(range(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+             ELSE [array_to_string(w, ' ')] END AS g
+      FROM w
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+    ORDER BY doc_a, doc_b
+""")
 
 ORACLES["triangle_count"] = """
     WITH li AS (

@@ -494,3 +494,107 @@ def paragraph_dedup(
             F.transform(F.filter(parts, lambda s: s["_keep"]), lambda s: s["para"]),
         ).alias(text_col),
     )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 1,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join: every unordered pair with
+    ``J(a, b) >= threshold``, no false negatives — the complement of the
+    MinHash-LSH path (:func:`minhash_lsh_pairs`), for when recall must be
+    1.0 and the threshold is high.
+
+    Prefix filtering (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07
+    "Scaling Up All Pairs Similarity Search"): tokens get a GLOBAL
+    rare-first order (corpus frequency asc, token asc); each document
+    only indexes its first ``n - ceil(t*n) + 1`` tokens in that order.
+    Any pair with J >= t must share a token within BOTH prefixes (the
+    first common token in global order cannot sit past either prefix,
+    else the intersection is provably < t*n), so an equi-join of the
+    prefix inverted index finds every qualifying pair; a length filter
+    ``t*na <= nb`` prunes candidates before the exact verify.
+
+    Scale shape: the frequency table is one count agg; prefixes bound
+    the inverted index at ~(1-t) of the token volume, and the RARE-FIRST
+    order is the structural skew defense — a corpus-hot token sorts last
+    and almost never lands in a prefix, so posting lists stay short
+    exactly where a naive token join explodes. Verification is
+    pair-driven JVM ``array_intersect`` on the two token arrays.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    if shingle > 1:
+        # token = lowercased word k-gram (the minhash shingle rule) —
+        # materialized behind the generator barrier like every shingle
+        # consumer
+        toks = _tokens_barrier(docs, text_col, keep=[id_col]).select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(
+                F.array_distinct(_word_shingles_from(F.col("_tk"), shingle))
+            ).alias("_set"),
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("_set"),
+        )
+    toks = toks.withColumn("_n", F.size("_set"))
+    # global rare-first rank: (freq asc, token asc) over distinct doc-tokens
+    tok = toks.select("_id", F.explode("_set").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = (
+        tok.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_f"), F.col("_tok")))
+            ).alias("_ord")
+        )
+        .select(
+            "_id",
+            F.transform(F.col("_ord"), lambda s: s["_tok"]).alias("_sorted"),
+        )
+    )
+    sized = ranked.join(toks.select("_id", "_set", "_n"), "_id")
+    prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n")).cast("int") + 1
+    pre = sized.select(
+        "_id", "_set", "_n",
+        F.explode(F.slice("_sorted", 1, prefix_len)).alias("_tok"),
+    )
+    a = pre.select(F.col("_id").alias("_ida"), F.col("_n").alias("_na"), "_tok")
+    b = pre.select(F.col("_id").alias("_idb"), F.col("_n").alias("_nb"), "_tok")
+    # candidate ids only — the token ARRAYS are re-joined after the pair
+    # dedup so they ship once per surviving pair, not once per shared
+    # prefix token
+    cands = (
+        a.join(b, "_tok")
+        .where(F.col("_ida") < F.col("_idb"))
+        # length filter: J >= t forces t*na <= nb and t*nb <= na
+        .where(
+            (F.lit(t) * F.col("_na") <= F.col("_nb"))
+            & (F.lit(t) * F.col("_nb") <= F.col("_na"))
+        )
+        .select("_ida", "_idb", "_na", "_nb")
+        .dropDuplicates(["_ida", "_idb"])
+    )
+    sets = toks.select("_id", "_set")
+    cands = (
+        cands.join(sets.select(F.col("_id").alias("_ida"), F.col("_set").alias("_seta")), "_ida")
+        .join(sets.select(F.col("_id").alias("_idb"), F.col("_set").alias("_setb")), "_idb")
+    )
+    inter = F.size(F.array_intersect("_seta", "_setb"))
+    union = F.col("_na") + F.col("_nb") - inter
+    return (
+        cands.withColumn("_j", inter.cast("double") / union)
+        .where(F.col("_j") >= t)
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            F.round("_j", 6).alias("jaccard"),
+        )
+    )

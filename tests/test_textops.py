@@ -556,3 +556,37 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+def test_jaccard_join_exact_vs_bruteforce(spark):
+    import itertools, random
+    from sopspark.text.dedup import jaccard_similarity_join
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(40)]
+
+    def jac(a, b):
+        sa, sb = set(a.split(" ")), set(b.split(" "))
+        return len(sa & sb) / len(sa | sb)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.3, 0.6, 0.9):
+        expect = sorted(
+            (i, j, round(jac(a, b), 6))
+            for (i, a), (j, b) in itertools.combinations(docs, 2)
+            if jac(a, b) >= t
+        )
+        got = sorted((r.doc_a, r.doc_b, r.jaccard)
+                     for r in jaccard_similarity_join(df, t).collect())
+        assert got == expect, (t, len(got), len(expect))
+
+
+def test_jaccard_join_threshold_validation(spark):
+    import pytest
+    from sopspark.text.dedup import jaccard_similarity_join
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        jaccard_similarity_join(df, 0.0)
