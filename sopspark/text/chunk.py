@@ -48,7 +48,7 @@ def chunk_documents(
     exploded = docs.select(
         F.col(id_col),
         toks.alias("_toks"),
-        F.posexplode(F.sequence(F.lit(0), num - 1)).alias("chunk_idx", "_i"),
+        F.explode(F.sequence(F.lit(0), num - 1)).alias("chunk_idx"),
     )
     window = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size)
     return exploded.select(

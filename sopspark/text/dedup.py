@@ -543,7 +543,18 @@ def jaccard_similarity_join(
             F.col(id_col).alias("_id"),
             F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))).alias("_set"),
         )
-    toks = toks.withColumn("_n", F.size("_set"))
+    # persisted: the scan+shingle subplan is consumed by the frequency
+    # agg, the rank join, the size join, and both verify sides — without
+    # this the corpus is re-shingled ~5x (the _tokens_barrier lesson);
+    # released in the finally after the eager result checkpoint
+    toks = toks.withColumn("_n", F.size("_set")).persist()
+    try:
+        return _jaccard_join_body(toks, t).localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
+
+
+def _jaccard_join_body(toks: DataFrame, t: float) -> DataFrame:
     # global rare-first rank: (freq asc, token asc) over distinct doc-tokens
     tok = toks.select("_id", F.explode("_set").alias("_tok"))
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_f"))
@@ -561,7 +572,14 @@ def jaccard_similarity_join(
         )
     )
     sized = ranked.join(toks.select("_id", "_set", "_n"), "_id")
-    prefix_len = F.col("_n") - F.ceil(F.lit(t) * F.col("_n")).cast("int") + 1
+    # EPS guards the two prune inequalities against double rounding-up
+    # (e.g. 0.07*100 -> 7.000000000000001): subtracting it can only
+    # LENGTHEN the prefix / LOOSEN the length filter, so pruning stays
+    # strictly conservative and the verify step keeps the exact contract
+    EPS = 1e-9
+    prefix_len = (
+        F.col("_n") - F.ceil(F.lit(t) * F.col("_n") - F.lit(EPS)).cast("int") + 1
+    )
     pre = sized.select(
         "_id", "_set", "_n",
         F.explode(F.slice("_sorted", 1, prefix_len)).alias("_tok"),
@@ -576,8 +594,8 @@ def jaccard_similarity_join(
         .where(F.col("_ida") < F.col("_idb"))
         # length filter: J >= t forces t*na <= nb and t*nb <= na
         .where(
-            (F.lit(t) * F.col("_na") <= F.col("_nb"))
-            & (F.lit(t) * F.col("_nb") <= F.col("_na"))
+            (F.lit(t) * F.col("_na") - F.lit(EPS) <= F.col("_nb"))
+            & (F.lit(t) * F.col("_nb") - F.lit(EPS) <= F.col("_na"))
         )
         .select("_ida", "_idb", "_na", "_nb")
         .dropDuplicates(["_ida", "_idb"])

@@ -590,3 +590,15 @@ def test_jaccard_join_threshold_validation(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         jaccard_similarity_join(df, 0.0)
+
+
+def test_jaccard_join_float_boundary_threshold(spark):
+    from sopspark.text.dedup import jaccard_similarity_join
+
+    # 0.07*100 = 7.000000000000001 in doubles: the naive length filter /
+    # ceil(t*n) prefix both prune the qualifying J = 7/100 == t pair
+    a_text = " ".join(f"w{i}" for i in range(100))
+    b_text = " ".join(f"w{i}" for i in range(7))
+    df = spark.createDataFrame([(1, a_text), (2, b_text)], ["doc_id", "text"])
+    got = [(r.doc_a, r.doc_b) for r in jaccard_similarity_join(df, 0.07).collect()]
+    assert got == [(1, 2)]
