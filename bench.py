@@ -126,6 +126,7 @@ def main() -> None:
         "bfs_levels": QUERIES["bfs_levels"],
         "cms_heavy_hitters": QUERIES["cms_heavy_hitters"],
         "jaccard_join": QUERIES["jaccard_join"],
+        "normalize_text": QUERIES["normalize_text"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1357,6 +1357,27 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization gauntlet (text/analysis.py::normalize_text):
+    the parquet corpus is ASCII, so deterministic unicode noise keyed on
+    doc_id%3 is injected IDENTICALLY in both engines first (decomposed
+    e+U+0301 prefix / BEL control + space runs) — then NFC (Arrow pandas
+    UDF vs DuckDB nfc_normalize) + JVM control-strip + collapse must
+    agree byte-for-byte."""
+    from sopspark.text.analysis import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    m = F.col("doc_id") % 3
+    noisy = docs.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("Café "), F.col("text")))
+        .when(m == 1, F.concat(F.lit("bell  "), F.col("text"), F.lit("  run 	 end ")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_text(noisy).orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1424,6 +1445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_levels": q_bfs_levels,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "jaccard_join": q_jaccard_join,
+    "normalize_text": q_normalize_text,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2586,6 +2608,25 @@ def _cms_heavy_hitters_oracle() -> str:
 
 
 ORACLES["cms_heavy_hitters"] = _cms_heavy_hitters_oracle()
+
+ORACLES["normalize_text"] = r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'Cafe' || chr(769) || ' ' || text
+                  WHEN doc_id % 3 = 1 THEN chr(7) || 'bell  ' || text
+                                           || '  run ' || chr(9) || ' end '
+                  ELSE text END AS t
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, t,
+             trim(regexp_replace(
+               regexp_replace(nfc_normalize(t),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]', '', 'g'),
+               '[ \t]+', ' ', 'g')) AS text
+      FROM noisy
+    )
+    SELECT doc_id, text, text != t AS changed FROM norm ORDER BY doc_id
+"""
 
 # plain all-pairs threshold join — NO prefix filter on the oracle side, so
 # a parity match machine-verifies the filter's exactness (recall == 1.0)

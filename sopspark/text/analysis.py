@@ -643,3 +643,43 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return out.withColumn("gopher_keep", keep).drop(
         "_lines", "_tk", "_slines", "_bg", "_dupchars", "_bscan"
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode curation normalization: NFC canonical composition, C0/C1
+    control-character strip (tab/newline/CR survive), space/tab-run
+    collapse, trim. Returns ``(id_col, text, changed)``.
+
+    UDF discipline: NFC is the ONE step Catalyst cannot express, so it —
+    and only it — runs as an Arrow-batched pandas UDF; the control strip
+    and whitespace collapse stay JVM-side ``regexp_replace`` (portable
+    character classes, no codegen break around them). The whole operator
+    is map-only: zero shuffle, scales linearly with input bytes. The
+    DuckDB oracle replicates NFC via ``nfc_normalize`` (both engines
+    implement Unicode canonical composition, verified to agree on
+    decomposed latin, compatibility-exempt ligatures, and halfwidth
+    forms).
+    """
+    import unicodedata
+
+    # explicit returnType form: the module-wide `from __future__ import
+    # annotations` turns hints into strings the UDF inferrer can't resolve
+    _nfc = F.pandas_udf(
+        lambda s: s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        ),
+        "string",
+    )
+
+    nfc = _nfc(F.col(text_col))
+    stripped = F.regexp_replace(
+        nfc, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]", ""
+    )
+    collapsed = F.trim(F.regexp_replace(stripped, "[ \\t]+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("text"),
+        (collapsed != F.col(text_col)).alias("changed"),
+    )

@@ -602,3 +602,22 @@ def test_jaccard_join_float_boundary_threshold(spark):
     df = spark.createDataFrame([(1, a_text), (2, b_text)], ["doc_id", "text"])
     got = [(r.doc_a, r.doc_b) for r in jaccard_similarity_join(df, 0.07).collect()]
     assert got == [(1, 2)]
+
+
+def test_normalize_text_closed_forms(spark):
+    from sopspark.text.analysis import normalize_text
+
+    rows = [
+        (1, "Café au lait"),          # decomposed -> composed
+        (2, "a\x07b\x00c"),                  # control chars strip
+        (3, "  lots \t of\t\truns  "),       # collapse + trim
+        (4, "already clean"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.text, r.changed) for r in normalize_text(df).collect()}
+    assert got[1] == ("Café au lait", True)
+    assert got[2] == ("abc", True)
+    assert got[3] == ("lots of runs", True)
+    assert got[4] == ("already clean", False)
+    assert got[5] == (None, None)
