@@ -127,6 +127,7 @@ def main() -> None:
         "cms_heavy_hitters": QUERIES["cms_heavy_hitters"],
         "jaccard_join": QUERIES["jaccard_join"],
         "normalize_text": QUERIES["normalize_text"],
+        "hard_negatives": QUERIES["hard_negatives"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1378,6 +1378,27 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(noisy).orderBy("doc_id")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (text/similarity.py::hard_negatives): top-5
+    nearest different-label vectors per anchor, the contrastive-training
+    negatives closest to the decision boundary; label anti-filter below
+    the rank window so negatives replace excluded same-label rows."""
+    from sopspark.text.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 8)
+    return (
+        hard_negatives(emb, anchors, k=5)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            F.round("cosine", 4).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1446,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "jaccard_join": q_jaccard_join,
     "normalize_text": q_normalize_text,
+    "hard_negatives": q_hard_negatives,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2608,6 +2630,27 @@ def _cms_heavy_hitters_oracle() -> str:
 
 
 ORACLES["cms_heavy_hitters"] = _cms_heavy_hitters_oracle()
+
+ORACLES["hard_negatives"] = """
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos6
+      FROM embeddings a JOIN embeddings b
+        ON a.label != b.label
+      WHERE a.vec_id < 8
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos6 DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           ROUND(cos6, 4) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 ORACLES["normalize_text"] = r"""
     WITH noisy AS (

@@ -414,3 +414,54 @@ def semdedup(
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the top-k most-cosine-similar vectors carrying a DIFFERENT
+    label — the negatives that sit closest to the decision boundary.
+
+    The label anti-filter runs BELOW the rank window, so same-label
+    neighbors are replaced by the next-nearest negatives rather than
+    truncating the k. Rows with a null label can never qualify on either
+    side (a null comparison filters them), matching the SQL twin.
+
+    Same scale shape as :func:`cosine_topk`: broadcast the (small) anchor
+    side, one window per anchor — or swap in the IVF candidate generator
+    upstream when the corpus no longer broadcasts.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        _norm_col(F.col(vec_col)).alias("_cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        _norm_col(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c) if queries is not corpus else c)
+        .where(F.col("_ql") != F.col("_cl"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -712,3 +712,21 @@ def test_cms_sketch_merges(spark):
     keys = spark.createDataFrame([("x",), ("y",), ("z",)], ["k"])
     est = {r.k: r.est for r in cms_estimate(merged, keys, "k", d=4, w=16).collect()}
     assert est["x"] >= 8 and est["y"] >= 2 and est["z"] >= 4
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from sopspark.text.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.99, 0.1], "a"),   # nearest to 1 but same label -> excluded
+        (3, [0.9, 0.3], "b"),
+        (4, [0.0, 1.0], "b"),
+        (5, [0.5, 0.5], None),   # null label: never a negative
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = df.where("vec_id = 1")
+    got = [(r.neighbor_id, r.rank) for r in
+           hard_negatives(df, anchors, k=3).orderBy("rank").collect()]
+    # only the different-label vectors 3 and 4 qualify, nearest first
+    assert got == [(3, 1), (4, 2)]
