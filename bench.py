@@ -128,6 +128,7 @@ def main() -> None:
         "jaccard_join": QUERIES["jaccard_join"],
         "normalize_text": QUERIES["normalize_text"],
         "hard_negatives": QUERIES["hard_negatives"],
+        "group_split": QUERIES["group_split"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

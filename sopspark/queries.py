@@ -1399,6 +1399,27 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUP_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_GROUP_SPLIT_SEED = 7
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (text/analysis.py::group_split):
+    every event of a user lands in one split via the md5 hash ladder — a
+    pure map-side filter-free projection, retry/speculation-stable; the
+    query returns the per-user assignment (distinct proves no user
+    straddles splits) with the per-user row count."""
+    from sopspark.text.analysis import group_split
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = group_split(ev, "user_id", _GROUP_SPLIT_WEIGHTS, seed=_GROUP_SPLIT_SEED)
+    return (
+        out.groupBy(F.col("user_id").cast("bigint").alias("user_id"), "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1468,6 +1489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_join": q_jaccard_join,
     "normalize_text": q_normalize_text,
     "hard_negatives": q_hard_negatives,
+    "group_split": q_group_split,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2630,6 +2652,29 @@ def _cms_heavy_hitters_oracle() -> str:
 
 
 ORACLES["cms_heavy_hitters"] = _cms_heavy_hitters_oracle()
+
+def _group_split_oracle() -> str:
+    from sopspark.text.dedup import md5hex48_sql
+
+    h = md5hex48_sql(
+        f"CONCAT('{_GROUP_SPLIT_SEED}:', CAST(user_id AS VARCHAR))"
+    )
+    # identical cumulative int() thresholds as the Spark ladder
+    names = list(_GROUP_SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += _GROUP_SPLIT_WEIGHTS[name]
+        cases.append(f"WHEN h < {int(acc * 2**48)} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+    WITH hashed AS (SELECT user_id, {h} AS h FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user_id, {case} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM hashed GROUP BY 1, 2 ORDER BY user_id
+    """
+
+
+ORACLES["group_split"] = _group_split_oracle()
 
 ORACLES["hard_negatives"] = """
     WITH scored AS (

@@ -683,3 +683,40 @@ def normalize_text(
         collapsed.alias("text"),
         (collapsed != F.col(text_col)).alias("changed"),
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: every row of a GROUP
+    (conversation, user, document family) lands in the same split, so
+    evaluation data can never share a group with training data. Adds a
+    ``split`` column.
+
+    Assignment is ``hash48(seed:group) / 2^48`` against the cumulative
+    weight ladder — a pure map-side expression: NO shuffle, no RNG state,
+    stable across runs/retries/speculative tasks, and adding corpus
+    shards later never reassigns existing groups. The engine-shared md5
+    idiom makes the DuckDB twin exact.
+
+    ``weights`` must sum to 1 (within 1e-9); iteration order fixes which
+    split owns each hash interval, so use a plain dict with a stable
+    insertion order (e.g. train/val/test).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = _md5_unit48(F.concat(F.lit(f"{seed}:"), F.col(group_col).cast("string")))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = h < F.lit(int(acc * 2**48))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -292,3 +292,34 @@ def test_gopher_quality_keep_path(spark):
     df = spark.createDataFrame([(1, good)], "doc_id long, text string")
     row = gopher_quality(df).collect()[0]
     assert row["gopher_keep"], dict(row.asDict())
+
+
+def test_group_split_no_leakage_and_stability(spark):
+    from sopspark.text.analysis import group_split
+
+    rows = [(u, i) for u in range(60) for i in range(3)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = group_split(df, "user_id", w, seed=3).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, set()).add(r.split)
+    # leakage-free: one split per group
+    assert all(len(s) == 1 for s in by_user.values())
+    # deterministic across runs
+    again = {r.user_id: r.split
+             for r in group_split(df, "user_id", w, seed=3).collect()}
+    assert again == {u: next(iter(s)) for u, s in by_user.items()}
+    # all three splits occupied at 60 groups and fractions are sane
+    from collections import Counter
+    frac = Counter(again.values())
+    assert set(frac) == {"train", "val", "test"} and frac["train"] > frac["val"]
+
+
+def test_group_split_rejects_bad_weights(spark):
+    import pytest
+    from sopspark.text.analysis import group_split
+
+    df = spark.createDataFrame([(1, 1)], ["user_id", "event_id"])
+    with pytest.raises(ValueError):
+        group_split(df, "user_id", {"train": 0.8, "val": 0.1})
