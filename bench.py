@@ -129,6 +129,7 @@ def main() -> None:
         "normalize_text": QUERIES["normalize_text"],
         "hard_negatives": QUERIES["hard_negatives"],
         "group_split": QUERIES["group_split"],
+        "kcore": QUERIES["kcore"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

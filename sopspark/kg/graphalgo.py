@@ -245,6 +245,93 @@ def label_propagation_oracle_sql(edges_sql: str, iters: int = 5) -> str:
     return sql
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """k-core peeling over an undirected graph: repeatedly remove
+    vertices whose degree in the SURVIVING subgraph is < k. Returns
+    ``(node, degree)`` for the vertices still alive — with
+    ``rounds=None`` peels to the true k-core fixpoint (data-dependent
+    round count, driver-checked), else exactly ``rounds`` synchronous
+    peels (a closed form of the edge set, which is what the DuckDB
+    unrolled-CTE twin replicates).
+
+    Per round: one degree aggregate + two semi-joins filtering the
+    adjacency list to surviving endpoints — all equi-keyed on node id,
+    map-side combined / AQE-skew-splittable; the surviving-vertex table
+    is node-sized. Lineage truncates via localCheckpoint every
+    ``checkpoint_every`` rounds.
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    i = 0
+    prev_edges = adj.count() if rounds is None else None
+    while True:
+        deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        surv = deg.where(F.col("d") >= k).select("v")
+        nxt = adj.join(surv, "v", "left_semi").join(
+            surv.withColumnRenamed("v", "nbr"), "nbr", "left_semi"
+        ).select("v", "nbr")
+        i += 1
+        if rounds is None:
+            # fixpoint: stop when no edge was peeled this round
+            nxt = nxt.localCheckpoint(eager=True)
+            adj = nxt
+            n_edges = nxt.count()
+            if n_edges == prev_edges:
+                break
+            prev_edges = n_edges
+        else:
+            adj = nxt
+            if i % checkpoint_every == 0 and i < rounds:
+                adj = adj.localCheckpoint(eager=False)
+            if i >= rounds:
+                break
+    return adj.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("int").alias("degree")
+    )
+
+
+def kcore_oracle_sql(edges_sql: str, k: int, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`kcore` with a fixed round count.
+    ``edges_sql`` must yield (src, dst)."""
+    sql = f"""
+    WITH raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql})),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+    ),
+    a0 AS MATERIALIZED (
+      SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+    )"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql += f""",
+    s{i} AS MATERIALIZED (
+      SELECT v FROM a{p} GROUP BY v HAVING COUNT(*) >= {k}
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT x.v, x.nbr FROM a{p} x
+      JOIN s{i} sv ON x.v = sv.v JOIN s{i} sn ON x.nbr = sn.v
+    )"""
+    sql += f"""
+    SELECT v AS node, CAST(COUNT(*) AS INT) AS degree
+    FROM a{rounds} GROUP BY v ORDER BY node"""
+    return sql
+
+
 def bfs_levels(
     edges: DataFrame,
     sources: DataFrame,

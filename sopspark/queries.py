@@ -1420,6 +1420,26 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (kg/graphalgo.py::kcore, k=3, 6 synchronous
+    rounds) over the part co-occurrence graph — per round one degree agg
+    + two node-keyed semi-joins; the DuckDB twin unrolls the identical
+    peels."""
+    from sopspark.kg.graphalgo import kcore
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity") >= 45
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
+    return (
+        kcore(edges, k=3, rounds=6)
+        .select(F.col("node").cast("bigint").alias("node"), "degree")
+        .orderBy("node")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1490,6 +1510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": q_normalize_text,
     "hard_negatives": q_hard_negatives,
     "group_split": q_group_split,
+    "kcore": q_kcore,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2652,6 +2673,24 @@ def _cms_heavy_hitters_oracle() -> str:
 
 
 ORACLES["cms_heavy_hitters"] = _cms_heavy_hitters_oracle()
+
+def _kcore_oracle() -> str:
+    from sopspark.kg.graphalgo import kcore_oracle_sql
+
+    edges = """
+      SELECT x.l_partkey AS src, y.l_partkey AS dst
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                                     AND x.l_partkey < y.l_partkey
+      WHERE x.l_quantity >= 45 AND y.l_quantity >= 45
+    """
+    inner = kcore_oracle_sql(edges, k=3, rounds=6)
+    return f"""
+    SELECT CAST(node AS BIGINT) AS node, degree FROM ({inner}) ORDER BY node
+    """
+
+
+ORACLES["kcore"] = _kcore_oracle()
+
 
 def _group_split_oracle() -> str:
     from sopspark.text.dedup import md5hex48_sql

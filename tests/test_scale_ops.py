@@ -730,3 +730,18 @@ def test_hard_negatives_excludes_same_label(spark):
            hard_negatives(df, anchors, k=3).orderBy("rank").collect()]
     # only the different-label vectors 3 and 4 qualify, nearest first
     assert got == [(3, 1), (4, 2)]
+
+
+def test_kcore_fixpoint_and_fixed_rounds(spark):
+    from sopspark.kg.graphalgo import kcore
+
+    # K4 {1..4} + a pendant path 4-5-6 + noise dup/self-loop
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fix = {r.node: r.degree for r in kcore(df, k=3, rounds=None).collect()}
+    assert fix == {1: 3, 2: 3, 3: 3, 4: 3}   # the true 3-core
+    one = {r.node: r.degree for r in kcore(df, k=3, rounds=1).collect()}
+    assert one == fix                        # this graph converges in 1 peel
+    empty = {r.node: r.degree for r in kcore(df, k=5, rounds=None).collect()}
+    assert empty == {}                       # no 5-core exists
