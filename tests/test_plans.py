@@ -150,3 +150,52 @@ def test_semdedup_broadcast_seeds(spark):
     # remaining exchanges: cluster-pair self-join (2) + dup-flag join (2);
     # AQE broadcasts the tiny dup side at runtime
     assert _n_exchanges(phys) <= 4, phys
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    from sopspark.text.chunk import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    phys = _physical(chunk_documents(docs))
+    assert _n_exchanges(phys) == 0, phys
+    # column pruning: the scan reads only the two consumed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in phys, phys
+
+
+def test_normalize_text_map_only(spark):
+    from sopspark.text.analysis import normalize_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    phys = _physical(normalize_text(docs))
+    assert _n_exchanges(phys) == 0, phys
+    assert "ArrowEvalPython" in phys, phys  # NFC runs Arrow-batched, not row-wise
+
+
+def test_group_split_no_shuffle(spark):
+    from sopspark.text.analysis import group_split
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    phys = _physical(group_split(ev, "user_id", {"train": 0.9, "test": 0.1}))
+    assert _n_exchanges(phys) == 0, phys
+
+
+def test_cms_sketch_single_bounded_exchange(spark):
+    from sopspark.text.sketch import cms_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    phys = _physical(cms_sketch(ev, "user_id", d=4, w=64))
+    # one hash exchange on (lane, bucket) with a partial aggregate below it
+    assert _n_exchanges(phys) == 1, phys
+    assert phys.index("partial_count") > phys.index("Exchange hashpartitioning") or \
+           "partial_count" in phys.split("Exchange hashpartitioning")[1], phys
+
+
+def test_hard_negatives_broadcast_anchors(spark):
+    from sopspark.text.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    anchors = emb.where(F.col("vec_id") < 8)
+    phys = _physical(hard_negatives(emb, anchors, k=5))
+    # corpus side broadcasts; the only shuffle is the per-anchor rank window
+    assert "BroadcastExchange" in phys, phys
+    assert _n_exchanges(phys) == 1, phys
