@@ -322,3 +322,80 @@ def streaming_kg_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    value_col: str,
+    workdir: str,
+    d: int = 4,
+    w: int = 256,
+    sketch_dir: str = "cms",
+):
+    """Continuous count-min-sketch maintenance: per micro-batch, sketch
+    the batch (≤ d·w rows) and element-wise MERGE into the persisted
+    sketch table — the streaming twin of ``text.sketch.cms_sketch``,
+    exploiting the sketch's additive mergeability so state is O(d·w)
+    forever, never O(keys).
+
+    CMS merge is additive, NOT idempotent, so a replayed micro-batch
+    would double-count; the table therefore carries the last merged
+    ``batch_id`` in-row (atomic with the counts via the crash-safe
+    directory swap) and upsert skips any batch it has already absorbed —
+    foreachBatch replay becomes a no-op, giving exactly-once counts.
+
+    Returns the StreamingQuery; query the sketch with
+    ``text.sketch.cms_estimate`` over ``workdir/sketch_dir``.
+    """
+    import os
+    import shutil
+
+    from sopspark.text.sketch import cms_sketch
+
+    out_path = os.path.join(workdir, sketch_dir)
+    bak_path = out_path + "._prev"
+
+    def _current() -> str | None:
+        if os.path.isdir(out_path):
+            return out_path
+        if os.path.isdir(bak_path):
+            return bak_path
+        return None
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        fresh = cms_sketch(batch, value_col, d=d, w=w)
+        cur = _current()
+        if cur:
+            prior = spark.read.parquet(cur)
+            if prior.limit(1).collect() and prior.head()["last_batch"] >= batch_id:
+                return  # replayed batch: already absorbed
+            merged = (
+                prior.select("lane", "bucket", "cnt")
+                .unionByName(fresh)
+                .groupBy("lane", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = fresh
+        out = merged.withColumn("last_batch", F.lit(batch_id).cast("long"))
+        tmp = out_path + f"._b{batch_id}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(bak_path):
+            shutil.rmtree(bak_path)
+        if os.path.isdir(out_path):
+            os.rename(out_path, bak_path)
+        os.rename(tmp, out_path)
+        if os.path.isdir(bak_path):
+            shutil.rmtree(bak_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(workdir, "_cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -331,3 +331,52 @@ def test_streaming_kg_ingest_matches_batch(spark, tmp_path):
 
     got = set(collect_nq_lines(spark.read.parquet(os.path.join(wd, "graph"))))
     assert got == want
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """Two micro-batches of additive CMS merge equal the one-shot batch
+    sketch, and replaying an absorbed batch is a no-op (exactly-once)."""
+    from sopspark.text.sketch import cms_sketch, cms_estimate
+    from sopspark.streaming.pipeline import streaming_heavy_hitters
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    src = str(tmp_path / "src")
+    ev.where("user_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    wd = str(tmp_path / "wd")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_heavy_hitters(stream, "user_id", wd, d=4, w=64)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{wd}/cms")
+    want = cms_sketch(ev, "user_id", d=4, w=64)
+    gs = sorted((r.lane, r.bucket, r.cnt) for r in got.collect())
+    ws = sorted((r.lane, r.bucket, r.cnt) for r in want.collect())
+    assert gs == ws  # merged micro-batch sketches == one-shot sketch
+
+    # estimates over the streamed sketch behave (>= true counts)
+    keys = ev.select("user_id").distinct()
+    est = {r.user_id: r.est
+           for r in cms_estimate(got.select("lane", "bucket", "cnt"),
+                                 keys, "user_id", d=4, w=64).collect()}
+    from collections import Counter
+    true = Counter(r.user_id for r in ev.collect())
+    assert all(est[u] >= c for u, c in true.items())
+
+    # replay idempotence: re-run the same bounded stream; batch ids replay
+    # from the same checkpoint as no-ops and counts stay identical
+    q2 = streaming_heavy_hitters(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "user_id", wd, d=4, w=64,
+    )
+    q2.awaitTermination(120)
+    gs2 = sorted((r.lane, r.bucket, r.cnt)
+                 for r in spark.read.parquet(f"{wd}/cms").collect())
+    assert gs2 == gs
