@@ -130,6 +130,7 @@ def main() -> None:
         "hard_negatives": QUERIES["hard_negatives"],
         "group_split": QUERIES["group_split"],
         "kcore": QUERIES["kcore"],
+        "ppr": QUERIES["ppr"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

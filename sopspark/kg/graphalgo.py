@@ -245,6 +245,127 @@ def label_propagation_oracle_sql(edges_sql: str, iters: int = 5) -> str:
     return sql
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at the SOURCE set
+    instead of uniformly, so ranks measure relatedness TO the sources —
+    the standard KG entity-relatedness / recommendation analytic.
+
+      rank_{i+1}(v) = (1-d)·r0(v) + d·( Σ_{u→v} rank_i(u)/outdeg(u)
+                                        + dangling_mass_i · r0(v) )
+
+    with r0(v) = 1/|S| on the sources, 0 elsewhere (dangling mass also
+    teleports to the sources — walks never leak probability to the
+    uniform distribution). Same scale shape as :func:`pagerank`: per
+    iteration one edge-scan join + one node-keyed aggregate, node-sized
+    rank table, lazy localCheckpoint lineage truncation.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = sources.select(F.col(source_col).alias("node")).distinct()
+    ns = s.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank requires a non-empty source set")
+    # node table carries its restart probability r0 once, reused every round
+    nr = nodes.join(s.withColumn("_s", F.lit(1)), "node", "left").select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("r0"),
+    ).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ew = e.join(deg, "src").persist()
+    ew.count()
+    d = float(damping)
+    try:
+        ranks = nr.select("node", F.col("r0").alias("rank"))
+        for i in range(iters):
+            contrib = (
+                ew.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            )
+            dangling = (
+                ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+            )
+            ranks = (
+                nr.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        (1.0 - d) * F.col("r0")
+                        + d
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("mass") * F.col("r0")
+                        )
+                    ).alias("rank"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                ranks = ranks.localCheckpoint(eager=False)
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        for cached in (nr, deg, ew):
+            cached.unpersist()
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str, sources_sql: str, iters: int = 10, damping: float = 0.85
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank`, iterations unrolled.
+    ``edges_sql`` yields (src, dst); ``sources_sql`` yields (node)."""
+    d = float(damping)
+    sql = f"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    s AS MATERIALIZED (SELECT DISTINCT node FROM ({sources_sql})),
+    nsrc AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s),
+    nr AS MATERIALIZED (
+      SELECT nodes.node,
+             CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT n FROM nsrc)
+                  ELSE 0.0 END AS r0
+      FROM nodes LEFT JOIN s ON s.node = nodes.node
+    ),
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT node, r0 AS rank FROM nr)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
+      FROM e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+      FROM r{p} r LEFT JOIN deg ON deg.src = r.node
+      WHERE deg.src IS NULL
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT nr.node,
+             (1.0 - {d!r}) * nr.r0
+             + {d!r} * (COALESCE(c.contrib, 0.0)
+                        + (SELECT mass FROM d{i}) * nr.r0) AS rank
+      FROM nr LEFT JOIN c{i} c ON c.node = nr.node
+    )"""
+    sql += f"""
+    SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+    return sql
+
+
 def kcore(
     edges: DataFrame,
     k: int,

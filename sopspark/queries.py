@@ -1440,6 +1440,29 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (kg/graphalgo.py::personalized_pagerank, 10
+    iterations) from the first five user entities over the bipartite
+    user↔event-type graph — dangling mass teleports to the sources, so
+    ranks measure relatedness to them; DuckDB unrolls the identical
+    iteration."""
+    from sopspark.kg.graphalgo import personalized_pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ut = ev.select(
+        F.concat(F.lit(USR), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit(EV), F.col("event_type")).alias("dst"),
+    )
+    edges = ut.unionByName(
+        ut.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = ev.where(F.col("user_id") < 5).select(
+        F.concat(F.lit(USR), F.col("user_id").cast("string")).alias("node")
+    )
+    pr = personalized_pagerank(edges, sources, iters=10)
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1511,6 +1534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "group_split": q_group_split,
     "kcore": q_kcore,
+    "ppr": q_ppr,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2324,6 +2348,26 @@ def _pagerank_oracle() -> str:
 
 
 ORACLES["pagerank"] = _pagerank_oracle()
+
+
+def _ppr_oracle() -> str:
+    from sopspark.kg.graphalgo import personalized_pagerank_oracle_sql
+
+    edges = (
+        "SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS src, "
+        "'http://example.org/event/' || event_type AS dst FROM events "
+        "UNION ALL "
+        "SELECT 'http://example.org/event/' || event_type, "
+        "'http://example.org/user/' || CAST(user_id AS VARCHAR) FROM events"
+    )
+    sources = (
+        "SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS node "
+        "FROM events WHERE user_id < 5"
+    )
+    return personalized_pagerank_oracle_sql(edges, sources, iters=10)
+
+
+ORACLES["ppr"] = _ppr_oracle()
 
 ORACLES["rollup_agg"] = """
     SELECT event_type,

@@ -745,3 +745,37 @@ def test_kcore_fixpoint_and_fixed_rounds(spark):
     assert one == fix                        # this graph converges in 1 peel
     empty = {r.node: r.degree for r in kcore(df, k=5, rounds=None).collect()}
     assert empty == {}                       # no 5-core exists
+
+
+def test_ppr_all_sources_equals_pagerank(spark):
+    from sopspark.kg.graphalgo import pagerank, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (5, 1)], ["src", "dst"]
+    )
+    nodes = (edges.select(edges.src.alias("node"))
+             .unionByName(edges.select(edges.dst.alias("node"))).distinct())
+    # restarting uniformly over ALL nodes IS standard PageRank
+    pr = {r.node: r.rank for r in pagerank(edges, iters=8).collect()}
+    ppr = {r.node: r.rank
+           for r in personalized_pagerank(edges, nodes, iters=8).collect()}
+    assert set(pr) == set(ppr)
+    assert all(abs(pr[n] - ppr[n]) < 1e-9 for n in pr)
+
+
+def test_ppr_mass_conserved_and_source_biased(spark):
+    import pytest
+    from sopspark.kg.graphalgo import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3), (9, 10), (10, 9)],
+        ["src", "dst"],
+    )
+    sources = spark.createDataFrame([(1,)], ["node"])
+    out = {r.node: r.rank
+           for r in personalized_pagerank(edges, sources, iters=12).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9          # probability conserved
+    assert out[1] >= 0.15 - 1e-9                        # source keeps >= (1-d)·r0
+    assert out[9] == 0.0 and out[10] == 0.0             # unreachable: exactly 0
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, sources.where("node > 99"))
