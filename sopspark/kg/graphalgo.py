@@ -44,106 +44,29 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()
-    if n == 0:
-        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
-        nodes.unpersist()
-        return out
-
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    # weight each edge once: contribution = rank(src)/deg(src)
-    ew = e.join(deg, "src").persist()
-    ew.count()
-
-    try:
-        return _pagerank_iterate(nodes, deg, ew, n, iters, damping, checkpoint_every)
-    finally:
-        # the final ranks are localCheckpoint-materialized, so the cached
-        # inputs are safe to release — without this, every call leaks
-        # three persisted datasets for the session lifetime
-        for cached in (nodes, deg, ew):
-            cached.unpersist()
-
-
-def _pagerank_iterate(nodes, deg, ew, n, iters, damping, checkpoint_every):
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
-    for i in range(iters):
-        contrib = (
-            ew.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
-        )
-        # dangling nodes (no out-edges) spread their rank uniformly
-        dangling = (
-            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
-        )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("mass") / n)
-                ).alias("rank"),
-            )
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            # lazy: truncates lineage when the final action materializes —
-            # an eager intermediate checkpoint would add a full job per
-            # truncation point (~30% of wall at small scale)
-            ranks = ranks.localCheckpoint(eager=False)
-
-    # the FINAL checkpoint is eager: it materializes the result before the
-    # caller's finally-block unpersists nodes/deg/ew
-    return ranks.localCheckpoint(eager=True)
+    if not nodes.take(1):
+        return nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+    # uniform restart over every node IS standard PageRank (r0 = 1/N and
+    # dangling mass teleports uniformly) — one shared iteration body, no
+    # drift between the two ranks (pinned by
+    # tests/test_scale_ops.py::test_ppr_all_sources_equals_pagerank)
+    return personalized_pagerank(
+        e, nodes, iters=iters, damping=damping, checkpoint_every=checkpoint_every
+    )
 
 
 def pagerank_oracle_sql(
     edges_sql: str, iters: int = 10, damping: float = 0.85
 ) -> str:
-    """DuckDB twin: the iteration UNROLLED as a CTE chain (recursive CTEs
-    allow only one reference to the recursive term, which the
-    contribution + dangling split needs two of). ``edges_sql`` must yield
-    columns (src, dst)."""
-    d = float(damping)
-    # AS MATERIALIZED: without it DuckDB inlines every CTE reference, and
-    # the unrolled chain re-opens the parquet scan per reference ("Too
-    # many open files" beyond a few iterations)
-    sql = f"""
-    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
-    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
-    for i in range(1, iters + 1):
-        p = i - 1
-        sql += f""",
-    c{i} AS MATERIALIZED (
-      SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
-      FROM e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.src = e.src
-      GROUP BY e.dst
-    ),
-    d{i} AS MATERIALIZED (
-      SELECT COALESCE(SUM(r.rank), 0.0) AS mass
-      FROM r{p} r LEFT JOIN deg ON deg.src = r.node
-      WHERE deg.src IS NULL
-    ),
-    r{i} AS MATERIALIZED (
-      SELECT nodes.node,
-             (1.0 - {d!r}) / (SELECT n FROM nn)
-             + {d!r} * (COALESCE(c.contrib, 0.0)
-                        + (SELECT mass FROM d{i}) / (SELECT n FROM nn)) AS rank
-      FROM nodes LEFT JOIN c{i} c ON c.node = nodes.node
-    )"""
-    sql += f"""
-    SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"""
-    return sql
+    """DuckDB twin of :func:`pagerank` — delegates to the personalized
+    generator with the full node set as sources, mirroring how the Spark
+    side is now the uniform special case of one shared iteration body."""
+    sources = (
+        f"SELECT src AS node FROM ({edges_sql}) "
+        f"UNION SELECT dst FROM ({edges_sql})"
+    )
+    return personalized_pagerank_oracle_sql(edges_sql, sources, iters, damping)
 
 
 def label_propagation(
@@ -269,15 +192,19 @@ def personalized_pagerank(
     rank table, lazy localCheckpoint lineage truncation.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     s = sources.select(F.col(source_col).alias("node")).distinct()
     ns = s.count()
     if ns == 0:
         raise ValueError("personalized_pagerank requires a non-empty source set")
+    # the node set INCLUDES isolated sources (a source absent from the
+    # edge list still receives restart mass — without the union its r0
+    # would silently vanish and Σrank would deflate below 1)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(s)
+        .distinct()
+    )
     # node table carries its restart probability r0 once, reused every round
     nr = nodes.join(s.withColumn("_s", F.lit(1)), "node", "left").select(
         "node",
@@ -330,8 +257,10 @@ def personalized_pagerank_oracle_sql(
     d = float(damping)
     sql = f"""
     WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),
-    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
     s AS MATERIALIZED (SELECT DISTINCT node FROM ({sources_sql})),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e UNION SELECT node FROM s
+    ),
     nsrc AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s),
     nr AS MATERIALIZED (
       SELECT nodes.node,
@@ -397,29 +326,28 @@ def kcore(
     adj = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
-    i = 0
-    prev_edges = adj.count() if rounds is None else None
-    while True:
-        deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    def peel(cur):
+        deg = cur.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
         surv = deg.where(F.col("d") >= k).select("v")
-        nxt = adj.join(surv, "v", "left_semi").join(
+        return cur.join(surv, "v", "left_semi").join(
             surv.withColumnRenamed("v", "nbr"), "nbr", "left_semi"
         ).select("v", "nbr")
-        i += 1
-        if rounds is None:
+
+    if rounds is not None:
+        # exactly `rounds` peels — rounds=0 is the raw degree table
+        for i in range(rounds):
+            adj = peel(adj)
+            if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+                adj = adj.localCheckpoint(eager=False)
+    else:
+        prev_edges = adj.count()
+        while True:
             # fixpoint: stop when no edge was peeled this round
-            nxt = nxt.localCheckpoint(eager=True)
-            adj = nxt
-            n_edges = nxt.count()
+            adj = peel(adj).localCheckpoint(eager=True)
+            n_edges = adj.count()
             if n_edges == prev_edges:
                 break
             prev_edges = n_edges
-        else:
-            adj = nxt
-            if i % checkpoint_every == 0 and i < rounds:
-                adj = adj.localCheckpoint(eager=False)
-            if i >= rounds:
-                break
     return adj.groupBy(F.col("v").alias("node")).agg(
         F.count(F.lit(1)).cast("int").alias("degree")
     )

@@ -246,6 +246,38 @@ def streaming_exact_dedup(
     return events.dropDuplicates(keys)
 
 
+def _current_dir(out_path: str, bak_path: str) -> str | None:
+    """Crash recovery: if a swap died after moving current → backup but
+    before renaming the new table in, the backup IS the table."""
+    import os
+
+    if os.path.isdir(out_path):
+        return out_path
+    if os.path.isdir(bak_path):
+        return bak_path
+    return None
+
+
+def _swap_in(tmp: str, out_path: str, bak_path: str) -> None:
+    """Crash-safe table swap shared by every foreachBatch sink: at every
+    step a restart finds a complete table via :func:`_current_dir`.
+    The backup is only cleared (a) when a live ``out_path`` is about to
+    replace it, or (b) AFTER the new table is installed — when
+    recovering from the backup (``out_path`` missing), deleting it
+    before the final rename would leave a window with NO complete table.
+    """
+    import os
+    import shutil
+
+    if os.path.isdir(out_path):
+        if os.path.isdir(bak_path):
+            shutil.rmtree(bak_path)
+        os.rename(out_path, bak_path)
+    os.rename(tmp, out_path)
+    if os.path.isdir(bak_path):
+        shutil.rmtree(bak_path)
+
+
 def streaming_kg_ingest(
     stream, workdir: str, graph_dir: str = "graph"
 ):
@@ -276,17 +308,7 @@ def streaming_kg_ingest(
     from sopspark.kg.synth import alias_df, sameas_df
 
     out_path = os.path.join(workdir, graph_dir)
-
     bak_path = out_path + "._prev"
-
-    def _current() -> str | None:
-        # crash recovery: if the swap died after moving current → backup
-        # but before renaming the new table in, the backup IS the table
-        if os.path.isdir(out_path):
-            return out_path
-        if os.path.isdir(bak_path):
-            return bak_path
-        return None
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         import shutil
@@ -298,23 +320,13 @@ def streaming_kg_ingest(
             link_entities(extract_triples(assemble_turns(batch)), alias_df(spark)),
             sameas_closure(sameas_df(spark)),
         )
-        cur = _current()
+        cur = _current_dir(out_path, bak_path)
         merged = merge_incremental(spark.read.parquet(cur), quads) if cur else quads
-        # crash-safe swap: write new table aside, move current to backup,
-        # rename new into place, THEN drop the backup — at every step a
-        # restart finds a complete table via _current(); the old
-        # rmtree-then-rename order had a window that lost the whole graph
         tmp = out_path + f"._b{batch_id}"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(bak_path):
-            shutil.rmtree(bak_path)
-        if os.path.isdir(out_path):
-            os.rename(out_path, bak_path)
-        os.rename(tmp, out_path)
-        if os.path.isdir(bak_path):
-            shutil.rmtree(bak_path)
+        _swap_in(tmp, out_path, bak_path)
 
     return (
         stream.writeStream.foreachBatch(upsert)
@@ -322,6 +334,50 @@ def streaming_kg_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _cms_merge_batch(
+    batch: DataFrame,
+    batch_id: int,
+    value_col: str,
+    out_path: str,
+    bak_path: str,
+    d: int,
+    w: int,
+) -> bool:
+    """One micro-batch of :func:`streaming_heavy_hitters`, exposed for
+    direct replay testing. Returns True iff the batch was merged (False:
+    empty batch, or an already-absorbed ``batch_id`` replay — the
+    exactly-once guard)."""
+    import os
+    import shutil
+
+    from sopspark.text.sketch import cms_sketch
+
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return False
+    fresh = cms_sketch(batch, value_col, d=d, w=w)
+    cur = _current_dir(out_path, bak_path)
+    if cur:
+        prior = spark.read.parquet(cur)
+        if prior.limit(1).collect() and prior.head()["last_batch"] >= batch_id:
+            return False  # replayed batch: already absorbed
+        merged = (
+            prior.select("lane", "bucket", "cnt")
+            .unionByName(fresh)
+            .groupBy("lane", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = fresh
+    out = merged.withColumn("last_batch", F.lit(batch_id).cast("long"))
+    tmp = out_path + f"._b{batch_id}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    out.write.mode("overwrite").parquet(tmp)
+    _swap_in(tmp, out_path, bak_path)
+    return True
 
 
 def streaming_heavy_hitters(
@@ -348,50 +404,12 @@ def streaming_heavy_hitters(
     ``text.sketch.cms_estimate`` over ``workdir/sketch_dir``.
     """
     import os
-    import shutil
-
-    from sopspark.text.sketch import cms_sketch
 
     out_path = os.path.join(workdir, sketch_dir)
     bak_path = out_path + "._prev"
 
-    def _current() -> str | None:
-        if os.path.isdir(out_path):
-            return out_path
-        if os.path.isdir(bak_path):
-            return bak_path
-        return None
-
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if batch.isEmpty():
-            return
-        fresh = cms_sketch(batch, value_col, d=d, w=w)
-        cur = _current()
-        if cur:
-            prior = spark.read.parquet(cur)
-            if prior.limit(1).collect() and prior.head()["last_batch"] >= batch_id:
-                return  # replayed batch: already absorbed
-            merged = (
-                prior.select("lane", "bucket", "cnt")
-                .unionByName(fresh)
-                .groupBy("lane", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        else:
-            merged = fresh
-        out = merged.withColumn("last_batch", F.lit(batch_id).cast("long"))
-        tmp = out_path + f"._b{batch_id}"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        out.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(bak_path):
-            shutil.rmtree(bak_path)
-        if os.path.isdir(out_path):
-            os.rename(out_path, bak_path)
-        os.rename(tmp, out_path)
-        if os.path.isdir(bak_path):
-            shutil.rmtree(bak_path)
+        _cms_merge_batch(batch, batch_id, value_col, out_path, bak_path, d, w)
 
     return (
         stream.writeStream.foreachBatch(upsert)

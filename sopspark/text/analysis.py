@@ -704,7 +704,10 @@ def group_split(
 
     ``weights`` must sum to 1 (within 1e-9); iteration order fixes which
     split owns each hash interval, so use a plain dict with a stable
-    insertion order (e.g. train/val/test).
+    insertion order (e.g. train/val/test). Rows with a NULL group key get
+    ``split = NULL`` — unkeyable rows must be visibly quarantined, not
+    silently folded into the last split (which would skew its fraction
+    and put them in evaluation data).
     """
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
@@ -719,4 +722,7 @@ def group_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split", expr)
+    return df.withColumn(
+        "split",
+        F.when(F.col(group_col).isNull(), F.lit(None).cast("string")).otherwise(expr),
+    )

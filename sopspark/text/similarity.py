@@ -43,19 +43,44 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self-match
     excluded. Deterministic tie-break on neighbor id.
     """
+    return _scored_topk(
+        corpus, queries, k, id_col, vec_col,
+        pair_filter=F.col("query_id") != F.col("neighbor_id"),
+    )
+
+
+def _scored_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    pair_filter,
+    extra_corpus_cols: dict | None = None,
+    extra_query_cols: dict | None = None,
+) -> DataFrame:
+    """Shared exact-scoring skeleton for :func:`cosine_topk` and
+    :func:`hard_negatives`: score every (query, corpus) pair, rank per
+    query. The ANCHOR (query) side broadcasts — it is the small side by
+    contract; the corpus stays distributed (broadcasting it instead would
+    collect the whole table to the driver). Self-scan (queries IS corpus)
+    skips the hint and lets AQE pick."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         _norm_col(F.col(vec_col)).alias("_cn"),
+        *[v.alias(name) for name, v in (extra_corpus_cols or {}).items()],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _norm_col(F.col(vec_col)).alias("_qn"),
+        *[v.alias(name) for name, v in (extra_query_cols or {}).items()],
     )
+    left = F.broadcast(q) if queries is not corpus else q
     scored = (
-        q.crossJoin(F.broadcast(c) if queries is not corpus else c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        left.crossJoin(c)
+        .where(pair_filter)
         .withColumn(
             "cosine",
             F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
@@ -433,35 +458,14 @@ def hard_negatives(
     truncating the k. Rows with a null label can never qualify on either
     side (a null comparison filters them), matching the SQL twin.
 
-    Same scale shape as :func:`cosine_topk`: broadcast the (small) anchor
-    side, one window per anchor — or swap in the IVF candidate generator
-    upstream when the corpus no longer broadcasts.
+    Same scale shape as :func:`cosine_topk` (shared skeleton
+    :func:`_scored_topk`): the small ANCHOR side broadcasts, the corpus
+    stays distributed, one window per anchor — or swap in the IVF
+    candidate generator upstream at larger anchor counts.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("_cl"),
-        F.col(vec_col).alias("_cv"),
-        _norm_col(F.col(vec_col)).alias("_cn"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("_ql"),
-        F.col(vec_col).alias("_qv"),
-        _norm_col(F.col(vec_col)).alias("_qn"),
-    )
-    scored = (
-        q.crossJoin(F.broadcast(c) if queries is not corpus else c)
-        .where(F.col("_ql") != F.col("_cl"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _scored_topk(
+        corpus, queries, k, id_col, vec_col,
+        pair_filter=F.col("_ql") != F.col("_cl"),
+        extra_corpus_cols={"_cl": F.col(label_col)},
+        extra_query_cols={"_ql": F.col(label_col)},
     )

@@ -323,3 +323,12 @@ def test_group_split_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1, 1)], ["user_id", "event_id"])
     with pytest.raises(ValueError):
         group_split(df, "user_id", {"train": 0.8, "val": 0.1})
+
+
+def test_group_split_null_keys_quarantined(spark):
+    from sopspark.text.analysis import group_split
+
+    df = spark.createDataFrame([(1, 1), (None, 2), (3, 3)], "user_id int, x int")
+    out = {r.x: r.split
+           for r in group_split(df, "user_id", {"a": 0.5, "b": 0.5}).collect()}
+    assert out[2] is None and out[1] in ("a", "b") and out[3] in ("a", "b")

@@ -186,8 +186,7 @@ def test_cms_sketch_single_bounded_exchange(spark):
     phys = _physical(cms_sketch(ev, "user_id", d=4, w=64))
     # one hash exchange on (lane, bucket) with a partial aggregate below it
     assert _n_exchanges(phys) == 1, phys
-    assert phys.index("partial_count") > phys.index("Exchange hashpartitioning") or \
-           "partial_count" in phys.split("Exchange hashpartitioning")[1], phys
+    assert "partial_count" in phys.split("Exchange hashpartitioning")[1], phys
 
 
 def test_hard_negatives_broadcast_anchors(spark):
@@ -196,6 +195,7 @@ def test_hard_negatives_broadcast_anchors(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     anchors = emb.where(F.col("vec_id") < 8)
     phys = _physical(hard_negatives(emb, anchors, k=5))
-    # corpus side broadcasts; the only shuffle is the per-anchor rank window
+    # the small ANCHOR side broadcasts (the corpus stays distributed);
+    # the only shuffle is the per-anchor rank window
     assert "BroadcastExchange" in phys, phys
     assert _n_exchanges(phys) == 1, phys

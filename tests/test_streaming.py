@@ -370,13 +370,25 @@ def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
     true = Counter(r.user_id for r in ev.collect())
     assert all(est[u] >= c for u, c in true.items())
 
-    # replay idempotence: re-run the same bounded stream; batch ids replay
-    # from the same checkpoint as no-ops and counts stay identical
-    q2 = streaming_heavy_hitters(
-        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src),
-        "user_id", wd, d=4, w=64,
-    )
-    q2.awaitTermination(120)
+    # replay idempotence, exercised DIRECTLY: re-deliver an absorbed
+    # batch_id to the merge step — the guard must refuse it
+    from sopspark.streaming.pipeline import _cms_merge_batch
+
+    out_path, bak_path = f"{wd}/cms", f"{wd}/cms._prev"
+    replay = ev.where("user_id % 2 = 1")
+    assert _cms_merge_batch(replay, 0, "user_id", out_path, bak_path, 4, 64) is False
     gs2 = sorted((r.lane, r.bucket, r.cnt)
-                 for r in spark.read.parquet(f"{wd}/cms").collect())
+                 for r in spark.read.parquet(out_path).collect())
     assert gs2 == gs
+
+    # crash recovery: simulate dying between the two swap renames (only
+    # the backup exists) — the next batch must merge FROM the backup and
+    # never hit a no-table window
+    import os
+
+    os.rename(out_path, bak_path)
+    extra = spark.createDataFrame([(999999, None)], ev.schema)
+    assert _cms_merge_batch(extra, 2, "user_id", out_path, bak_path, 4, 64) is True
+    recovered = spark.read.parquet(out_path)
+    total = sum(r.cnt for r in recovered.collect()) / 4  # d lanes each count every row
+    assert total == ev.count() + 1 and not os.path.isdir(bak_path)
