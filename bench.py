@@ -131,6 +131,7 @@ def main() -> None:
         "group_split": QUERIES["group_split"],
         "kcore": QUERIES["kcore"],
         "ppr": QUERIES["ppr"],
+        "fuzzy_pairs": QUERIES["fuzzy_pairs"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1463,6 +1463,28 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 fuzzy matching via FastSS deletion
+    signatures (text/fuzzy.py::fuzzy_pairs_ed1) over supplier names —
+    blocking is an equi-join on the deletion-signature index; the DuckDB
+    oracle is the UNBLOCKED quadratic levenshtein join, so parity
+    machine-verifies the blocking misses no pair."""
+    from sopspark.text.fuzzy import fuzzy_pairs_ed1
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
+    )
+    return (
+        fuzzy_pairs_ed1(sup)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "dist",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1535,6 +1557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_split": q_group_split,
     "kcore": q_kcore,
     "ppr": q_ppr,
+    "fuzzy_pairs": q_fuzzy_pairs,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2368,6 +2391,17 @@ def _ppr_oracle() -> str:
 
 
 ORACLES["ppr"] = _ppr_oracle()
+
+# unblocked quadratic join: a parity match proves the FastSS deletion-
+# signature blocking on the Spark side has recall 1.0
+ORACLES["fuzzy_pairs"] = """
+    SELECT CAST(a.s_suppkey AS BIGINT) AS id_a,
+           CAST(b.s_suppkey AS BIGINT) AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY id_a, id_b
+"""
 
 ORACLES["rollup_agg"] = """
     SELECT event_type,

@@ -621,3 +621,31 @@ def test_normalize_text_closed_forms(spark):
     assert got[3] == ("lots of runs", True)
     assert got[4] == ("already clean", False)
     assert got[5] == (None, None)
+
+
+def test_fuzzy_pairs_ed1_matches_bruteforce(spark):
+    import itertools
+    from sopspark.text.fuzzy import fuzzy_pairs_ed1
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[n]
+
+    names = ["kitten", "sitten", "kitte", "kittens", "mitten",
+             "ba", "ab", "a", "", "b", "same", "same", "xyz"]
+    rows = list(enumerate(names))
+    expect = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    )
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = sorted((r.id_a, r.id_b, r.dist) for r in fuzzy_pairs_ed1(df).collect())
+    assert got == expect
+    assert (10, 11, 0) in got  # exact duplicates surface at distance 0
