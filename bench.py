@@ -132,6 +132,7 @@ def main() -> None:
         "kcore": QUERIES["kcore"],
         "ppr": QUERIES["ppr"],
         "fuzzy_pairs": QUERIES["fuzzy_pairs"],
+        "minhash_probe": QUERIES["minhash_probe"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

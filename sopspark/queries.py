@@ -1485,6 +1485,30 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest probe (text/dedup.py::minhash_probe):
+    every fifth document plays the NEW batch, the rest the pre-built
+    corpus signature index — the batch's bands equi-join the index's
+    bands (no corpus rescan, no self-join), slot-agreement verify at
+    0.7; the DuckDB twin replicates signatures for both subsets."""
+    from sopspark.text.dedup import minhash_probe, minhash_signatures
+
+    docs = _capped_docs(spark, sf_dir).select("doc_id", "text")
+    index = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    isig = minhash_signatures(index, num_perm=16, shingle_k=3, hash_fn="md5")
+    bsig = minhash_signatures(batch, num_perm=16, shingle_k=3, hash_fn="md5")
+    return (
+        minhash_probe(isig, bsig, bands=4, threshold=0.7, hash_fn="md5", num_perm=16)
+        .select(
+            F.col("new_id").cast("bigint").alias("new_id"),
+            F.col("index_id").cast("bigint").alias("index_id"),
+            "jaccard_est",
+        )
+        .orderBy("new_id", "index_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1558,6 +1582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "ppr": q_ppr,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "minhash_probe": q_minhash_probe,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2054,6 +2079,63 @@ ORACLES["docs_curation"] = _curation_oracle_sql()
 ORACLES["simhash"] = _simhash_oracle_sql()
 ORACLES["simhash_neardup"] = _capped_docs_sql(_simhash_neardup_oracle_sql())
 ORACLES["minhash_dedup"] = _capped_docs_sql(_minhash_dedup_oracle_sql())
+
+
+def _minhash_probe_oracle_sql(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.7, k: int = 3
+) -> str:
+    """Signatures for BOTH subsets with the identical lane arithmetic as
+    the Spark md5 path, banded, joined across batch × index."""
+    from sopspark.text.dedup import MERSENNE31, lane_params
+
+    P = MERSENNE31
+    params = lane_params(num_perm)
+    lanes = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    r = num_perm // bands
+    band_selects = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _md5hex48_sql(" || ',' || ".join(f"h{b * r + j}::VARCHAR" for j in range(r)))
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return f"""
+        WITH
+        tk AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+        gr AS (SELECT doc_id,
+                 CASE WHEN len(t) >= {k}
+                      THEN list_transform(range(1, len(t) - {k} + 2),
+                                          i -> array_to_string(t[i:i+{k - 1}], ' '))
+                      ELSE [array_to_string(t, ' ')] END AS grams
+               FROM tk),
+        sh AS (SELECT doc_id, unnest(grams) AS s FROM gr),
+        hs AS (SELECT doc_id, {_md5hex48_sql('s')} % {P} AS h FROM sh),
+        sig AS (SELECT doc_id,
+               {lanes}
+               FROM hs GROUP BY doc_id),
+        banded AS (
+          {band_selects}
+        ),
+        cand AS (SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS index_id
+                 FROM banded nb JOIN banded ib
+                   ON nb.band = ib.band AND nb.bh = ib.bh
+                  AND nb.doc_id % 5 = 0 AND ib.doc_id % 5 != 0)
+        SELECT CAST(cand.new_id AS BIGINT) AS new_id,
+               CAST(cand.index_id AS BIGINT) AS index_id,
+               ROUND(({eq_terms}) / {float(num_perm)!r}, 6) AS jaccard_est
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.new_id
+        JOIN sig sb ON sb.doc_id = cand.index_id
+        WHERE ({eq_terms}) / {float(num_perm)!r} >= {threshold}
+        ORDER BY new_id, index_id
+    """
+
+
+ORACLES["minhash_probe"] = _capped_docs_sql(_minhash_probe_oracle_sql())
 ORACLES["kg_flagship"] = _kg_flagship_oracle_sql()
 
 

@@ -181,6 +181,38 @@ def minhash_signatures(
     return sig.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
 
 
+def _band_rows(
+    signatures: DataFrame, id_col: str, bands: int, r: int, hash_fn: str
+) -> DataFrame:
+    """Signature table → exploded ``(_id, band, bh)`` band-hash rows —
+    the shared banding step of the LSH self-join and the incremental
+    index probe. Band hash = xxhash64 over the band's signature slots
+    directly (static element access), or the md5 lane for the
+    oracle-replicable path."""
+    rows = signatures.select(F.col(id_col).alias("_id"), F.col("sig"))
+
+    def band_hash(b: int) -> Column:
+        slots = [F.col("sig")[b * r + j] for j in range(r)]
+        if hash_fn == "md5":
+            return md5_hash48(F.concat_ws(",", *[s.cast("string") for s in slots]))
+        return F.xxhash64(*slots)
+
+    # explode_outer: the band array is a literal CreateArray (never empty),
+    # and the inferred size()>0 filter under a plain explode would duplicate
+    # every band-hash expression into the filter.
+    return rows.select(
+        "_id",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -200,32 +232,10 @@ def minhash_lsh_pairs(
     first representative chain (a<b ordering keeps the union-find
     connected).
     """
-    rows = signatures.select(F.col(id_col).alias("_id"), F.col("sig"))
     if num_perm is None:  # one-row probe; static band exprs need the width
         first = signatures.select(F.size("sig").alias("n")).first()
         num_perm = int(first["n"]) if first else 64
-    r = num_perm // bands
-
-    def band_hash(b: int) -> Column:
-        slots = [F.col("sig")[b * r + j] for j in range(r)]
-        if hash_fn == "md5":
-            return md5_hash48(F.concat_ws(",", *[s.cast("string") for s in slots]))
-        return F.xxhash64(*slots)
-
-    # explode_outer: the band array is a literal CreateArray (never empty),
-    # and the inferred size()>0 filter under a plain explode would duplicate
-    # every band-hash expression into the filter.
-    banded = rows.select(
-        "_id",
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    banded = _band_rows(signatures, id_col, bands, num_perm // bands, hash_fn)
 
     # bucket cap: rank within bucket, drop beyond max_bucket
     w = Window.partitionBy("band", "bh").orderBy("_id")
@@ -615,4 +625,57 @@ def _jaccard_join_body(toks: DataFrame, t: float) -> DataFrame:
             F.col("_idb").alias("doc_b"),
             F.round("_j", 6).alias("jaccard"),
         )
+    )
+
+
+def minhash_probe(
+    index_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    num_perm: int | None = None,
+) -> DataFrame:
+    """Incremental ingest near-dup check: probe a NEW batch's signatures
+    against a PRE-BUILT corpus signature index — the production ingest
+    path, where the 100 TB corpus is never rescanned; only its (tiny,
+    persisted) signature/band table is joined.
+
+    Candidates are the cross band-hash equi-join (batch bands × index
+    bands — NOT a self-join), verified by the minhash slot-agreement
+    estimate. Returns ``(new_id, index_id, jaccard_est)`` for pairs with
+    ``jaccard_est >= threshold``. Both signature tables must come from
+    :func:`minhash_signatures` with the same num_perm/shingle/hash
+    settings (signature compatibility is the caller's contract, exactly
+    as with a persisted ANN index).
+    """
+    if num_perm is None:
+        first = batch_sigs.select(F.size("sig").alias("n")).first()
+        num_perm = int(first["n"]) if first else 64
+    r = num_perm // bands
+    ib = _band_rows(index_sigs, id_col, bands, r, hash_fn)
+    bb = _band_rows(batch_sigs, id_col, bands, r, hash_fn)
+    cands = (
+        bb.select(F.col("_id").alias("new_id"), "band", "bh")
+        .join(ib.select(F.col("_id").alias("index_id"), "band", "bh"), ["band", "bh"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    sa = batch_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("_siga"))
+    sb = index_sigs.select(F.col(id_col).alias("index_id"), F.col("sig").alias("_sigb"))
+    return (
+        cands.join(sa, "new_id")
+        .join(sb, "index_id")
+        .withColumn(
+            "jaccard_est",
+            F.aggregate(
+                F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("_siga"),
+        )
+        .where(F.col("jaccard_est") >= threshold)
+        .select("new_id", "index_id", F.round("jaccard_est", 6).alias("jaccard_est"))
     )

@@ -649,3 +649,21 @@ def test_fuzzy_pairs_ed1_matches_bruteforce(spark):
     got = sorted((r.id_a, r.id_b, r.dist) for r in fuzzy_pairs_ed1(df).collect())
     assert got == expect
     assert (10, 11, 0) in got  # exact duplicates surface at distance 0
+
+
+def test_minhash_probe_finds_batch_neardups(spark):
+    from sopspark.text.dedup import minhash_probe, minhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = [(1, base), (2, "completely different words entirely here now"),
+              (3, base + " extra")]
+    batch = [(100, base), (101, "nothing like anything in the corpus at all")]
+    isig = minhash_signatures(spark.createDataFrame(corpus, ["doc_id", "text"]),
+                              num_perm=16, shingle_k=3)
+    bsig = minhash_signatures(spark.createDataFrame(batch, ["doc_id", "text"]),
+                              num_perm=16, shingle_k=3)
+    got = {(r.new_id, r.index_id): r.jaccard_est
+           for r in minhash_probe(isig, bsig, bands=4, threshold=0.5,
+                                  num_perm=16).collect()}
+    assert (100, 1) in got and got[(100, 1)] == 1.0   # exact dup of corpus doc 1
+    assert all(n == 100 for n, _ in got)              # doc 101 matches nothing
