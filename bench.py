@@ -133,6 +133,7 @@ def main() -> None:
         "ppr": QUERIES["ppr"],
         "fuzzy_pairs": QUERIES["fuzzy_pairs"],
         "minhash_probe": QUERIES["minhash_probe"],
+        "dsir": QUERIES["dsir"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1509,6 +1509,30 @@ def q_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text/analysis.py::dsir_logweights, Xie
+    et al. 2023): every fourth document plays the TARGET domain; each
+    raw document's mean per-bigram ln p_target − ln p_raw under
+    add-alpha bigram models, unseen bigrams backed off via left joins —
+    the data-selection signal that steers a pretraining mixture toward
+    a target domain. Top-50 most target-like raw docs."""
+    from sopspark.text.analysis import dsir_logweights
+
+    docs = _capped_docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 4 == 0)
+    raw = docs.where(F.col("doc_id") % 4 != 0)
+    return (
+        dsir_logweights(raw, target)
+        .orderBy(F.desc("dsir_logw"), "doc_id")
+        .limit(50)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_bigrams",
+            "dsir_logw",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1583,6 +1607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr": q_ppr,
     "fuzzy_pairs": q_fuzzy_pairs,
     "minhash_probe": q_minhash_probe,
+    "dsir": q_dsir,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2374,6 +2399,49 @@ ORACLES["event_windows"] = """
 # bigram LM score: the oracle retrains the identical add-0.5 bigram model
 # in SQL — counts are exact integers, so the only float op is the final
 # rounded average of identical ln() terms
+ORACLES["dsir"] = _capped_docs_sql("""
+    WITH toks AS (
+      SELECT doc_id, list_prepend('<s>', list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM documents
+    ), big_all AS (
+      SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+            FROM toks WHERE len(t) >= 2)
+    ),
+    big_raw AS (SELECT * FROM big_all WHERE doc_id % 4 != 0),
+    big_tgt AS (SELECT * FROM big_all WHERE doc_id % 4 = 0),
+    tbc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big_tgt GROUP BY 1, 2),
+    tctx AS (SELECT w1, SUM(c12) AS c1 FROM tbc GROUP BY 1),
+    tv AS (SELECT COUNT(DISTINCT w2) AS v FROM tbc),
+    rbc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big_raw GROUP BY 1, 2),
+    rctx AS (SELECT w1, SUM(c12) AS c1 FROM rbc GROUP BY 1),
+    rv AS (SELECT COUNT(DISTINCT w2) AS v FROM rbc),
+    st AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             AVG(ln((CAST(COALESCE(tbc.c12, 0) AS DOUBLE) + 0.5)
+                 / (CAST(COALESCE(tctx.c1, 0) AS DOUBLE)
+                    + 0.5 * (SELECT CAST(v AS DOUBLE) FROM tv)))) AS lt
+      FROM big_raw b
+      LEFT JOIN tbc USING (w1, w2) LEFT JOIN tctx USING (w1)
+      GROUP BY b.doc_id
+    ),
+    sr AS (
+      SELECT b.doc_id,
+             AVG(ln((CAST(COALESCE(rbc.c12, 0) AS DOUBLE) + 0.5)
+                 / (CAST(COALESCE(rctx.c1, 0) AS DOUBLE)
+                    + 0.5 * (SELECT CAST(v AS DOUBLE) FROM rv)))) AS lr
+      FROM big_raw b
+      LEFT JOIN rbc USING (w1, w2) LEFT JOIN rctx USING (w1)
+      GROUP BY b.doc_id
+    )
+    SELECT CAST(st.doc_id AS BIGINT) AS doc_id,
+           CAST(st.n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(st.lt - sr.lr, 6) AS dsir_logw
+    FROM st JOIN sr USING (doc_id)
+    ORDER BY dsir_logw DESC, doc_id LIMIT 50
+""")
+
 ORACLES["lm_score"] = """
     WITH toks AS (
       SELECT doc_id, list_prepend('<s>', list_filter(

@@ -349,6 +349,31 @@ def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bigram_rows(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) bigram stream with a ``<s>`` sentinel context —
+    shared by the self-trained LM score and the DSIR cross-model
+    weights."""
+    from sopspark.text.search import tokens_col
+
+    n = F.size("_tk")
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode_outer(F.array(tokens_col(text_col))).alias("_t0")
+        )
+        .select(F.col(id_col), F.concat(F.array(F.lit("<s>")), F.col("_t0")).alias("_tk"))
+        .where(F.size("_tk") >= 2)
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.arrays_zip(
+                F.slice(F.col("_tk"), 1, n - 1).alias("w1"),
+                F.slice(F.col("_tk"), 2, n - 1).alias("w2"),
+            )
+        ).alias("_b"),
+    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+
 def bigram_lm_score(
     docs: DataFrame,
     text_col: str = "text",
@@ -373,25 +398,7 @@ def bigram_lm_score(
     first token's context. Deterministic given the corpus (counts are
     exact integers; the one double average is rounded to 6 places).
     """
-    from sopspark.text.search import tokens_col
-
-    n = F.size("_tk")
-    toks = (
-        docs.select(
-            F.col(id_col), F.explode_outer(F.array(tokens_col(text_col))).alias("_t0")
-        )
-        .select(F.col(id_col), F.concat(F.array(F.lit("<s>")), F.col("_t0")).alias("_tk"))
-        .where(F.size("_tk") >= 2)
-    )
-    big = toks.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.arrays_zip(
-                F.slice(F.col("_tk"), 1, n - 1).alias("w1"),
-                F.slice(F.col("_tk"), 2, n - 1).alias("w2"),
-            )
-        ).alias("_b"),
-    ).select(F.col(id_col), F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    big = _bigram_rows(docs, text_col, id_col)
 
     # the bigram count table is materialized ONCE (localCheckpoint): both
     # consumers below (context-count window, vocab aggregate) would
@@ -725,4 +732,69 @@ def group_split(
     return df.withColumn(
         "split",
         F.when(F.col(group_col).isNull(), F.lit(None).cast("string")).otherwise(expr),
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 "Data
+    Selection for Language Models via Importance Resampling",
+    length-normalized bigram variant): score every RAW document under an
+    add-alpha bigram model of the TARGET corpus and one of the RAW
+    corpus; ``dsir_logw = mean ln p_target - mean ln p_raw`` — positive
+    means the document looks more like the target domain than like the
+    raw pool, so selecting/reweighting by it steers a pretraining
+    mixture toward the target distribution.
+
+    Bigrams unseen by a model back off to ``alpha / (C(w1) + alpha·V)``
+    with C-values 0 (left joins + coalesce), so cross-domain documents
+    score finitely. Scale shape: each model is a vocabulary²-bounded
+    count table (map-side combined, localCheckpoint-pinned like
+    :func:`bigram_lm_score`); scoring is two model joins over the raw
+    bigram stream — AQE picks broadcast when the model fits. Vocabulary
+    sizes are collected as literals (2 one-row jobs).
+    """
+    big = _bigram_rows(raw, text_col, id_col)
+
+    def fit(rows: DataFrame):
+        bc = (
+            rows.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .localCheckpoint(eager=True)
+        )
+        ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        v = bc.select(F.count_distinct("w2").alias("v")).first()["v"]
+        return bc, ctx, int(v) if v else 1
+
+    def score(bc, ctx, v):
+        logp = F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(alpha))
+            / (
+                F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                + F.lit(alpha) * F.lit(float(v))
+            )
+        )
+        return (
+            big.join(bc, ["w1", "w2"], "left")
+            .join(ctx, ["w1"], "left")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.avg(logp).alias("_logp"),
+            )
+        )
+
+    tb, tc, tv = fit(_bigram_rows(target, text_col, id_col))
+    rb, rc, rv = fit(big)
+    st = score(tb, tc, tv).withColumnRenamed("_logp", "_lt")
+    sr = score(rb, rc, rv).select(id_col, F.col("_logp").alias("_lr"))
+    return st.join(sr, id_col).select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("_lt") - F.col("_lr"), 6).alias("dsir_logw"),
     )

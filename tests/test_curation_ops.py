@@ -332,3 +332,24 @@ def test_group_split_null_keys_quarantined(spark):
     out = {r.x: r.split
            for r in group_split(df, "user_id", {"a": 0.5, "b": 0.5}).collect()}
     assert out[2] is None and out[1] in ("a", "b") and out[3] in ("a", "b")
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from sopspark.text.analysis import dsir_logweights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the stock market rallied as bond yields fell today")
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(1, "the stock market rallied while bond yields fell"),   # target-like
+         (2, "purple elephants juggle quantum bananas under rainbows"),
+         (3, "stock yields rallied the market fell")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.dsir_logw for r in dsir_logweights(raw, target).collect()}
+    # the target-domain document outranks the nonsense one
+    assert out[1] > out[2]
+    # all scores finite even with fully-unseen bigrams (backoff works)
+    assert all(abs(v) < 1e6 for v in out.values())
