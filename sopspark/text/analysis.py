@@ -771,30 +771,29 @@ def dsir_logweights(
         v = bc.select(F.count_distinct("w2").alias("v")).first()["v"]
         return bc, ctx, int(v) if v else 1
 
-    def score(bc, ctx, v):
-        logp = F.log(
-            (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(alpha))
+    def logp(c12: str, c1: str, v: int):
+        return F.log(
+            (F.coalesce(F.col(c12), F.lit(0)).cast("double") + F.lit(alpha))
             / (
-                F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                F.coalesce(F.col(c1), F.lit(0)).cast("double")
                 + F.lit(alpha) * F.lit(float(v))
-            )
-        )
-        return (
-            big.join(bc, ["w1", "w2"], "left")
-            .join(ctx, ["w1"], "left")
-            .groupBy(id_col)
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-                F.avg(logp).alias("_logp"),
             )
         )
 
     tb, tc, tv = fit(_bigram_rows(target, text_col, id_col))
     rb, rc, rv = fit(big)
-    st = score(tb, tc, tv).withColumnRenamed("_logp", "_lt")
-    sr = score(rb, rc, rv).select(id_col, F.col("_logp").alias("_lr"))
-    return st.join(sr, id_col).select(
-        id_col,
-        "n_bigrams",
-        F.round(F.col("_lt") - F.col("_lr"), 6).alias("dsir_logw"),
+    # ONE pass over the raw bigram stream: both model joins feed a single
+    # per-doc aggregate — scoring each model separately would re-explode
+    # the raw corpus and add a second shuffle plus a doc-level join
+    joined = (
+        big.join(tb.select("w1", "w2", F.col("c12").alias("_tc12")), ["w1", "w2"], "left")
+        .join(tc.select("w1", F.col("c1").alias("_tc1")), ["w1"], "left")
+        .join(rb.select("w1", "w2", F.col("c12").alias("_rc12")), ["w1", "w2"], "left")
+        .join(rc.select("w1", F.col("c1").alias("_rc1")), ["w1"], "left")
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.avg(logp("_tc12", "_tc1", tv)) - F.avg(logp("_rc12", "_rc1", rv)), 6
+        ).alias("dsir_logw"),
     )

@@ -252,13 +252,24 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def jaccard_of_signatures(pairs: DataFrame, signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Estimated Jaccard = fraction of equal minhash slots (zip_with)."""
-    sa = signatures.select(F.col(id_col).alias("a"), F.col("sig").alias("_siga"))
-    sb = signatures.select(F.col(id_col).alias("b"), F.col("sig").alias("_sigb"))
+def jaccard_of_signatures(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    signatures_b: DataFrame | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Estimated Jaccard = fraction of equal minhash slots (zip_with).
+    ``signatures_b`` lets the pair sides come from DIFFERENT signature
+    tables (the cross-index probe path); default is the self-join case."""
+    sa = signatures.select(F.col(id_col).alias(a_col), F.col("sig").alias("_siga"))
+    sb = (signatures_b if signatures_b is not None else signatures).select(
+        F.col(id_col).alias(b_col), F.col("sig").alias("_sigb")
+    )
     return (
-        pairs.join(sa, on="a")
-        .join(sb, on="b")
+        pairs.join(sa, on=a_col)
+        .join(sb, on=b_col)
         .withColumn(
             "jaccard_est",
             F.aggregate(
@@ -268,7 +279,7 @@ def jaccard_of_signatures(pairs: DataFrame, signatures: DataFrame, id_col: str =
             )
             / F.size("_siga"),
         )
-        .select("a", "b", "jaccard_est")
+        .select(a_col, b_col, "jaccard_est")
     )
 
 
@@ -662,20 +673,10 @@ def minhash_probe(
         .select("new_id", "index_id")
         .distinct()
     )
-    sa = batch_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("_siga"))
-    sb = index_sigs.select(F.col(id_col).alias("index_id"), F.col("sig").alias("_sigb"))
-    return (
-        cands.join(sa, "new_id")
-        .join(sb, "index_id")
-        .withColumn(
-            "jaccard_est",
-            F.aggregate(
-                F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.size("_siga"),
-        )
-        .where(F.col("jaccard_est") >= threshold)
-        .select("new_id", "index_id", F.round("jaccard_est", 6).alias("jaccard_est"))
+    est = jaccard_of_signatures(
+        cands, batch_sigs, id_col,
+        signatures_b=index_sigs, a_col="new_id", b_col="index_id",
+    )
+    return est.where(F.col("jaccard_est") >= threshold).select(
+        "new_id", "index_id", F.round("jaccard_est", 6).alias("jaccard_est")
     )
