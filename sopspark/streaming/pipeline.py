@@ -296,9 +296,10 @@ def streaming_kg_ingest(
     batch pipeline's writers produce) — turn assembly windows over
     conv_id within the batch, so a conversation split across two batches
     would reassemble per batch and emit different antecedent triples than
-    the one-shot pipeline. Stateful cross-batch reassembly is the
-    applyInPandasWithState path (``stateful_turn_progress``), not this
-    sink.
+    the one-shot pipeline. When batches may split conversations, put
+    :func:`stateful_conversation_assembly` in front: it buffers turns in
+    the state store and re-emits conversation-complete rows at the
+    event-time gap timeout, satisfying this precondition.
     """
     import os
 
@@ -416,4 +417,100 @@ def streaming_heavy_hitters(
         .option("checkpointLocation", os.path.join(workdir, "_cms_ckpt"))
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_conversation_assembly(
+    turns: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+):
+    """Cross-batch conversation assembly: buffer each conversation's
+    turns in the state store until no new turn has arrived within
+    ``gap`` of event time (watermark-driven ``EventTimeTimeout``), then
+    emit the COMPLETE conversation sorted by turn_idx and clear the
+    state.
+
+    This lifts :func:`streaming_kg_ingest`'s documented precondition
+    (conversation-complete micro-batches): feed THIS operator's output
+    to the batch extraction stages and a conversation split across
+    arbitrarily many micro-batches reassembles exactly as the one-shot
+    pipeline sees it. State is one buffered conversation per live key —
+    bounded by conversation length (the same bound batch windowing
+    assumes) and evicted at timeout; keys partition by conv_id, the
+    natural shuffle key. Input/output schema = the input_hint transcript
+    table (conv_id, turn_idx, role, text, tool, ts).
+
+    Works on batch frames too (identity — a batch frame is already
+    conversation-complete).
+    """
+    if not turns.isStreaming:
+        return turns
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = 0
+    mult = {"second": 1000, "minute": 60000, "hour": 3600000}
+    qty, unit = gap.split()
+    gap_ms = int(qty) * mult[unit.rstrip("s")]
+
+    out_schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    state_schema = (
+        "idx array<int>, role array<string>, text array<string>, "
+        "tool array<string>, ts array<bigint>, last_ms bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            idx, role, text, tool, ts_us, _last = state.get
+            state.remove()
+            order = sorted(range(len(idx)), key=lambda i: idx[i])
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]] * len(idx),
+                    "turn_idx": [int(idx[i]) for i in order],
+                    "role": [role[i] for i in order],
+                    "text": [text[i] for i in order],
+                    "tool": [tool[i] for i in order],
+                    "ts": pd.to_datetime([ts_us[i] for i in order], unit="us"),
+                }
+            )
+            return
+        if state.exists:
+            idx, role, text, tool, ts_us = (list(x) for x in state.get[:5])
+            last_ms = int(state.get[5])
+        else:
+            idx, role, text, tool, ts_us, last_ms = [], [], [], [], [], 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            idx += [int(v) for v in pdf["turn_idx"]]
+            role += list(pdf["role"])
+            text += list(pdf["text"])
+            tool += [None if pd.isna(v) else v for v in pdf["tool"]]
+            us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> µs
+            ts_us += [int(v) for v in us]
+            last_ms = max(last_ms, max(int(v) // 1000 for v in us))  # µs -> ms
+        state.update((idx, role, text, tool, ts_us, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(
+            {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+             "tool": [], "ts": []}
+        )
+
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -392,3 +392,66 @@ def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
     recovered = spark.read.parquet(out_path)
     total = sum(r.cnt for r in recovered.collect()) / 4  # d lanes each count every row
     assert total == ev.count() + 1 and not os.path.isdir(bak_path)
+
+
+def test_stateful_conversation_assembly_cross_batch(spark, tmp_path):
+    """A conversation SPLIT across micro-batches reassembles completely:
+    feeding the assembled output to the batch extraction stages yields
+    the one-shot pipeline's triples (lifting streaming_kg_ingest's
+    conversation-complete-batch precondition)."""
+    from sopspark.kg.extract import assemble_turns, extract_triples
+    from sopspark.kg.synth import synth_corpus
+    from sopspark.streaming.pipeline import stateful_conversation_assembly
+
+    transcripts, _ = synth_corpus(spark, n_convs=12, seed=42)
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.s_alias, r.p)
+        for r in extract_triples(assemble_turns(transcripts)).collect()
+    )
+
+    # split EVERY conversation across two files by turn parity
+    src = str(tmp_path / "src")
+    transcripts.where("turn_idx % 2 = 0").coalesce(1).write.mode("overwrite").parquet(src)
+    transcripts.where("turn_idx % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    # sentinel far-future file pushes the watermark past every timeout
+    sent = transcripts.limit(1).selectExpr(
+        "'__sentinel__' AS conv_id", "turn_idx", "role", "text", "tool",
+        "ts + INTERVAL 10 DAYS AS ts",
+    )
+    sent.coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "assembled")
+
+    def run():
+        stream = (
+            spark.readStream.schema(transcripts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        assembled = stateful_conversation_assembly(stream, gap="30 minutes",
+                                                   watermark="0 seconds")
+        q = (
+            assembled.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # event-time timeouts fire in the batch AFTER the watermark passes, and
+    # availableNow stops at end-of-data — a second sentinel file gives the
+    # resumed run (same checkpoint) that one extra batch
+    sent2 = sent.selectExpr("'__sentinel2__' AS conv_id", "turn_idx", "role",
+                            "text", "tool", "ts + INTERVAL 1 DAY AS ts")
+    sent2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    out = spark.read.parquet(out_dir).where("conv_id NOT LIKE '__sentinel%'")
+    # every original turn re-emitted exactly once, conversation-complete
+    assert out.count() == transcripts.count()
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.s_alias, r.p)
+        for r in extract_triples(assemble_turns(out)).collect()
+    )
+    assert got == want
