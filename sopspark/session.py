@@ -98,7 +98,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 64k-row Arrow batches amortize per-batch serialization overhead in
+        # the pandas-UDF extraction path (~+10-25% KG throughput at local[4],
+        # measured interleaved vs the 10k default; won every trial). Text
+        # rows are small, so a batch stays ~tens of MB; binary-heavy
+        # pipelines (multimodal decode) should LOWER this per session.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
