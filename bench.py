@@ -134,6 +134,7 @@ def main() -> None:
         "fuzzy_pairs": QUERIES["fuzzy_pairs"],
         "minhash_probe": QUERIES["minhash_probe"],
         "dsir": QUERIES["dsir"],
+        "retention_cohorts": QUERIES["retention_cohorts"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1533,6 +1533,18 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort table (operators/cohort.py): first-active
+    week assigns the cohort, distinct weekly activity joins back against
+    the user-sized cohort table — three narrow map-side-combined
+    shuffles, no windows; high-value events only so cohorts genuinely
+    churn on this corpus."""
+    from sopspark.operators.cohort import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("value") >= 150)
+    return retention_cohorts(ev).orderBy("cohort_week", "offset_weeks")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1608,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "minhash_probe": q_minhash_probe,
     "dsir": q_dsir,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2541,6 +2554,17 @@ def _ppr_oracle() -> str:
 
 
 ORACLES["ppr"] = _ppr_oracle()
+
+
+def _retention_oracle() -> str:
+    from sopspark.operators.cohort import retention_oracle_sql
+
+    return retention_oracle_sql(
+        "SELECT user_id, ts FROM events WHERE value >= 150"
+    )
+
+
+ORACLES["retention_cohorts"] = _retention_oracle()
 
 # unblocked quadratic join: a parity match proves the FastSS deletion-
 # signature blocking on the Spark side has recall 1.0

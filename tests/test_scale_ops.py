@@ -779,3 +779,28 @@ def test_ppr_mass_conserved_and_source_biased(spark):
     assert out[9] == 0.0 and out[10] == 0.0             # unreachable: exactly 0
     with pytest.raises(ValueError):
         personalized_pagerank(edges, sources.where("node > 99"))
+
+
+def test_retention_cohorts_closed_form(spark):
+    import datetime as dt
+    from sopspark.operators.cohort import retention_cohorts
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, mon), (1, mon + dt.timedelta(days=8)),    # cohort w0, active w0+w1
+        (2, mon + dt.timedelta(days=2)),              # cohort w0, only w0
+        (3, mon + dt.timedelta(days=7)),              # cohort w1, only w1
+        (1, mon + dt.timedelta(days=1)),              # same week dup ignored
+        (None, mon),                                  # null user dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort_week), r.offset_weeks): r.n_users
+           for r in retention_cohorts(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1,2 in cohort week 0
+        ("2024-01-01", 1): 1,   # only user 1 returns in week 1
+        ("2024-01-08", 0): 1,   # user 3's own cohort
+    }
+    capped = {(str(r.cohort_week), r.offset_weeks)
+              for r in retention_cohorts(df, max_offset=0).collect()}
+    assert capped == {("2024-01-01", 0), ("2024-01-08", 0)}
