@@ -135,6 +135,7 @@ def main() -> None:
         "minhash_probe": QUERIES["minhash_probe"],
         "dsir": QUERIES["dsir"],
         "retention_cohorts": QUERIES["retention_cohorts"],
+        "clustering_coef": QUERIES["clustering_coef"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -69,6 +69,44 @@ def pagerank_oracle_sql(
     return personalized_pagerank_oracle_sql(edges_sql, sources, iters, damping)
 
 
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per vertex: ``2·triangles(v) /
+    (deg(v)·(deg(v)-1))`` — the fraction of a node's neighbor pairs that
+    are themselves connected, the standard graph-embedding feature and
+    community-structure signal.
+
+    Pure composition: degrees from the canonical edge set +
+    :func:`triangle_count` (degree-oriented, hub-skew-immune) joined on
+    the node — no new shuffle shapes beyond those two operators.
+    Degree-1 vertices get coefficient 0.
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(e, src="a", dst="b")
+    denom = F.col("degree") * (F.col("degree") - 1)
+    return deg.join(tri, "node").select(
+        "node",
+        F.col("degree").cast("int").alias("degree"),
+        "triangles",
+        F.round(
+            F.when(denom > 0, 2.0 * F.col("triangles") / denom).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

@@ -1545,6 +1545,27 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev).orderBy("cohort_week", "offset_weeks")
 
 
+def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (kg/graphalgo.py) over the part
+    co-occurrence graph — degree + degree-oriented triangle count joined
+    per node; the graph-embedding feature column a KG feature pipeline
+    materializes."""
+    from sopspark.kg.graphalgo import clustering_coefficient
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity") >= 45
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
+    return (
+        clustering_coefficient(edges)
+        .select(F.col("node").cast("bigint").alias("node"), "degree",
+                "triangles", "clustering")
+        .orderBy("node")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1621,6 +1642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_probe": q_minhash_probe,
     "dsir": q_dsir,
     "retention_cohorts": q_retention_cohorts,
+    "clustering_coef": q_clustering_coef,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2565,6 +2587,38 @@ def _retention_oracle() -> str:
 
 
 ORACLES["retention_cohorts"] = _retention_oracle()
+
+ORACLES["clustering_coef"] = """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45
+    ), e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.a AS c1, e1.b AS c2, e2.b AS c3
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ), tcount AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT c1 AS node FROM tri
+        UNION ALL SELECT c2 FROM tri
+        UNION ALL SELECT c3 FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST(d.node AS BIGINT) AS node,
+           CAST(d.degree AS INT) AS degree,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN d.degree > 1
+                 THEN 2.0 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN tcount t USING (node)
+    ORDER BY node
+"""
 
 # unblocked quadratic join: a parity match proves the FastSS deletion-
 # signature blocking on the Spark side has recall 1.0

@@ -804,3 +804,17 @@ def test_retention_cohorts_closed_form(spark):
     capped = {(str(r.cohort_week), r.offset_weeks)
               for r in retention_cohorts(df, max_offset=0).collect()}
     assert capped == {("2024-01-01", 0), ("2024-01-08", 0)}
+
+
+def test_clustering_coefficient_closed_forms(spark):
+    from sopspark.kg.graphalgo import clustering_coefficient
+
+    # K4 (coef 1.0 everywhere) + pendant 5 (deg 1 -> 0.0); node 4 then has
+    # degree 4, triangles 3 -> 2*3/(4*3) = 0.5
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.degree, r.triangles, r.clustering)
+           for r in clustering_coefficient(df).collect()}
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0) and got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)
+    assert got[5] == (1, 0, 0.0)
