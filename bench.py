@@ -136,6 +136,7 @@ def main() -> None:
         "dsir": QUERIES["dsir"],
         "retention_cohorts": QUERIES["retention_cohorts"],
         "clustering_coef": QUERIES["clustering_coef"],
+        "transition_matrix": QUERIES["transition_matrix"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

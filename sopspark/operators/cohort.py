@@ -70,3 +70,66 @@ def retention_oracle_sql(events_sql: str, max_offset: int | None = None) -> str:
     FROM offsets {cap}
     GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks
     """
+
+
+def transition_matrix(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-actor event
+    sequences: ``(from_state, to_state, n, p)`` where ``p`` is the
+    row-normalized transition probability — the user-journey model
+    behind next-action prediction and funnel diagnostics.
+
+    One window shuffle keyed on the actor (lead over deterministic
+    (ts, tiebreak) order) + one map-side-combined pair count; the
+    row normalizer is a second tiny aggregate joined back on the
+    from-state (states are low-cardinality, so it broadcasts).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(actor_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    pairs = (
+        events.select(
+            F.col(actor_col),
+            F.col(state_col).alias("from_state"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("_tot"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+    )
+
+
+def transition_oracle_sql(events_sql: str) -> str:
+    """DuckDB twin of :func:`transition_matrix`. ``events_sql`` must
+    yield (user_id, event_type, ts, event_id)."""
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM ({events_sql})
+    ), pairs AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_state, SUM(n) AS tot FROM pairs GROUP BY 1
+    )
+    SELECT p.from_state, p.to_state, CAST(p.n AS BIGINT) AS n,
+           ROUND(CAST(p.n AS DOUBLE) / t.tot, 6) AS p
+    FROM pairs p JOIN totals t USING (from_state)
+    ORDER BY from_state, to_state
+    """

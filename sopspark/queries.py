@@ -1566,6 +1566,16 @@ def q_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov event-transition matrix (operators/cohort.py):
+    one actor-keyed lead window + a pair count with a broadcast row
+    normalizer — the user-journey model for next-action prediction."""
+    from sopspark.operators.cohort import transition_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_matrix(ev).orderBy("from_state", "to_state")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1643,6 +1653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir": q_dsir,
     "retention_cohorts": q_retention_cohorts,
     "clustering_coef": q_clustering_coef,
+    "transition_matrix": q_transition_matrix,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2587,6 +2598,17 @@ def _retention_oracle() -> str:
 
 
 ORACLES["retention_cohorts"] = _retention_oracle()
+
+
+def _transition_oracle() -> str:
+    from sopspark.operators.cohort import transition_oracle_sql
+
+    return transition_oracle_sql(
+        "SELECT user_id, event_type, ts, event_id FROM events"
+    )
+
+
+ORACLES["transition_matrix"] = _transition_oracle()
 
 ORACLES["clustering_coef"] = """
     WITH li AS (

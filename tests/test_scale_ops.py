@@ -818,3 +818,29 @@ def test_clustering_coefficient_closed_forms(spark):
     assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0) and got[3] == (3, 3, 1.0)
     assert got[4] == (4, 3, 0.5)
     assert got[5] == (1, 0, 0.0)
+
+
+def test_transition_matrix_closed_form(spark):
+    import datetime as dt
+    from sopspark.operators.cohort import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, "a", t0, 1), (1, "b", t0 + dt.timedelta(minutes=1), 2),
+        (1, "a", t0 + dt.timedelta(minutes=2), 3),
+        (2, "a", t0, 4), (2, "b", t0 + dt.timedelta(minutes=1), 5),
+        (3, "c", t0, 6),  # singleton: no transitions
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    got = {(r.from_state, r.to_state): (r.n, r.p)
+           for r in transition_matrix(df).collect()}
+    # from "a": two transitions, both to b (user 1's trailing "a" has no
+    # outgoing edge) -> p = 1.0; from "b": one transition back to a
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+    # row-stochastic: probabilities per from_state sum to 1
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
