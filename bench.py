@@ -137,6 +137,7 @@ def main() -> None:
         "retention_cohorts": QUERIES["retention_cohorts"],
         "clustering_coef": QUERIES["clustering_coef"],
         "transition_matrix": QUERIES["transition_matrix"],
+        "pmi": QUERIES["pmi"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1576,6 +1576,16 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(ev).orderBy("from_state", "to_state")
 
 
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI co-occurrence table (text/analysis.py::pmi_cooccurrence):
+    document-presence probabilities, unordered within-doc token pairs,
+    min-support floor — the distributional-semantics association table."""
+    from sopspark.text.analysis import pmi_cooccurrence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return pmi_cooccurrence(docs, min_count=5).orderBy("x", "y")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1654,6 +1664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "clustering_coef": q_clustering_coef,
     "transition_matrix": q_transition_matrix,
+    "pmi": q_pmi,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2609,6 +2620,27 @@ def _transition_oracle() -> str:
 
 
 ORACLES["transition_matrix"] = _transition_oracle()
+
+ORACLES["pmi"] = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS d,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS t
+      FROM documents
+    ), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+    tf AS (SELECT t, COUNT(*) AS df FROM toks GROUP BY t),
+    pairs AS (
+      SELECT a.t AS x, b.t AS y, COUNT(*) AS n_xy
+      FROM toks a JOIN toks b ON a.d = b.d AND a.t < b.t
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT p.x, p.y, CAST(p.n_xy AS BIGINT) AS n_xy,
+           ROUND(ln((p.n_xy / (SELECT n FROM nd))
+                 / ((fx.df / (SELECT n FROM nd)) * (fy.df / (SELECT n FROM nd)))), 6) AS pmi
+    FROM pairs p
+    JOIN tf fx ON fx.t = p.x JOIN tf fy ON fy.t = p.y
+    ORDER BY x, y
+"""
 
 ORACLES["clustering_coef"] = """
     WITH li AS (

@@ -797,3 +797,59 @@ def dsir_logweights(
             F.avg(logp("_tc12", "_tc1", tv)) - F.avg(logp("_rc12", "_rc1", rv)), 6
         ).alias("dsir_logw"),
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over within-document token
+    co-occurrence: ``pmi(x, y) = ln( p(x,y) / (p(x)·p(y)) )`` with
+    probabilities over documents (distinct presence, unordered pairs
+    x < y) — the classic distributional-semantics association table
+    (word2vec's shifted-PMI matrix, collocation mining).
+
+    Scale shape: distinct (doc, token) explode → token document
+    frequencies (one agg) + within-doc pair counts via a self-join of
+    the distinct token stream ON THE DOC KEY (pairs bounded per doc by
+    its distinct-token count, AQE-skew-splittable) → one more agg, then
+    a broadcast-sized join of the two frequency tables onto the pairs.
+    ``min_count`` floors the pair support so the PMI table stays the
+    vocabulary-pair size of frequent terms, not the corpus size.
+    """
+    from sopspark.text.search import tokens_col
+
+    toks = (
+        docs.select(F.col(id_col).alias("_d"), F.explode(F.array_distinct(tokens_col(text_col))).alias("_t"))
+        .distinct()
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    tf = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    a = toks.select(F.col("_d"), F.col("_t").alias("x"))
+    b = toks.select(F.col("_d"), F.col("_t").alias("y"))
+    pairs = (
+        a.join(b, "_d")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .where(F.col("n_xy") >= min_count)
+    )
+    fx = tf.select(F.col("_t").alias("x"), F.col("_df").alias("_dx"))
+    fy = tf.select(F.col("_t").alias("y"), F.col("_df").alias("_dy"))
+    nd = float(n_docs)
+    return (
+        pairs.join(fx, "x")
+        .join(fy, "y")
+        .select(
+            "x", "y", "n_xy",
+            F.round(
+                F.log(
+                    (F.col("n_xy") / F.lit(nd))
+                    / ((F.col("_dx") / F.lit(nd)) * (F.col("_dy") / F.lit(nd)))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -667,3 +667,22 @@ def test_minhash_probe_finds_batch_neardups(spark):
                                   num_perm=16).collect()}
     assert (100, 1) in got and got[(100, 1)] == 1.0   # exact dup of corpus doc 1
     assert all(n == 100 for n, _ in got)              # doc 101 matches nothing
+
+
+def test_pmi_closed_form(spark):
+    import math
+    from sopspark.text.analysis import pmi_cooccurrence
+
+    # a,b always together (PMI > 0); a,c independent-ish; d never pairs
+    docs = [
+        (1, "a b"), (2, "a b"), (3, "a b c"), (4, "c"), (5, "d"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.x, r.y): (r.n_xy, r.pmi)
+           for r in pmi_cooccurrence(df, min_count=1).collect()}
+    n = 5.0
+    want_ab = round(math.log((3 / n) / ((3 / n) * (3 / n))), 6)
+    assert got[("a", "b")] == (3, want_ab) and want_ab > 0
+    want_ac = round(math.log((1 / n) / ((3 / n) * (2 / n))), 6)
+    assert got[("a", "c")] == (1, want_ac)
+    assert not any("d" in k for k in got)
