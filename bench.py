@@ -138,6 +138,7 @@ def main() -> None:
         "clustering_coef": QUERIES["clustering_coef"],
         "transition_matrix": QUERIES["transition_matrix"],
         "pmi": QUERIES["pmi"],
+        "rolling_zscore": QUERIES["rolling_zscore"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -65,3 +65,73 @@ def percentiles_by_histogram(
         aggs.append((v_lo + frac * (v_hi - v_lo)).alias(name))
 
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def rolling_zscore(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    window_rows: int = 10,
+    threshold: float = 2.0,
+    min_baseline: int = 3,
+) -> DataFrame:
+    """Per-entity rolling anomaly detection: each event's value is
+    z-scored against the mean/stddev of its ``window_rows`` PRECEDING
+    events (current row excluded, so a spike cannot dilute its own
+    baseline); rows with ``|z| >= threshold`` are flagged — the standard
+    streaming-metrics outlier primitive.
+
+    One window shuffle keyed on the entity; mean, stddev, and the
+    baseline count share the single frame. Deterministic (ts, tiebreak)
+    ordering; a row with fewer than ``min_baseline`` preceding events
+    has no statistically meaningful baseline and is never flagged (a
+    2-point baseline flags nearly anything).
+    z is rounded to 4 decimals (stddev accumulation order differs
+    between engines at ~1e-12 — rounding absorbs it for the SQL twin).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col), F.col(order_tiebreak))
+        .rowsBetween(-window_rows, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    nb = F.count(value_col).over(w)
+    z = F.round((F.col(value_col) - mu) / sd, 4)
+    return (
+        events.select(entity_col, order_tiebreak, ts_col, value_col)
+        .withColumn("_nb", nb)
+        .withColumn("z", z)
+        .where(
+            (F.col("_nb") >= min_baseline)
+            & F.col("z").isNotNull()
+            & (F.abs(F.col("z")) >= threshold)
+        )
+        .drop("_nb")
+    )
+
+
+def rolling_zscore_oracle_sql(
+    events_sql: str, window_rows: int = 10, threshold: float = 2.0,
+    min_baseline: int = 3,
+) -> str:
+    """DuckDB twin of :func:`rolling_zscore`. ``events_sql`` must yield
+    (user_id, event_id, ts, value)."""
+    return f"""
+    WITH scored AS (
+      SELECT user_id, event_id, ts, value,
+             COUNT(value) OVER w AS nb,
+             ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+      FROM ({events_sql})
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value, z
+    FROM scored
+    WHERE nb >= {min_baseline} AND z IS NOT NULL AND ABS(z) >= {threshold}
+    ORDER BY user_id, event_id
+    """

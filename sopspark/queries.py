@@ -1586,6 +1586,26 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_cooccurrence(docs, min_count=5).orderBy("x", "y")
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly flags (operators/stats.py):
+    mean/stddev over the 10 PRECEDING events share one window frame,
+    one entity-keyed shuffle; |z| >= 2 rows surface."""
+    from sopspark.operators.stats import rolling_zscore
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        rolling_zscore(ev)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "ts",
+            F.round("value", 6).alias("value"),
+            "z",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1665,6 +1685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clustering_coef": q_clustering_coef,
     "transition_matrix": q_transition_matrix,
     "pmi": q_pmi,
+    "rolling_zscore": q_rolling_zscore,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2620,6 +2641,22 @@ def _transition_oracle() -> str:
 
 
 ORACLES["transition_matrix"] = _transition_oracle()
+
+
+def _rolling_zscore_oracle() -> str:
+    from sopspark.operators.stats import rolling_zscore_oracle_sql
+
+    inner = rolling_zscore_oracle_sql(
+        "SELECT user_id, event_id, ts, value FROM events"
+    )
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+           ts, ROUND(value, 6) AS value, z
+    FROM ({inner}) ORDER BY user_id, event_id
+    """
+
+
+ORACLES["rolling_zscore"] = _rolling_zscore_oracle()
 
 ORACLES["pmi"] = """
     WITH toks AS (

@@ -844,3 +844,21 @@ def test_transition_matrix_closed_form(spark):
     for (f, _), (_, p) in got.items():
         sums[f] += p
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_rolling_zscore_flags_spike(spark):
+    import datetime as dt
+    import statistics
+    from sopspark.operators.stats import rolling_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 100.0, 10.1]  # spike at idx 5
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    got = {r.event_id: r.z for r in rolling_zscore(df, window_rows=10, threshold=2.0).collect()}
+    base = vals[:5]
+    want = round((100.0 - statistics.mean(base)) / statistics.stdev(base), 4)
+    # only the spike flags: its own value is excluded from the baseline,
+    # and min_baseline=3 suppresses the flimsy 2-point-baseline flags
+    assert got == {5: want}
+    assert want > 100  # tight baseline -> enormous z
