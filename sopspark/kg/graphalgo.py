@@ -80,13 +80,16 @@ def clustering_coefficient(
     Pure composition: degrees from the canonical edge set +
     :func:`triangle_count` (degree-oriented, hub-skew-immune) joined on
     the node — no new shuffle shapes beyond those two operators.
-    Degree-1 vertices get coefficient 0.
+    Degree-1 vertices get coefficient 0. The canonical edge set is
+    eagerly checkpointed so the (possibly expensive) edge-derivation
+    lineage runs once, not once per plan branch.
     """
     e = (
         edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -94,7 +97,7 @@ def clustering_coefficient(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_count(e, src="a", dst="b")
+    tri = triangle_count(e, src="a", dst="b", assume_canonical=True)
     denom = F.col("degree") * (F.col("degree") - 1)
     return deg.join(tri, "node").select(
         "node",
@@ -501,7 +504,12 @@ def bfs_levels_oracle_sql(
     return sql
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
     """Per-vertex triangle counts over an undirected graph.
 
     Input may contain duplicates, self-loops, and both orientations —
@@ -522,13 +530,19 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     Three shuffles: degree agg, wedge self-join on the apex, closing-edge
     join — all equi-joins on narrow keys, AQE-skew-splittable.
+    ``assume_canonical=True`` skips the canonicalization shuffle when the
+    caller already provides distinct ``a < b`` pairs (the
+    :func:`clustering_coefficient` composition path).
     """
-    e = (
-        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+        )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -449,10 +449,22 @@ def stateful_conversation_assembly(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ms = 0
-    mult = {"second": 1000, "minute": 60000, "hour": 3600000}
-    qty, unit = gap.split()
-    gap_ms = int(qty) * mult[unit.rstrip("s")]
+    # full interval grammar like withWatermark's: "<qty> <unit>" pairs,
+    # repeatable ("1 hour 30 minutes"), ms..week units
+    mult = {
+        "millisecond": 1, "second": 1000, "minute": 60000,
+        "hour": 3600000, "day": 86400000, "week": 604800000,
+    }
+    parts = gap.split()
+    if not parts or len(parts) % 2:
+        raise ValueError(f"bad gap interval: {gap!r}")
+    try:
+        gap_ms = sum(
+            int(q) * mult[u.rstrip("s")]
+            for q, u in zip(parts[::2], parts[1::2])
+        )
+    except (KeyError, ValueError) as exc:
+        raise ValueError(f"bad gap interval: {gap!r}") from exc
 
     out_schema = (
         "conv_id string, turn_idx int, role string, text string, "

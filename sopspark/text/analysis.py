@@ -821,11 +821,17 @@ def pmi_cooccurrence(
     """
     from sopspark.text.search import tokens_col
 
+    # null-id rows excluded EVERYWHERE (the SQL twin's COUNT(DISTINCT)
+    # ignores nulls — counting them here would shift every pmi value)
+    base = docs.where(F.col(id_col).isNotNull())
     toks = (
-        docs.select(F.col(id_col).alias("_d"), F.explode(F.array_distinct(tokens_col(text_col))).alias("_t"))
+        base.select(F.col(id_col).alias("_d"), F.explode(F.array_distinct(tokens_col(text_col))).alias("_t"))
         .distinct()
     )
-    n_docs = docs.select(id_col).distinct().count()
+    # the doc denominator rides along as a lazy 1-row broadcast — no
+    # eager count job at construction time, keeping the operator a pure
+    # DataFrame-in/DataFrame-out transform like the rest of the package
+    ndf = base.select(F.count_distinct(id_col).cast("double").alias("_nd"))
     tf = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     a = toks.select(F.col("_d"), F.col("_t").alias("x"))
     b = toks.select(F.col("_d"), F.col("_t").alias("y"))
@@ -838,16 +844,16 @@ def pmi_cooccurrence(
     )
     fx = tf.select(F.col("_t").alias("x"), F.col("_df").alias("_dx"))
     fy = tf.select(F.col("_t").alias("y"), F.col("_df").alias("_dy"))
-    nd = float(n_docs)
+    nd = F.col("_nd")
     return (
         pairs.join(fx, "x")
         .join(fy, "y")
+        .crossJoin(F.broadcast(ndf))
         .select(
             "x", "y", "n_xy",
             F.round(
                 F.log(
-                    (F.col("n_xy") / F.lit(nd))
-                    / ((F.col("_dx") / F.lit(nd)) * (F.col("_dy") / F.lit(nd)))
+                    (F.col("n_xy") / nd) / ((F.col("_dx") / nd) * (F.col("_dy") / nd))
                 ),
                 6,
             ).alias("pmi"),

@@ -447,7 +447,10 @@ def test_stateful_conversation_assembly_cross_batch(spark, tmp_path):
                             "text", "tool", "ts + INTERVAL 1 DAY AS ts")
     sent2.coalesce(1).write.mode("append").parquet(src)
     run()
-    out = spark.read.parquet(out_dir).where("conv_id NOT LIKE '__sentinel%'")
+    # startswith, not LIKE: leading underscores are LIKE wildcards
+    out = spark.read.parquet(out_dir).where(
+        ~F.col("conv_id").startswith("__sentinel")
+    )
     # every original turn re-emitted exactly once, conversation-complete
     assert out.count() == transcripts.count()
     got = sorted(
