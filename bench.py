@@ -139,6 +139,7 @@ def main() -> None:
         "transition_matrix": QUERIES["transition_matrix"],
         "pmi": QUERIES["pmi"],
         "rolling_zscore": QUERIES["rolling_zscore"],
+        "tpch_profit": QUERIES["tpch_profit"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

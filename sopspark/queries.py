@@ -1606,6 +1606,38 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-profit rollup (adapted — no partsupp in
+    this table set): 5-way join lineitem ⋈ part(name filter) ⋈ supplier
+    ⋈ nation ⋈ orders, profit per (nation, order year). The dims
+    broadcast (Catalyst reorders the join tree), lineitem never shuffles
+    until the final small-key aggregate; money stays DECIMAL until the
+    end so group sums are exact and engine-order independent."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").contains("red")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(12,4)")
+    profit = ext * (F.lit(1).cast("decimal(12,4)") - disc)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("_p"), F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .select("nation", "o_year", F.col("_p").cast("double").alias("profit"), "n_lines")
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1686,6 +1718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_matrix": q_transition_matrix,
     "pmi": q_pmi,
     "rolling_zscore": q_rolling_zscore,
+    "tpch_profit": q_tpch_profit,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2657,6 +2690,21 @@ def _rolling_zscore_oracle() -> str:
 
 
 ORACLES["rolling_zscore"] = _rolling_zscore_oracle()
+
+ORACLES["tpch_profit"] = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4))))
+                AS DOUBLE) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
 
 ORACLES["pmi"] = """
     WITH toks AS (

@@ -199,3 +199,13 @@ def test_hard_negatives_broadcast_anchors(spark):
     # the only shuffle is the per-anchor rank window
     assert "BroadcastExchange" in phys, phys
     assert _n_exchanges(phys) == 1, phys
+
+
+def test_tpch_profit_broadcast_dims(spark):
+    from sopspark.queries import QUERIES
+
+    phys = _physical(QUERIES["tpch_profit"](spark, SF))
+    # the three dims broadcast; lineitem is never hash-exchanged before
+    # the final (nation, year) aggregate + sort
+    assert phys.count("BroadcastExchange") >= 3, phys
+    assert _n_exchanges(phys) <= 3, phys  # orders join + agg + final sort
