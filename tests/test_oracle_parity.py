@@ -66,3 +66,11 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["s", "p", "o"]
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_oracle_not_vacuous(ddb, name):
+    """Every oracle must produce rows at sf0.01 — an empty-vs-empty
+    parity match proves nothing (caught live: a filter literal that
+    matched nothing made tpch_profit 'pass' on 0 == 0 rows)."""
+    assert len(ddb.execute(entry_mod.oracle_sql()[name]).fetchall()) > 0
