@@ -140,6 +140,7 @@ def main() -> None:
         "pmi": QUERIES["pmi"],
         "rolling_zscore": QUERIES["rolling_zscore"],
         "tpch_profit": QUERIES["tpch_profit"],
+        "quality_deciles": QUERIES["quality_deciles"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

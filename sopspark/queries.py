@@ -1638,6 +1638,31 @@ def q_tpch_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: every document's self-trained
+    bigram LM score (text/analysis.py::bigram_lm_score) ntile'd into
+    deciles with deterministic (score, doc_id) ordering — the bucket
+    column that drives head/middle/tail sampling in a CCNet-style
+    curation pipeline. One global ntile sort on a doc-sized table (the
+    scores, not the corpus)."""
+    from pyspark.sql import Window
+
+    from sopspark.text.analysis import bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    scored = bigram_lm_score(docs)
+    w = Window.orderBy(F.desc("lm_logp"), F.col("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "lm_logp",
+            "decile",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1719,6 +1744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi": q_pmi,
     "rolling_zscore": q_rolling_zscore,
     "tpch_profit": q_tpch_profit,
+    "quality_deciles": q_quality_deciles,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2552,6 +2578,30 @@ ORACLES["dsir"] = _capped_docs_sql("""
     FROM st JOIN sr USING (doc_id)
     ORDER BY dsir_logw DESC, doc_id LIMIT 50
 """)
+
+ORACLES["quality_deciles"] = """
+    WITH toks AS (
+      SELECT doc_id, list_prepend('<s>', list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+            FROM toks WHERE len(t) >= 2)
+    ), bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM big),
+    scored AS (
+      SELECT b.doc_id,
+             round(AVG(ln((CAST(c12 AS DOUBLE) + 0.5)
+                   / (CAST(c1 AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))), 6) AS lm_logp
+      FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+      GROUP BY b.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lm_logp,
+           CAST(NTILE(10) OVER (ORDER BY lm_logp DESC, doc_id) AS INT) AS decile
+    FROM scored ORDER BY doc_id
+"""
 
 ORACLES["lm_score"] = """
     WITH toks AS (

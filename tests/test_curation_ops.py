@@ -353,3 +353,18 @@ def test_dsir_prefers_target_like_docs(spark):
     assert out[1] > out[2]
     # all scores finite even with fully-unseen bigrams (backoff works)
     assert all(abs(v) < 1e6 for v in out.values())
+
+
+def test_quality_deciles_balanced_and_ordered(spark):
+    from sopspark.queries import QUERIES
+
+    rows = QUERIES["quality_deciles"](spark, "/root/testdata/sf0.001").collect()
+    from collections import Counter
+    sizes = Counter(r.decile for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance
+    # decile 1 holds the highest (most corpus-typical) scores
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, []).append(r.lm_logp)
+    assert min(by_decile[1]) >= max(by_decile[10])
