@@ -141,6 +141,7 @@ def main() -> None:
         "rolling_zscore": QUERIES["rolling_zscore"],
         "tpch_profit": QUERIES["tpch_profit"],
         "quality_deciles": QUERIES["quality_deciles"],
+        "salted_join": QUERIES["salted_join"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

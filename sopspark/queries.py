@@ -1663,6 +1663,33 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit hot-key skew-rewrite join (operators/saltjoin.py): the
+    fact side salted over 16 reducers per key, the dim replicated 16× —
+    the DuckDB oracle is the PLAIN join, so parity machine-verifies the
+    rewrite is semantics-preserving (no lost or duplicated matches)."""
+    from sopspark.operators.saltjoin import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price"),
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    j = salted_join(li, dim, on="o_orderkey", salt_buckets=16)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("_price").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -1745,6 +1772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore": q_rolling_zscore,
     "tpch_profit": q_tpch_profit,
     "quality_deciles": q_quality_deciles,
+    "salted_join": q_salted_join,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2578,6 +2606,17 @@ ORACLES["dsir"] = _capped_docs_sql("""
     FROM st JOIN sr USING (doc_id)
     ORDER BY dsir_logw DESC, doc_id LIMIT 50
 """)
+
+# the PLAIN join: parity proves the salted rewrite loses/duplicates nothing
+ORACLES["salted_join"] = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1 ORDER BY 1
+"""
 
 ORACLES["quality_deciles"] = """
     WITH toks AS (

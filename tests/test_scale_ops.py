@@ -862,3 +862,37 @@ def test_rolling_zscore_flags_spike(spark):
     # and min_baseline=3 suppresses the flimsy 2-point-baseline flags
     assert got == {5: want}
     assert want > 100  # tight baseline -> enormous z
+
+
+def test_salted_join_equals_plain_join(spark):
+    import random
+    from sopspark.operators.saltjoin import salted_join
+
+    rng = random.Random(11)
+    # hot key 0 owns half the fact rows
+    big = spark.createDataFrame(
+        [(0 if rng.random() < 0.5 else rng.randint(1, 20), i) for i in range(400)],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 15)], ["k", "name"]
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            tuple(r) for r in big.join(small, "k", how).select("k", "payload", "name").collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in salted_join(big, small, on="k", salt_buckets=8, how=how)
+            .select("k", "payload", "name").collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_rejects_bad_how(spark):
+    import pytest
+    from sopspark.operators.saltjoin import salted_join
+
+    df = spark.createDataFrame([(1, 1)], ["k", "v"])
+    with pytest.raises(ValueError):
+        salted_join(df, df, on="k", how="full")
