@@ -201,6 +201,85 @@ def test_hard_negatives_broadcast_anchors(spark):
     assert _n_exchanges(phys) == 1, phys
 
 
+# ---------------------------------------------------------------------------
+# Registry-wide hygiene sweep: every one of the registered queries must be
+# free of the three classic scale-killers, forever. This is the generalized
+# fence that would have caught round-3's quality_deciles global-ntile defect
+# automatically. Runs at sf0.001 (plan compilation only for lazy queries;
+# the handful that materialize during construction — kmeans, semdedup,
+# canonicalize, global_ntile — execute on the tiny table in well under a
+# second each). Plans behind a localCheckpoint appear as ExistingRDD; those
+# upstream segments carry their own dedicated guards above.
+# ---------------------------------------------------------------------------
+
+_WINDOW_LINE = re.compile(r"\bWindow(GroupLimit)? (\[.*)$")
+
+
+def _global_window_lines(plan: str) -> list[str]:
+    """Lines with a no-partition window (the single-reducer sort shape).
+
+    `Window` prints `[funcs], [part], [order]` when fully specified, and
+    drops empty specs: `[funcs], [part]` (unordered, fine), `[funcs],
+    [order]` (GLOBAL — flag), `[funcs]` (global unordered — flag). The
+    two 2-group forms are distinguished by sort-direction markers: an
+    order spec always prints `ASC/DESC NULLS ...`, a partition spec never
+    does. `WindowGroupLimit [part], [order], fn, k` (rank-limit pushdown)
+    always has an order spec: 2 groups = partitioned, 1 = global."""
+    bad = []
+    for line in plan.splitlines():
+        m = _WINDOW_LINE.search(line)
+        if not m:
+            continue
+        groups = m.group(2).split("], [")
+        if m.group(1):  # WindowGroupLimit
+            if len(groups) < 2:
+                bad.append(line.strip())
+        elif len(groups) < 3 and (
+            len(groups) == 1 or re.search(r" (?:ASC|DESC) NULLS", groups[1])
+        ):
+            bad.append(line.strip())
+    return bad
+
+
+def test_global_window_detector_catches_the_defect_shape(spark):
+    """The detector itself must flag the exact shape of round-3's
+    quality_deciles defect (global ntile) and pass its fixed form."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).withColumn("g", F.col("id") % 7)
+    bad = df.withColumn("t", F.ntile(10).over(Window.orderBy("id")))
+    assert _global_window_lines(_physical(bad)), _physical(bad)
+    good = df.withColumn(
+        "t", F.ntile(10).over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert not _global_window_lines(_physical(good))
+    # partition-only (unordered) windows are NOT global — must pass
+    part_only = df.withColumn("s", F.sum("id").over(Window.partitionBy("g")))
+    assert not _global_window_lines(_physical(part_only))
+
+
+def _registry_names():
+    from sopspark.queries import QUERIES
+
+    return list(QUERIES)
+
+
+@pytest.mark.parametrize("name", _registry_names())
+def test_registry_plan_hygiene(spark, name):
+    from sopspark.queries import QUERIES
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    phys = _physical(df)
+    # 1. no single-reducer window: every Window node carries a partition spec
+    assert not _global_window_lines(phys), _global_window_lines(phys)
+    # 2. no non-broadcast cartesian product (BroadcastNestedLoopJoin is the
+    #    sanctioned bounded form; a CartesianProduct shuffles |L|x|R|)
+    assert "CartesianProduct" not in phys, phys
+    # 3. no row-at-a-time Python UDF in any hot path (Arrow-batched pandas
+    #    UDFs plan as ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas)
+    assert "BatchEvalPython" not in phys, phys
+
+
 def test_tpch_profit_broadcast_dims(spark):
     from sopspark.queries import QUERIES
 
