@@ -9,11 +9,11 @@ chains), ``@reverse`` (both the node key and reverse term definitions),
 top-level ``@graph``.
 
 JSON-LD 1.1 additions: ``@container`` ``@index``/``@id``/``@language``/
-``@type`` maps, ``@nest``, term-scoped ``@context`` (property-scoped,
-propagating — the 1.1 default; an explicit ``"@propagate": false``
-override is NOT honored, the one remaining expansion subset boundary),
-``@included``, ``@direction``, ``@json`` literals, ``@protected`` terms,
-``@context: null`` reset.
+``@type`` maps, ``@nest``, term-scoped ``@context`` (property-scoped;
+``"@propagate": false`` honored — the frame applies to the node object
+where introduced and reverts on descent into nested node objects,
+§4.1.9), ``@included``, ``@direction``, ``@json`` literals,
+``@protected`` terms, ``@context: null`` reset.
 
 Remote contexts (string / list ``@context`` values) resolve through a
 :class:`ContextLoader` — the reference's ``-l DIR`` FsLoader cache
@@ -112,7 +112,18 @@ class _Ctx:
         self.loader = loader if loader is not None else (parent.loader if parent else None)
         self.vocab: str | None = parent.vocab if parent else None
         self.base: str | None = parent.base if parent else None
+        # @propagate (JSON-LD 1.1 §4.1.9 / api §4.1 step 3): a context with
+        # "@propagate": false records the context active BEFORE it applied;
+        # node-object descent reverts to it. A clone carries the parent's
+        # previous forward (the spec's "does not already have a previous
+        # context" rule keeps the oldest revert point).
+        self.previous: _Ctx | None = parent.previous if parent else None
         for m in self._resolve(mapping, frozenset()):
+            if m is not _NULL_CTX and "@propagate" in m:
+                if not isinstance(m["@propagate"], bool):
+                    raise JsonLdError("@propagate value must be a boolean")
+                if m["@propagate"] is False and self.previous is None and parent:
+                    self.previous = parent
             if m is _NULL_CTX:
                 # @context: null resets to the initial (empty) context
                 # (§4.1) — invalid while protected term definitions are in
@@ -241,6 +252,24 @@ class _Ctx:
             return _Ctx(tdef["@context"], self)
         return self
 
+    def rollback(self) -> "_Ctx":
+        """The context with non-propagated frames reverted — what a nested
+        node object starts from (api §5.1.2 expansion step 8: "set active
+        context to previous context ... as non-propagated contexts do not
+        apply to subsequent node objects")."""
+        return self.previous if self.previous is not None else self
+
+    def scoped_for_node(self, term: str) -> "_Ctx":
+        """Active context for a NESTED NODE OBJECT under ``term``: first
+        revert non-propagating frames introduced at the current node, then
+        apply the term's scoped context on top (the term definition itself
+        is looked up in the CURRENT context — pyld/jsonld.js ordering)."""
+        base = self.rollback()
+        tdef = self.terms.get(term, {})
+        if "@context" in tdef:
+            return _Ctx(tdef["@context"], base)
+        return base
+
     def is_nest_term(self, term: str) -> bool:
         return self.terms.get(term, {}).get("@id") == "@nest"
 
@@ -269,11 +298,11 @@ class _Parser:
             return (BNODE, nid[2:], None, None)
         return (IRI, ctx.expand_id(nid), None, None)
 
-    def build_list(self, items: list, ctx: "_Ctx") -> tuple:
+    def build_list(self, items: list, ctx: "_Ctx", node_ctx: "_Ctx | None" = None) -> tuple:
         """``@list`` array → rdf:first/rest cons chain; returns the head
         (rdf:nil for an empty list)."""
         prev: tuple = (IRI, RDF_NS + "nil", None, None)
-        objs = [self.value_object(it, ctx) for it in items]
+        objs = [self.value_object(it, ctx, node_ctx=node_ctx) for it in items]
         for obj in reversed([o for o in objs if o is not None]):
             cell = self.fresh()
             self.quads.append((cell, (IRI, RDF_NS + "first", None, None), obj, self.graph))
@@ -306,7 +335,7 @@ class _Parser:
                 if node.get("@id") is not None:
                     self.graph = subj
                 for child in value if isinstance(value, list) else [value]:
-                    self.parse_node(child, ctx)
+                    self.parse_node(child, ctx.rollback())
                 self.graph = prev
                 continue
             if key == "@reverse":
@@ -326,7 +355,7 @@ class _Parser:
                 # carried alongside — parsed as independent nodes
                 for child in value if isinstance(value, list) else [value]:
                     if isinstance(child, dict):
-                        self.parse_node(child, ctx)
+                        self.parse_node(child, ctx.rollback())
                 continue
             if key == "@nest" or ctx.is_nest_term(key):
                 # nesting is purely syntactic: the nested dict's entries
@@ -341,13 +370,19 @@ class _Parser:
             if pred_iri is None:
                 continue  # non-IRI-mapped keys are dropped (expansion rule)
             pred = (IRI, pred_iri, None, None)
-            # term-scoped context applies to this term's VALUES (§4.1.8)
+            # term-scoped context applies to this term's VALUES (§4.1.8);
+            # nested node objects start from the rolled-back context
+            # (@propagate: false frames revert, §4.1.9) with the scoped
+            # context re-applied on top
             vctx = ctx.scoped(key)
+            nctx = ctx.scoped_for_node(key)
             cont = ctx.container(key)
             if "@list" in cont:
                 # "@container": "@list" — the whole array is ONE list value
                 items = value if isinstance(value, list) else [value]
-                self.quads.append((subj, pred, self.build_list(items, vctx), self.graph))
+                self.quads.append(
+                    (subj, pred, self.build_list(items, vctx, nctx), self.graph)
+                )
                 continue
             if "@language" in cont and isinstance(value, dict):
                 # language map: key = tag ("@none" = untagged), values =
@@ -386,7 +421,7 @@ class _Parser:
             reverse = ctx.is_reverse_term(key)
             for v in value if isinstance(value, list) else [value]:
                 obj = self.value_object(
-                    v, vctx, id_coercion=reverse or ctx.is_id_term(key)
+                    v, vctx, id_coercion=reverse or ctx.is_id_term(key), node_ctx=nctx
                 )
                 if obj is not None:
                     if reverse:
@@ -394,11 +429,15 @@ class _Parser:
                     else:
                         self.quads.append((subj, pred, obj, self.graph))
 
-    def value_object(self, v, ctx: _Ctx, id_coercion: bool = False):
+    def value_object(
+        self, v, ctx: _Ctx, id_coercion: bool = False, node_ctx: "_Ctx | None" = None
+    ):
         if isinstance(v, dict):
             if "@list" in v:
                 return self.build_list(
-                    v["@list"] if isinstance(v["@list"], list) else [v["@list"]], ctx
+                    v["@list"] if isinstance(v["@list"], list) else [v["@list"]],
+                    ctx,
+                    node_ctx,
                 )
             if "@value" in v:
                 val = v["@value"]
@@ -426,7 +465,9 @@ class _Parser:
                 if nid.startswith("_:"):
                     return (BNODE, nid[2:], None, None)
                 return (IRI, ctx.expand_id(nid), None, None)
-            return self.parse_node(v, ctx)  # nested node object
+            # nested node object: non-propagating frames already reverted
+            # (and the term-scoped context re-applied) in node_ctx
+            return self.parse_node(v, node_ctx if node_ctx is not None else ctx)
         if isinstance(v, bool):
             return (LITERAL, "true" if v else "false", XSD + "boolean", None)
         if isinstance(v, int):

@@ -331,6 +331,108 @@ def test_jsonld11_container_maps_nest_scoped_contexts():
     assert (scoped_obj[1], "http://inner.example/p", "deep", None) in spo
 
 
+def test_jsonld11_propagate_false_scoped_context():
+    """JSON-LD 1.1 §4.1.9 ``"@propagate": false``: a non-propagating
+    term-scoped context applies to the term's immediate value node object
+    (depth 1) and STOPS at nested node objects (depth 2), where the
+    previous context is restored. The round-3 expansion boundary."""
+    import json
+
+    from sopspark.sources.jsonld import parse_jsonld_text
+
+    doc = {
+        "@context": {
+            "@vocab": "http://v.example/",
+            "bar": {
+                "@id": "http://v.example/bar",
+                "@context": {"@propagate": False, "baz": "http://scoped.example/baz"},
+            },
+        },
+        "@id": "http://n.example/root",
+        "bar": {
+            "@id": "http://n.example/d1",
+            "baz": {"@value": "at-depth-1"},
+            "deeper": {
+                "@id": "http://n.example/d2",
+                "baz": {"@value": "at-depth-2"},
+            },
+        },
+    }
+    quads = parse_jsonld_text(json.dumps(doc))
+    spo = {(s[1], p[1], o[1]) for s, p, o, g in quads}
+    # depth 1: the scoped mapping applies
+    assert ("http://n.example/d1", "http://scoped.example/baz", "at-depth-1") in spo
+    # depth 2: the frame reverted — baz falls back to @vocab expansion
+    assert ("http://n.example/d2", "http://v.example/baz", "at-depth-2") in spo
+    assert not any(
+        s == "http://n.example/d2" and p == "http://scoped.example/baz"
+        for s, p, o in spo
+    )
+
+    # the 1.1 default (no @propagate) still propagates to any depth
+    doc["@context"]["bar"]["@context"] = {"baz": "http://scoped.example/baz"}
+    spo2 = {
+        (s[1], p[1], o[1]) for s, p, o, g in parse_jsonld_text(json.dumps(doc))
+    }
+    assert ("http://n.example/d2", "http://scoped.example/baz", "at-depth-2") in spo2
+
+    # inline node @context with @propagate:false reverts for child nodes too
+    doc2 = {
+        "@context": {"@vocab": "http://v.example/"},
+        "@id": "http://n.example/a",
+        "child": {
+            "@context": {"@propagate": False, "q": "http://scoped.example/q"},
+            "@id": "http://n.example/b",
+            "q": {"@value": "own"},
+            "kid": {"@id": "http://n.example/c", "q": {"@value": "reverted"}},
+        },
+    }
+    spo3 = {
+        (s[1], p[1], o[1]) for s, p, o, g in parse_jsonld_text(json.dumps(doc2))
+    }
+    assert ("http://n.example/b", "http://scoped.example/q", "own") in spo3
+    assert ("http://n.example/c", "http://v.example/q", "reverted") in spo3
+
+    # @propagate must be boolean
+    import pytest as _pytest
+
+    from sopspark.sources.jsonld import JsonLdError
+
+    with _pytest.raises(JsonLdError):
+        parse_jsonld_text(json.dumps({"@context": {"@propagate": "nope"}, "@id": "x"}))
+
+
+def test_jsonld11_propagate_false_spark_roundtrip(spark, tmp_path):
+    """The non-propagating fixture through the distributed parser and the
+    quad schema: same triples as the in-process expansion."""
+    import json
+
+    from sopspark.sources.jsonld import parse_jsonld
+
+    doc = {
+        "@context": {
+            "@vocab": "http://v.example/",
+            "bar": {
+                "@id": "http://v.example/bar",
+                "@context": {"@propagate": False, "baz": "http://scoped.example/baz"},
+            },
+        },
+        "@id": "http://n.example/root",
+        "bar": {
+            "@id": "http://n.example/d1",
+            "baz": {"@value": "v1"},
+            "deeper": {"@id": "http://n.example/d2", "baz": {"@value": "v2"}},
+        },
+    }
+    f = tmp_path / "prop.jsonld"
+    f.write_text(json.dumps(doc))
+    rows = parse_jsonld(spark, str(f)).collect()
+    assert not [r for r in rows if r["err"] is not None]
+    spo = {(r["s"]["value"], r["p"]["value"], r["o"]["value"]) for r in rows if r["s"]}
+    assert ("http://n.example/d1", "http://scoped.example/baz", "v1") in spo
+    assert ("http://n.example/d2", "http://v.example/baz", "v2") in spo
+
+
 def test_jsonld11_included_and_direction():
     """JSON-LD 1.1 @included blocks and @direction → dirLangString."""
     import json
