@@ -3,12 +3,13 @@ metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signatures, batch shapes, error quarantine. Codec status: PNG
-(:func:`decode_png`), WAV (:func:`decode_wav`), and APNG video frames
-(:func:`decode_apng_frames`) decode FOR REAL with stdlib-only code;
-other formats (JPEG, mp3, mp4) need codec libraries absent from this
-container, so ``decode_image`` raises
-``NotImplementedError`` for them unless ``fake=True``, in which case a
-deterministic fake decoder (seeded from the bytes) produces stable
+(:func:`decode_png`), baseline JPEG (:mod:`sopspark.jpegcodec` — numpy
+Huffman+IDCT, the round-3 gap closed), WAV (:func:`decode_wav`), and APNG
+video frames (:func:`decode_apng_frames`) decode FOR REAL with
+stdlib+numpy code; the remaining formats (progressive JPEG, mp3, mp4)
+need codec libraries absent from this container, so ``decode_image``
+raises ``NotImplementedError`` for them unless ``fake=True``, in which
+case a deterministic fake decoder (seeded from the bytes) produces stable
 "features" so the distributed plumbing can still be exercised end-to-end.
 
 Schema convention (one row per asset):
@@ -266,17 +267,24 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array.
 
     PNG payloads decode for real (:func:`decode_png`, stdlib-only — the
-    round-2 codec stub is gone for PNG). Other formats still need codec
-    libraries absent from this container: ``fake=True`` falls back to a
-    deterministic 8x8x3 array seeded by the payload digest — stable across
-    executors/runs — and ``fake=False`` raises ``NotImplementedError``.
+    round-2 codec stub is gone for PNG), and baseline JPEG decodes for
+    real too (:mod:`sopspark.jpegcodec`, numpy Huffman+IDCT — the round-3
+    gap; progressive JPEG still raises). Other formats (mp3/mp4 in image
+    position, webp, ...) need codec libraries absent from this container:
+    ``fake=True`` falls back to a deterministic 8x8x3 array seeded by the
+    payload digest — stable across executors/runs — and ``fake=False``
+    raises ``NotImplementedError``.
     """
     if payload[:8] == PNG_SIG:
         return decode_png(bytes(payload))
+    if payload[:3] == b"\xff\xd8\xff":
+        from sopspark.jpegcodec import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decoding requires an imaging library not present in this "
-            "environment; use PNG payloads or fake=True for plumbing tests"
+            "non-PNG/JPEG image decoding requires an imaging library not present in "
+            "this environment; use PNG/JPEG payloads or fake=True for plumbing tests"
         )
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
@@ -507,11 +515,20 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
         modality = ["image", "audio", "video"][i % 3]
         dur = None
         if modality == "image":
-            # real PNG payload — the decode path is exercised for real
+            # real payloads, alternating PNG / baseline JPEG — both decode
+            # paths exercised for real
             px_seed = int.from_bytes(hashlib.sha256(f"{seed}:{i}".encode()).digest()[:8], "big")
             img = np.random.default_rng(px_seed).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
-            payload = encode_png(img)
+            if (i // 3) % 2:
+                from sopspark.jpegcodec import encode_jpeg
+
+                payload = encode_jpeg(img, quality=90)
+                mime = "image/jpeg"
+            else:
+                payload = encode_png(img)
+                mime = "image/png"
         elif modality == "audio":
+            mime = "audio/wav"
             # real 16-bit PCM WAV payload — a deterministic sine burst
             t = np.arange(1600, dtype=np.float32) / 16000.0
             hz = 200.0 + 50.0 * (i % 7)
@@ -519,6 +536,7 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
         else:
             # real APNG payload: duration_ms/1000 full-canvas frames of
             # 1000 ms each, so frame sampling decodes for real
+            mime = "image/apng"
             dur = rng.randint(1000, 10000)
             fr_seed = int.from_bytes(hashlib.sha256(f"{seed}:v{i}".encode()).digest()[:8], "big")
             frng = np.random.default_rng(fr_seed)
@@ -532,7 +550,7 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
                 i,
                 modality,
                 bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "image/apng"}[modality],
+                mime,
                 64 if modality == "image" else None,
                 64 if modality == "image" else None,
                 dur,

@@ -309,6 +309,108 @@ def test_extract_features_real_png(spark):
     assert {r.asset_id: tuple(r.feature) for r in feats} == {r.asset_id: tuple(r.feature) for r in again}
 
 
+def test_jpeg_codec_roundtrip_profiles():
+    """Baseline JPEG codec (sopspark/jpegcodec.py): encode→decode round
+    trips within lossy tolerance across quality levels, 4:2:0 subsampling,
+    restart intervals, and grayscale — all on spec-conformant JFIF bytes
+    (SOI/APP0/DQT/SOF0/DHT/[DRI]/SOS/EOI with canonical Huffman tables)."""
+    import numpy as np
+
+    from sopspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    h, w = 41, 53  # deliberately not multiples of 8/16 (edge-block crop)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 17),
+            60 + 2.2 * yy,
+            200 - 1.5 * xx + 10 * np.cos(yy / 9),
+        ],
+        axis=-1,
+    )
+    img = np.clip(img + rng.normal(0, 2, img.shape), 0, 255).astype(np.uint8)
+
+    for q, sub, dri, tol in [
+        (95, False, 0, 12),
+        (85, True, 0, 20),
+        (90, False, 4, 14),
+        (70, True, 3, 28),
+    ]:
+        data = encode_jpeg(img, quality=q, subsample=sub, restart_interval=dri)
+        assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+        out = decode_jpeg(data)
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= tol, (q, sub, dri, err.max())
+        assert err.mean() <= 5.0, (q, sub, dri, err.mean())
+
+    # grayscale single-component scan → replicated RGB
+    g = (xx * 2 + yy).clip(0, 255).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g, quality=92))
+    assert og.shape == (h, w, 3)
+    assert (og[..., 0] == og[..., 1]).all() and (og[..., 1] == og[..., 2]).all()
+    assert np.abs(og[..., 0].astype(int) - g.astype(int)).max() <= 4
+
+    # determinism: same input → identical bytes and identical pixels
+    assert encode_jpeg(img, quality=85) == encode_jpeg(img, quality=85)
+
+
+def test_jpeg_codec_rejects_unsupported_profiles():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from sopspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+    # progressive (SOF2) is the declared boundary
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+    # truncated entropy stream → ValueError/IndexError quarantined upstream
+    whole = encode_jpeg(img)
+    with pytest.raises(Exception):
+        decode_jpeg(whole[: len(whole) // 2] + b"\xff\xd9")
+
+    # 16-bit (Pq=1) quantization tables parse (decoder-only path)
+    src = encode_jpeg(img, quality=90)
+    i = src.find(b"\xff\xdb")
+    seglen = struct.unpack(">H", src[i + 2 : i + 4])[0]
+    body = src[i + 4 : i + 2 + seglen]
+    tq = body[0] & 0x0F
+    wide = bytes([0x10 | tq]) + b"".join(
+        struct.pack(">H", b) for b in body[1:65]
+    )
+    patched = (
+        src[:i]
+        + b"\xff\xdb"
+        + struct.pack(">H", len(wide) + 2)
+        + wide
+        + src[i + 2 + seglen :]
+    )
+    assert decode_jpeg(patched).shape == (16, 16, 3)
+
+
+def test_extract_features_real_jpeg(spark):
+    """synth_assets now alternates PNG / baseline JPEG image payloads; the
+    feature UDF decodes BOTH for real (fake=False) end to end."""
+    from sopspark.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, n=24).where("modality = 'image'")
+    mimes = {r.mime for r in assets.select("mime").distinct().collect()}
+    assert mimes == {"image/png", "image/jpeg"}
+    feats = extract_features(assets, feat_dim=16, fake=False).collect()
+    assert feats and all(r.err is None and len(r.feature) == 16 for r in feats)
+
+
 def test_wav_codec_roundtrip_and_formats():
     """decode_wav is a real stdlib-only codec: 16-bit round-trip is
     near-lossless, 8/32-bit and float32 variants decode, stereo averages
