@@ -200,7 +200,9 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                     tmp.close()
                     path = tmp.name
                 ext_fmt = {
-                    ".ttl": "ttl", ".trig": "ttl", ".jsonld": "jsonld", ".json": "jsonld",
+                    ".ttl": "ttl", ".trig": "ttl",
+                    ".ndjsonld": "ndjsonld",
+                    ".jsonld": "jsonld", ".json": "jsonld",
                     ".yamlld": "yamlld", ".yaml": "yamlld", ".yml": "yamlld",
                     ".rdf": "rdf", ".xml": "rdf", ".owl": "rdf",
                 }
@@ -209,6 +211,10 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 )
                 if fmt in ("ttl", "turtle", "trig", "text/turtle", "application/trig"):
                     df = parse_turtle(spark, path, base=args.base)
+                elif fmt in ("ndjsonld", "ndjson-ld", "application/x-ndjson"):
+                    from sopspark.sources.jsonld import parse_ndjsonld
+
+                    df = parse_ndjsonld(spark, path, loader=loader)
                 elif fmt in ("jsonld", "json", "application/ld+json"):
                     from sopspark.sources.jsonld import parse_jsonld
 
@@ -281,7 +287,21 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 )
                 return 2
             triples_only = args.format in ("nt", "ntriples", "ttl", "turtle", "rdf", "xml", "rdfxml")
-            if args.format in ("jsonld", "json", "yamlld", "yaml"):
+            if args.format in ("ndjsonld", "ndjson-ld"):
+                # the DISTRIBUTED bulk JSON-LD sink (one node object per
+                # line, parallel write) — beyond the reference's format
+                # matrix, which only has the in-memory document form
+                from sopspark.operators.serialize import (
+                    serialize_ndjsonld,
+                    to_jsonld_nodes,
+                )
+
+                if args.output:
+                    serialize_ndjsonld(df, args.output)
+                else:
+                    for row in to_jsonld_nodes(df).select("block").toLocalIterator():
+                        print(row["block"])
+            elif args.format in ("jsonld", "json", "yamlld", "yaml"):
                 from sopspark.operators.serialize import (
                     collect_jsonld_text,
                     serialize_jsonld,

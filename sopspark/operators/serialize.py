@@ -435,6 +435,19 @@ def serialize_jsonld(df: DataFrame, path: str) -> None:
     ).text(path)
 
 
+def serialize_ndjsonld(df: DataFrame, path: str) -> None:
+    """Distributed NDJSON-LD bulk sink: one expanded-form node object (or
+    named-graph wrapper) per line, written with a PARALLEL ``write.text``
+    — no ``coalesce(1)``, no driver collect. This is the scale path for
+    JSON-LD output; :func:`serialize_jsonld` keeps the single-document
+    array form for stdout/file parity with the reference's in-memory
+    ``json_buf`` (``src/serialize.rs:176-183``). Blank-node labels are
+    written explicitly (``_:x``), so the output round-trips exactly
+    through :func:`sopspark.sources.jsonld.parse_ndjsonld`, which scopes
+    labeled bnodes dataset-wide."""
+    to_jsonld_nodes(df).select("block").write.mode("overwrite").text(path)
+
+
 def collect_jsonld_text(df: DataFrame) -> str:
     """The JSON-LD document as one string (CLI stdout / YAML-LD bridge)."""
     rows = to_jsonld_nodes(df).orderBy("sort_key").collect()

@@ -281,14 +281,15 @@ class _Ctx:
 
 
 class _Parser:
-    def __init__(self):
+    def __init__(self, fresh_prefix: str = "jb"):
         self.quads: list[tuple] = []
         self._bn = 0
+        self._fresh_prefix = fresh_prefix
         self.graph: tuple | None = None  # active named graph (via @graph)
 
     def fresh(self) -> tuple:
         self._bn += 1
-        return (BNODE, f"jb{self._bn}", None, None)
+        return (BNODE, f"{self._fresh_prefix}{self._bn}", None, None)
 
     def node_subject(self, node: dict, ctx: _Ctx) -> tuple:
         nid = node.get("@id")
@@ -484,10 +485,13 @@ class _Parser:
 
 
 def parse_jsonld_text(
-    text: str, contexts: dict | None = None, loader: ContextLoader | None = None
+    text: str,
+    contexts: dict | None = None,
+    loader: ContextLoader | None = None,
+    fresh_prefix: str = "jb",
 ) -> list[tuple]:
     doc = json.loads(text)
-    p = _Parser()
+    p = _Parser(fresh_prefix)
     ctx = _Ctx(contexts, loader=loader)
     nodes = doc if isinstance(doc, list) else [doc]
     for node in nodes:
@@ -565,3 +569,46 @@ def parse_yamlld(
     loader: ContextLoader | None = None,
 ) -> DataFrame:
     return _parse_docs(spark, paths, parse_yamlld_text, contexts, loader)
+
+
+def parse_ndjsonld(
+    spark: SparkSession,
+    paths: str | list[str],
+    contexts: dict | None = None,
+    loader: ContextLoader | None = None,
+) -> DataFrame:
+    """NDJSON-LD: one JSON-LD node object (or compact document) per line.
+
+    The distributed bulk twin of :func:`parse_jsonld` — no ``wholetext``,
+    so a single huge file still splits into many scan partitions and lines
+    parse in parallel. Labeled blank nodes (``_:x``) are DATASET-scoped so
+    :func:`sopspark.operators.serialize.serialize_ndjsonld` output
+    round-trips exactly; anonymous nested nodes get line-unique labels
+    (two lines can't collide on the parser's fresh-bnode counter)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    lines = (
+        spark.read.text(paths)
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .select("value", F.input_file_name().alias("src"))
+        .withColumn("rid", F.monotonically_increasing_id())
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f"{t}_{f}" for t in ("s", "p", "o", "g") for f in ("kind", "value", "dt", "lang")]
+        for pdf in pdfs:
+            rows = []
+            for val, src, rid in zip(
+                pdf["value"].values, pdf["src"].values, pdf["rid"].values
+            ):
+                try:
+                    for s, p_, o, g in parse_jsonld_text(
+                        val, contexts, loader, fresh_prefix=f"l{rid}b"
+                    ):
+                        flat = list(s) + list(p_) + list(o) + (list(g) if g else [None] * 4)
+                        rows.append(flat + [None, src])
+                except (JsonLdError, json.JSONDecodeError) as e:
+                    rows.append([None] * 16 + [f"parse error: {e}", src])
+            yield pd.DataFrame(rows, columns=cols + ["err", "src"])
+
+    return _flat_to_quads(lines.mapInPandas(run, schema=FLAT_SCHEMA)).drop("src")

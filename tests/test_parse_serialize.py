@@ -218,6 +218,63 @@ def test_jsonld_writer_named_graph_roundtrip(spark, tmp_path):
     assert collect_nq_lines(df2) == collect_nq_lines(df)
 
 
+def test_ndjsonld_writer_distributed_roundtrip(spark, tmp_path):
+    """serialize_ndjsonld: the bulk JSON-LD sink writes one node object
+    per line through a PARALLEL write.text (no coalesce(1), no driver
+    collect — round-3 finding: serialize_jsonld's driver-side document
+    build is stdout-parity only). Round-trips exactly through
+    parse_ndjsonld, including named graphs, bnodes, and literals."""
+    import glob
+    import json
+
+    from sopspark.operators.serialize import (
+        collect_nq_lines,
+        serialize_ndjsonld,
+        to_jsonld_nodes,
+    )
+    from sopspark.sources.jsonld import parse_ndjsonld
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = (
+        [f"<http://e/s{i}> <http://e/p> <http://e/o{i}> <http://e/g{i % 3}> ." for i in range(40)]
+        + [f'<http://e/s{i}> <http://e/q> "v{i}"@en .' for i in range(40)]
+        + ['_:b1 <http://e/p> "shared bnode" .', "_:b1 <http://e/q> _:b2 ."]
+    )
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    out = str(tmp_path / "out_ndjsonld")
+    serialize_ndjsonld(df, out)
+    parts = glob.glob(out + "/part-*")
+    # distributed write: as many part files as upstream partitions (>1),
+    # and every non-empty line is standalone valid JSON
+    assert len(parts) > 1, parts
+    for p in parts:
+        for line in open(p):
+            if line.strip():
+                obj = json.loads(line)
+                assert "@id" in obj
+    # the plan never funnels to one partition
+    assert to_jsonld_nodes(df).select("block").rdd.getNumPartitions() > 1
+    df2 = parse_ndjsonld(spark, out)
+    assert [r for r in df2.select("err").collect() if r.err] == []
+    assert collect_nq_lines(df2) == collect_nq_lines(df)
+
+
+def test_ndjsonld_parser_line_scoped_fresh_bnodes(spark, tmp_path):
+    """Two NDJSON-LD lines with identical ANONYMOUS nested nodes must
+    produce distinct blank nodes (line-unique fresh labels), while labeled
+    _:x bnodes stay dataset-scoped."""
+    f = tmp_path / "docs.ndjsonld"
+    line = '{"@id":"http://e/s%d","http://e/p":[{"@value":"x"},{"http://e/q":[{"@value":"deep"}]}]}'
+    f.write_text((line % 1) + "\n" + (line % 2) + "\n")
+    from sopspark.sources.jsonld import parse_ndjsonld
+    from sopspark.terms import BNODE
+
+    rows = parse_ndjsonld(spark, str(f)).collect()
+    assert not [r for r in rows if r["err"]]
+    fresh = {r["o"]["value"] for r in rows if r["o"] and r["o"]["kind"] == BNODE}
+    assert len(fresh) == 2, fresh  # one distinct anonymous bnode per line
+
+
 def test_yamlld_writer_roundtrip(spark, fixtures_dir, tmp_path):
     import os
 
