@@ -175,6 +175,33 @@ def main() -> None:
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
 
+    # iterative graph/cluster algos: split fixed job cost from steady-state
+    # per-round cost by also timing a 1-round run. round_sec is the marginal
+    # wall of one extra synchronous round — the number that actually scales
+    # with data (the fixed cost amortizes at real scale); a lost
+    # localCheckpoint or a per-round plan regression shows up here first.
+    ITERATIVE: dict[str, tuple[str, int]] = {
+        "pagerank": ("iters", 10),
+        "ppr": ("iters", 10),
+        "label_propagation": ("iters", 5),
+        "kcore": ("rounds", 6),
+        "bfs_levels": ("rounds", 4),
+        "kmeans": ("iters", 3),
+    }
+    for name, (kw, n_rounds) in ITERATIVE.items():
+        walls1 = []
+        for _ in range(reps):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir, **{kw: 1}).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            walls1.append(time.time() - t0)
+        first = min(walls1)
+        timings[f"{name}_first_round_sec"] = round(first, 3)
+        timings[f"{name}_round_sec"] = round(
+            max(timings[name] - first, 0.0) / (n_rounds - 1), 3
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -862,7 +862,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id", "error_id")
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pagerank(spark: SparkSession, sf_dir: str, *, iters: int = 10) -> DataFrame:
     """Distributed PageRank (kg/graphalgo.py) over the bipartite
     user↔event-type entity graph, 10 synchronous iterations with uniform
     dangling redistribution — per iteration one edge-scan join + one
@@ -876,7 +876,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(EV), F.col("event_type")).alias("dst"),
     )
     edges = ut.unionByName(ut.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(edges, iters=10)
+    pr = pagerank(edges, iters=iters)
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
@@ -1232,7 +1232,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_label_propagation(spark: SparkSession, sf_dir: str, *, iters: int = 5) -> DataFrame:
     """Synchronous label-propagation community detection
     (kg/graphalgo.py::label_propagation, Raghavan et al. 2007) over the
     supplier co-occurrence graph (suppliers sharing an order), 5
@@ -1246,7 +1246,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
     edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
     return (
-        label_propagation(edges, iters=5)
+        label_propagation(edges, iters=iters)
         .select(
             F.col("node").cast("bigint").alias("node"),
             F.col("community").cast("bigint").alias("community"),
@@ -1268,7 +1268,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kmeans(spark: SparkSession, sf_dir: str, *, iters: int = 3) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table
     (text/cluster.py::kmeans_assign, k=8, 3 rounds): per round one map
     pass with the k×dim centroid table as broadcast literals + one
@@ -1278,7 +1278,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (
-        kmeans_assign(emb, k=8, iters=3)
+        kmeans_assign(emb, k=8, iters=iters)
         .select(
             "vec_id",
             F.col("cluster").cast("int").alias("cluster"),
@@ -1288,7 +1288,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bfs_levels(spark: SparkSession, sf_dir: str, *, rounds: int = 4) -> DataFrame:
     """Multi-source BFS hop distances (kg/graphalgo.py::bfs_levels,
     4 synchronous rounds) from the low-id parts over the part
     co-occurrence graph — per round one edge join + one min agg, the
@@ -1308,7 +1308,7 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        bfs_levels(edges, sources, rounds=4)
+        bfs_levels(edges, sources, rounds=rounds)
         .select(F.col("node").cast("bigint").alias("node"), "dist")
         .orderBy("node")
     )
@@ -1420,7 +1420,7 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kcore(spark: SparkSession, sf_dir: str, *, rounds: int = 6) -> DataFrame:
     """k-core peeling (kg/graphalgo.py::kcore, k=3, 6 synchronous
     rounds) over the part co-occurrence graph — per round one degree agg
     + two node-keyed semi-joins; the DuckDB twin unrolls the identical
@@ -1434,13 +1434,13 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
     return (
-        kcore(edges, k=3, rounds=6)
+        kcore(edges, k=3, rounds=rounds)
         .select(F.col("node").cast("bigint").alias("node"), "degree")
         .orderBy("node")
     )
 
 
-def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ppr(spark: SparkSession, sf_dir: str, *, iters: int = 10) -> DataFrame:
     """Personalized PageRank (kg/graphalgo.py::personalized_pagerank, 10
     iterations) from the first five user entities over the bipartite
     user↔event-type graph — dangling mass teleports to the sources, so
@@ -1459,7 +1459,7 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = ev.where(F.col("user_id") < 5).select(
         F.concat(F.lit(USR), F.col("user_id").cast("string")).alias("node")
     )
-    pr = personalized_pagerank(edges, sources, iters=10)
+    pr = personalized_pagerank(edges, sources, iters=iters)
     return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
