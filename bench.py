@@ -80,6 +80,12 @@ def main() -> None:
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return simhash_near_dup_pairs(docs, max_hamming=3, bits=64, hash_fn="xxhash64")
 
+    def _dedup_clusters_fast(spark, d):
+        from sopspark.text.dedup import dedup_clusters
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup_clusters(docs, para_sep=" a ", para_min_chars=20, hash_fn="xxhash64")
+
     OPERATOR_BENCHES: dict = {
         "filter_expr": QUERIES["filter_expr"],
         "map_expr": QUERIES["map_expr"],
@@ -142,6 +148,9 @@ def main() -> None:
         "tpch_profit": QUERIES["tpch_profit"],
         "quality_deciles": QUERIES["quality_deciles"],
         "salted_join": QUERIES["salted_join"],
+        "dedup_clusters": _dedup_clusters_fast,
+        "dedup_clusters_md5": QUERIES["dedup_clusters"],
+        "embedding_quantize": QUERIES["embedding_quantize"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1357,6 +1357,55 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal duplicate clustering (text/dedup.py::dedup_clusters):
+    paragraph-dup star edges + SimHash banded Hamming ≤ 3 pairs + exact
+    AllPairs Jaccard ≥ 0.4 pairs unioned into ONE edge list → distributed
+    large/small-star connected components (Kiveris et al. SoCC'14;
+    plans/graph.py). The driver union-find shortcut is DISABLED
+    (cc_driver_threshold=0) so parity machine-verifies the distributed
+    star iterations themselves. DuckDB twin: the three signal SQLs (each
+    parity-proven solo in this registry) + recursive min-label
+    propagation + a component-size window."""
+    from sopspark.text.dedup import dedup_clusters
+
+    docs = _capped_docs(spark, sf_dir)
+    return (
+        dedup_clusters(
+            docs,
+            para_sep=" a ",
+            para_min_chars=20,
+            hash_fn="md5",
+            cc_driver_threshold=0,
+        )
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("component").cast("bigint").alias("component"),
+            F.col("csize").cast("bigint").alias("csize"),
+        )
+        .orderBy("node")
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus
+    (text/similarity.py::quantize_embeddings, FAISS-SQ8 shape): pass 1 =
+    one posexplode + map-side-combined min/max per dimension (state = dim
+    rows), broadcast back as literals; pass 2 = map-only code projection +
+    reconstruction MSE. floor(+0.5) rounding in DOUBLE keeps the codes
+    bit-identical between engines; codes serialize as a CSV string so the
+    value-hash compares them exactly."""
+    from sopspark.text.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    return q.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.concat_ws(",", F.transform("codes", lambda c: c.cast("string"))).alias("codes"),
+        F.round("mse", 12).alias("mse"),
+    ).orderBy("vec_id")
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization gauntlet (text/analysis.py::normalize_text):
     the parquet corpus is ASCII, so deterministic unicode noise keyed on
@@ -1732,6 +1781,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore": q_rolling_zscore,
     "quality_deciles": q_quality_deciles,  # r4: global_ntile rewrite — re-verify
     "salted_join": q_salted_join,
+    # -- new in round 4 --
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_quantize": q_embedding_quantize,
     # -- flagship / representative entries already driver-green (fill to 50) --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
@@ -3301,7 +3353,7 @@ ORACLES["normalize_text"] = r"""
 
 # plain all-pairs threshold join — NO prefix filter on the oracle side, so
 # a parity match machine-verifies the filter's exactness (recall == 1.0)
-ORACLES["jaccard_join"] = _capped_docs_sql("""
+_JACCARD_JOIN_SQL = """
     WITH w AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
       FROM documents
@@ -3320,7 +3372,84 @@ ORACLES["jaccard_join"] = _capped_docs_sql("""
     WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
           / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
     ORDER BY doc_a, doc_b
-""")
+"""
+
+ORACLES["jaccard_join"] = _capped_docs_sql(_JACCARD_JOIN_SQL)
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Union of the three (solo parity-proven) signal SQLs + recursive
+    min-label propagation. The recursion seeds every edge endpoint with its
+    own id and propagates smaller labels along edges until fixpoint — MIN
+    per node is exactly the min-id component representative that the
+    large/small-star Spark path converges to."""
+    simhash = _simhash_neardup_oracle_sql()
+    return f"""
+    WITH RECURSIVE paras AS (
+      SELECT DISTINCT doc_id, para FROM (
+        SELECT doc_id, unnest(string_split(text, ' a ')) AS para FROM documents
+      ) WHERE length(para) >= 20
+    ), stars AS (
+      SELECT para, MIN(doc_id) AS v, COUNT(*) AS n FROM paras GROUP BY para
+    ), para_e AS (
+      SELECT DISTINCT p.doc_id AS u, s.v
+      FROM paras p JOIN stars s USING (para)
+      WHERE s.n >= 2 AND p.doc_id <> s.v
+    ), sim_e AS (
+      SELECT a AS u, b AS v FROM ({simhash})
+    ), jac_e AS (
+      SELECT doc_a AS u, doc_b AS v FROM ({_JACCARD_JOIN_SQL})
+    ), e0 AS (
+      SELECT u, v FROM para_e
+      UNION SELECT u, v FROM sim_e
+      UNION SELECT u, v FROM jac_e
+    ), edges AS (
+      SELECT u AS x, v AS y FROM e0 UNION SELECT v AS x, u AS y FROM e0
+    ), r(node, label) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT e.y, r.label FROM r JOIN edges e ON e.x = r.node
+      WHERE r.label < e.y
+    ), cc AS (
+      SELECT node, MIN(label) AS component FROM r GROUP BY node
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+    FROM cc ORDER BY node
+    """
+
+
+ORACLES["dedup_clusters"] = _capped_docs_sql(_dedup_clusters_oracle_sql())
+
+ORACLES["embedding_quantize"] = """
+    WITH x AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), d AS (
+      SELECT u.i AS pos, MIN(x.v[u.i]) AS lo, MAX(x.v[u.i]) AS hi
+      FROM x, unnest(range(1, len(x.v)+1)) AS u(i)
+      GROUP BY u.i
+    ), dd AS (
+      SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM d
+    ), q AS (
+      SELECT vec_id, v,
+        list_transform(range(1, len(v)+1),
+          i -> CASE WHEN his[i] = los[i] THEN 0
+               ELSE CAST(floor((v[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) AS INT)
+                    - 128 END) AS codes
+      FROM x, dd
+    ), deq AS (
+      SELECT vec_id, v, codes,
+        list_transform(range(1, len(v)+1),
+          i -> los[i] + ((CAST(codes[i] AS DOUBLE) + 128.0) * (his[i] - los[i])) / 255.0) AS dv
+      FROM q, dd
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           array_to_string(codes, ',') AS codes,
+           ROUND(list_sum(list_transform(range(1, len(v)+1),
+                                         i -> (v[i]-dv[i])*(v[i]-dv[i]))) / len(v), 12) AS mse
+    FROM deq ORDER BY vec_id
+"""
 
 ORACLES["triangle_count"] = """
     WITH li AS (

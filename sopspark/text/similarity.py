@@ -469,3 +469,80 @@ def hard_negatives(
         extra_corpus_cols={"_cl": F.col(label_col)},
         extra_query_cols={"_ql": F.col(label_col)},
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8 embedding compression)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization to ``levels`` codes (default int8)
+    — the standard 4× memory reduction that keeps a 100 TB embedding corpus
+    ANN-searchable in RAM (FAISS ``SQ8`` shape, public: Johnson et al.
+    arXiv:1702.08734 §4).
+
+    Pass 1 computes the per-dimension ``[lo, hi]`` range: one
+    ``posexplode`` + hash aggregate (map-side combined; state = dim rows,
+    not corpus rows), collected to the driver (dim rows — bounded) and
+    broadcast back as LITERAL arrays, so pass 2 is a map-only projection:
+
+        code_i  = floor((x_i - lo_i) / (hi_i - lo_i) * (levels-1) + 0.5) - levels/2
+        dequant = lo_i + ((code_i + levels/2) * (hi_i - lo_i)) / (levels-1)
+
+    All arithmetic in DOUBLE with ``floor(+0.5)`` rounding so the DuckDB
+    oracle replicates the codes bit-for-bit (no round-half-even/half-up
+    divergence). Constant dimensions (hi == lo) code to 0 and dequantize
+    to lo exactly.
+
+    Returns ``(id_col, codes array<int>, mse double)`` where ``mse`` is the
+    per-vector mean squared reconstruction error.
+    """
+    spark = df.sparkSession
+    v = F.col("_v")
+    base = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+
+    dims = (
+        base.select(F.posexplode("_v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    lo = [r["lo"] for r in sorted(dims, key=lambda r: r["pos"])]
+    hi = [r["hi"] for r in sorted(dims, key=lambda r: r["pos"])]
+    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
+    hi_lit = F.array(*[F.lit(float(x)) for x in hi])
+    half = levels // 2
+    top = float(levels - 1)
+
+    def _code(x, i):
+        l = F.element_at(lo_lit, i + 1)
+        h = F.element_at(hi_lit, i + 1)
+        return F.when(h == l, F.lit(0)).otherwise(
+            F.floor((x - l) / (h - l) * F.lit(top) + F.lit(0.5)).cast("int") - F.lit(half)
+        )
+
+    def _dequant(c, i):
+        l = F.element_at(lo_lit, i + 1)
+        h = F.element_at(hi_lit, i + 1)
+        return l + ((c.cast("double") + F.lit(float(half))) * (h - l)) / F.lit(top)
+
+    coded = base.select(
+        F.col(id_col),
+        "_v",
+        F.transform(v, _code).alias("codes"),
+    )
+    err = F.zip_with(
+        v, F.transform(F.col("codes"), _dequant), lambda x, d: (x - d) * (x - d)
+    )
+    return coded.select(
+        F.col(id_col),
+        "codes",
+        (F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size(v)).alias("mse"),
+    )

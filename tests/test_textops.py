@@ -788,3 +788,95 @@ def test_pmi_closed_form(spark):
     want_ac = round(math.log((1 / n) / ((3 / n) * (2 / n))), 6)
     assert got[("a", "c")] == (1, want_ac)
     assert not any("d" in k for k in got)
+
+
+# ---------------------------------------------------------------------------
+# multi-signal dedup clustering
+# ---------------------------------------------------------------------------
+
+def test_dedup_clusters_transitive_across_signals(spark):
+    """Docs linked by DIFFERENT signals must land in ONE component:
+    1↔2 share an exact paragraph, 2↔3 are near-identical (simhash Hamming 0
+    AND jaccard ≥ 0.4) — so {1,2,3} is one cluster rooted at 1; 4↔5 share a
+    paragraph (separate cluster); 6 is unique and must not appear."""
+    from sopspark.text.dedup import dedup_clusters
+
+    boiler = "this exact boilerplate paragraph repeats verbatim across documents"
+    other = "completely different second paragraph padding the document body"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "\n\n" + "unique tail one two three four five six"),
+            (2, boiler + "\n\n" + near),
+            (3, near + " extra"),
+            (4, other + "\n\nwholly unrelated content for the fourth document"),
+            (5, other + "\n\nanother unrelated closing paragraph entirely here"),
+            (6, "singleton document with no duplicate evidence at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["node"]: (r["component"], r["csize"])
+        for r in dedup_clusters(docs, para_min_chars=20).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 2), 5: (4, 2),
+    }
+
+
+def test_dedup_clusters_distributed_path_matches_driver_path(spark):
+    """cc_driver_threshold=0 (forced star iterations) must produce the
+    identical clustering as the driver union-find shortcut."""
+    from sopspark.text.dedup import dedup_clusters
+
+    base = "shared paragraph content that is long enough to count here"
+    docs = spark.createDataFrame(
+        [(i, base + "\n\n" + f"doc {i} body " + ("x " * (i % 5))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup_clusters(docs).collect()))
+    b = sorted(map(tuple, dedup_clusters(docs, cc_driver_threshold=0).collect()))
+    assert a == b and len(a) == 12
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_embeddings_closed_form(spark):
+    """2-dim corpus with dim ranges [0,10] and a CONSTANT dim: codes are the
+    exact floor(+0.5) grid points, the constant dim codes 0 with zero
+    reconstruction error, endpoints reconstruct exactly."""
+    from sopspark.text.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 7.0]), (1, [5.0, 7.0]), (2, [10.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[0]["codes"] == [-128, 0]
+    assert rows[1]["codes"] == [0, 0]      # 5/10*255+0.5 = 128.0 → floor 128
+    assert rows[2]["codes"] == [127, 0]
+    assert rows[0]["mse"] == 0.0           # both endpoints + constant exact
+    assert rows[2]["mse"] == 0.0
+    deq_mid = (128.0 * 10.0) / 255.0
+    assert abs(rows[1]["mse"] - (5.0 - deq_mid) ** 2 / 2) < 1e-12
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """Reconstruction error of nearest-level quantization is bounded by
+    half a step: |x - dequant| ≤ span/(2·255) per dimension."""
+    import numpy as np
+    from sopspark.text.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(7)
+    data = [(i, [float(x) for x in rng.uniform(-3, 3, 16)]) for i in range(50)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    arr = np.array([v for _, v in data], dtype=np.float64)
+    span = arr.max(axis=0) - arr.min(axis=0)
+    # +1e-6 absorbs the float32 storage of the embedding column (the numpy
+    # reference here is float64 of the pre-insert values)
+    bound = float(np.max((span / (2 * 255.0)) ** 2)) + 1e-6
+    for r in quantize_embeddings(df).collect():
+        assert 0.0 <= r["mse"] <= bound
