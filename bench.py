@@ -151,6 +151,7 @@ def main() -> None:
         "dedup_clusters": _dedup_clusters_fast,
         "dedup_clusters_md5": QUERIES["dedup_clusters"],
         "embedding_quantize": QUERIES["embedding_quantize"],
+        "dup_spans": QUERIES["dup_spans"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1387,6 +1387,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans between document pairs
+    (text/dedup.py::duplicate_spans — the exact-substring granularity of
+    Lee et al. 2021 §4, re-expressed distributed: position-stamped 8-token
+    shingles, shingle equi-join, gaps-and-islands merge along each
+    alignment diagonal with a (a,b,diag)-partitioned window). The DuckDB
+    twin is the identical islands SQL, so every span boundary is
+    machine-verified."""
+    from sopspark.text.dedup import duplicate_spans
+
+    docs = _capped_docs(spark, sf_dir)
+    return (
+        duplicate_spans(docs, k=8, min_span=12)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.col("a_start").cast("bigint").alias("a_start"),
+            F.col("a_end").cast("bigint").alias("a_end"),
+            F.col("b_start").cast("bigint").alias("b_start"),
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        )
+        .orderBy("a", "b", "a_start", "b_start")
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus
     (text/similarity.py::quantize_embeddings, FAISS-SQ8 shape): pass 1 =
@@ -1784,6 +1809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 4 --
     "dedup_clusters": q_dedup_clusters,
     "embedding_quantize": q_embedding_quantize,
+    "dup_spans": q_dup_spans,
     # -- flagship / representative entries already driver-green (fill to 50) --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
@@ -3421,6 +3447,32 @@ def _dedup_clusters_oracle_sql() -> str:
 
 
 ORACLES["dedup_clusters"] = _capped_docs_sql(_dedup_clusters_oracle_sql())
+
+ORACLES["dup_spans"] = _capped_docs_sql("""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(w[i:i+7], ' ') AS g
+      FROM d, unnest(range(1, len(w) - 8 + 2)) AS u(i)
+      WHERE len(w) >= 8
+    ), pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+      FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+    ), isl AS (
+      SELECT a, b, pa - pb AS diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+      FROM pairs
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(MIN(pa) AS BIGINT) AS a_start,
+           CAST(MAX(pa) + 7 AS BIGINT) AS a_end,
+           CAST(MIN(pa) - diag AS BIGINT) AS b_start,
+           CAST(MAX(pa) - MIN(pa) + 8 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY a, b, diag, grp
+    HAVING MAX(pa) - MIN(pa) + 8 >= 12
+    ORDER BY a, b, a_start, b_start
+""")
 
 ORACLES["embedding_quantize"] = """
     WITH x AS (

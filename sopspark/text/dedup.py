@@ -764,3 +764,90 @@ def dedup_clusters(
     return cc.join(sizes, "rep").select(
         F.col("node"), F.col("rep").alias("component"), F.col("csize")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (exact substring granularity)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    min_span: int = 12,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated token spans between document pairs — the exact
+    SUBSTRING granularity of Lee et al. 2021 (arXiv:2107.06499 §4 does this
+    with a suffix array on one machine; the distributed re-expression is
+    k-token shingles with positions, an equi-join on the shingle, and a
+    gaps-and-islands merge along each alignment diagonal):
+
+      1. tokenize + position-stamped k-token shingles (array materialized in
+         its own projection — the CSE barrier idiom);
+      2. shingle equi-join across documents (``a < b``): every match is a
+         k-token agreement at offsets ``(pa, pb)``;
+      3. matches on one diagonal (``pa - pb`` constant) with consecutive
+         ``pa`` are ONE longer duplicate — merged with the classic
+         ``pa - row_number()`` islands trick over a (a, b, diag)-partitioned
+         window (bounded partitions, no global sort);
+      4. island → span ``[a_start, a_end]`` / ``b_start`` with
+         ``span_tokens = islands + k - 1``; spans shorter than ``min_span``
+         are dropped.
+
+    ``max_bucket`` (optional) caps how many shingle occurrences a single
+    hot shingle may contribute (deterministic keep-first by (doc, pos)) —
+    the boilerplate-explosion guard at corpus scale; the cap is replicable
+    in SQL, so a capped oracle stays exact. Returns
+    ``(a, b, a_start, a_end, b_start, span_tokens)`` over 0-based token
+    offsets.
+    """
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+    toks = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("w"))
+    grams = (
+        toks.where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice("w", i + 1, k)).alias("g"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("g").orderBy("doc_id", "pos")
+        grams = grams.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= max_bucket
+        ).drop("_rk")
+
+    a = grams.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"), "g")
+    b = grams.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"), "g")
+    pairs = a.join(b, "g").where(F.col("a") < F.col("b")).select("a", "b", "pa", "pb")
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    iw = Window.partitionBy("a", "b", F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = pairs.select(
+        "a", "b", diag, "pa", (F.col("pa") - F.row_number().over(iw)).alias("grp")
+    )
+    spans = (
+        isl.groupBy("a", "b", "diag", "grp")
+        .agg(F.min("pa").alias("a_start"), F.max("pa").alias("a_max"))
+        .select(
+            "a",
+            "b",
+            "a_start",
+            (F.col("a_max") + k - 1).alias("a_end"),
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("a_max") - F.col("a_start") + k).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+    )
+    return spans

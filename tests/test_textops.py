@@ -880,3 +880,46 @@ def test_quantize_embeddings_error_bound(spark):
     bound = float(np.max((span / (2 * 255.0)) ** 2)) + 1e-6
     for r in quantize_embeddings(df).collect():
         assert 0.0 <= r["mse"] <= bound
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_closed_form(spark):
+    """A 15-token verbatim span shared at different offsets must come back
+    as ONE maximal island with exact boundaries; a 10-token share stays
+    below min_span=12 and is dropped."""
+    from sopspark.text.dedup import duplicate_spans
+
+    common = " ".join(f"c{i}" for i in range(15))
+    short = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "x0 x1 x2 " + common + " " + short),
+            (2, common + " y0 y1 y2 y3"),
+            (3, "z0 z1 z2 z3 z4 " + short),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(map(tuple, duplicate_spans(docs, k=8, min_span=12).collect()))
+    # (a, b, a_start, a_end, b_start, span_tokens)
+    assert rows == [(1, 2, 3, 17, 0, 15)]
+
+
+def test_duplicate_spans_max_bucket_caps_hot_shingles(spark):
+    """max_bucket=2 keeps only the first two (doc, pos) occurrences of each
+    shingle — the third copy of the boilerplate contributes no pairs."""
+    from sopspark.text.dedup import duplicate_spans
+
+    common = " ".join(f"c{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, common + " a0 a1"), (2, common + " b0 b1"), (3, common + " d0 d1")],
+        "doc_id long, text string",
+    )
+    full = sorted(map(tuple, duplicate_spans(docs, k=8, min_span=12).collect()))
+    assert {(r[0], r[1]) for r in full} == {(1, 2), (1, 3), (2, 3)}
+    capped = sorted(
+        map(tuple, duplicate_spans(docs, k=8, min_span=12, max_bucket=2).collect())
+    )
+    assert {(r[0], r[1]) for r in capped} == {(1, 2)}
