@@ -152,6 +152,7 @@ def main() -> None:
         "dedup_clusters_md5": QUERIES["dedup_clusters"],
         "embedding_quantize": QUERIES["embedding_quantize"],
         "dup_spans": QUERIES["dup_spans"],
+        "strip_dup_text": QUERIES["strip_dup_text"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1412,6 +1412,29 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of exact-substring dedup
+    (text/dedup.py::strip_duplicate_spans): every duplicated span found by
+    duplicate_spans is deleted from the LATER document of the pair,
+    overlapping cut ranges merged per doc (running-max islands under a
+    doc-keyed window), documents rebuilt from surviving tokens. The DuckDB
+    twin replays the identical interval algebra, so every byte of the
+    rebuilt text is machine-verified."""
+    from sopspark.text.dedup import strip_duplicate_spans
+
+    docs = _capped_docs(spark, sf_dir)
+    return (
+        strip_duplicate_spans(docs, k=8, min_span=12)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_removed").cast("bigint").alias("n_removed"),
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus
     (text/similarity.py::quantize_embeddings, FAISS-SQ8 shape): pass 1 =
@@ -1810,6 +1833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "embedding_quantize": q_embedding_quantize,
     "dup_spans": q_dup_spans,
+    "strip_dup_text": q_strip_dup_text,
     # -- flagship / representative entries already driver-green (fill to 50) --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
@@ -3448,9 +3472,10 @@ def _dedup_clusters_oracle_sql() -> str:
 
 ORACLES["dedup_clusters"] = _capped_docs_sql(_dedup_clusters_oracle_sql())
 
-ORACLES["dup_spans"] = _capped_docs_sql("""
-    WITH d AS (
-      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+# shared CTE chain: 8-token shingles → cross-doc shingle join → diagonal
+# islands → maximal spans ≥ 12 tokens (reused by dup_spans + strip_dup_text)
+_DUP_SPANS_CORE = """d AS (
+      SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
     ), grams AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
              array_to_string(w[i:i+7], ' ') AS g
@@ -3463,15 +3488,64 @@ ORACLES["dup_spans"] = _capped_docs_sql("""
       SELECT a, b, pa - pb AS diag, pa,
              pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
       FROM pairs
-    )
+    ), spans AS (
+      SELECT a, b, MIN(pa) AS a_start, MAX(pa) + 7 AS a_end,
+             MIN(pa) - diag AS b_start, MAX(pa) - MIN(pa) + 8 AS span_tokens
+      FROM isl GROUP BY a, b, diag, grp
+      HAVING MAX(pa) - MIN(pa) + 8 >= 12
+    )"""
+
+ORACLES["dup_spans"] = _capped_docs_sql(f"""
+    WITH {_DUP_SPANS_CORE}
     SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
-           CAST(MIN(pa) AS BIGINT) AS a_start,
-           CAST(MAX(pa) + 7 AS BIGINT) AS a_end,
-           CAST(MIN(pa) - diag AS BIGINT) AS b_start,
-           CAST(MAX(pa) - MIN(pa) + 8 AS BIGINT) AS span_tokens
-    FROM isl GROUP BY a, b, diag, grp
-    HAVING MAX(pa) - MIN(pa) + 8 >= 12
-    ORDER BY a, b, a_start, b_start
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(a_end AS BIGINT) AS a_end,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(span_tokens AS BIGINT) AS span_tokens
+    FROM spans ORDER BY a, b, a_start, b_start
+""")
+
+ORACLES["strip_dup_text"] = _capped_docs_sql(f"""
+    WITH {_DUP_SPANS_CORE}, cuts AS (
+      SELECT DISTINCT b AS doc_id, b_start AS s, b_start + span_tokens - 1 AS e
+      FROM spans
+    ), marked AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM cuts
+    ), islands AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ), merged AS (
+      SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM islands GROUP BY doc_id, grp
+    ), toks AS (
+      SELECT d.doc_id, CAST(i - 1 AS BIGINT) AS pos, wo[i] AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS wo FROM d
+            WHERE doc_id IN (SELECT doc_id FROM merged)) d,
+           unnest(range(1, len(wo) + 1)) AS u(i)
+    ), flagged AS (
+      SELECT t.doc_id, t.pos, t.tok, m.s
+      FROM toks t LEFT JOIN merged m
+        ON m.doc_id = t.doc_id AND t.pos BETWEEN m.s AND m.e
+    ), cutres AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+             COALESCE(string_agg(CASE WHEN s IS NULL THEN tok END, ' '
+                                 ORDER BY pos), '') AS text
+      FROM flagged GROUP BY doc_id
+    ), untouched AS (
+      SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+             0 AS n_removed, text
+      FROM d WHERE doc_id NOT IN (SELECT doc_id FROM merged)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed, text
+    FROM (SELECT * FROM cutres UNION ALL SELECT * FROM untouched)
+    ORDER BY doc_id
 """)
 
 ORACLES["embedding_quantize"] = """

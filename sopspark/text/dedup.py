@@ -851,3 +851,83 @@ def duplicate_spans(
         .where(F.col("span_tokens") >= min_span)
     )
     return spans
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    min_span: int = 12,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The CUT step of exact-substring dedup (Lee et al. 2021 §4 apply
+    their suffix-array hits by deleting one copy of each duplicate): every
+    span reported by :func:`duplicate_spans` is removed from the LATER
+    document of the pair (``b`` side — the ``a < b`` orientation makes
+    "first occurrence survives" deterministic), overlapping cut ranges are
+    merged per document (classic running-max islands under a doc-keyed
+    window — bounded partitions), and documents are reassembled from the
+    surviving tokens.
+
+    Returns ``(doc_id, n_tokens, n_removed, text)`` for EVERY input
+    document. Untouched documents pass through with their original text
+    verbatim; cut documents are rebuilt space-joined (matching the
+    tokenization — deterministic and SQL-replicable). Scale shape: the cut
+    table is duplicate-evidence-sized (≪ corpus); tokens shuffle once on
+    doc_id for the interval anti-flagging + reassembly, whose state is
+    bounded by the largest single document.
+    """
+    spans = duplicate_spans(
+        docs, text_col, id_col, k=k, min_span=min_span, max_bucket=max_bucket
+    )
+    cuts = spans.select(
+        F.col("b").alias("_doc"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("span_tokens") - 1).alias("e"),
+    ).distinct()
+
+    wprev = Window.partitionBy("_doc").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wrun = Window.partitionBy("_doc").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = cuts.withColumn("_pm", F.max("e").over(wprev)).withColumn(
+        "_grp",
+        F.sum(
+            (F.col("_pm").isNull() | (F.col("s") > F.col("_pm"))).cast("int")
+        ).over(wrun),
+    )
+    merged = islands.groupBy("_doc", "_grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+
+    d = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+    cut_ids = merged.select(F.col("_doc").alias("doc_id")).distinct()
+    toks = d.join(cut_ids, "doc_id").select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
+    )
+    flagged = toks.join(
+        merged,
+        (toks["doc_id"] == merged["_doc"])
+        & (toks["pos"] >= merged["s"])
+        & (toks["pos"] <= merged["e"]),
+        "left",
+    )
+    parts = F.array_sort(F.collect_list(F.struct("pos", "tok", F.col("s").isNull().alias("_keep"))))
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("s").isNotNull().cast("int")).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(F.filter(parts, lambda x: x["_keep"]), lambda x: x["tok"])
+        ).alias("text"),
+    )
+    untouched = d.join(cut_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        "text",
+    )
+    return rebuilt.unionByName(untouched)

@@ -923,3 +923,46 @@ def test_duplicate_spans_max_bucket_caps_hot_shingles(spark):
         map(tuple, duplicate_spans(docs, k=8, min_span=12, max_bucket=2).collect())
     )
     assert {(r[0], r[1]) for r in capped} == {(1, 2)}
+
+
+def test_strip_duplicate_spans_cuts_later_doc_only(spark):
+    """The b side of each detected span is cut; the first occurrence and
+    untouched docs pass through verbatim."""
+    from sopspark.text.dedup import strip_duplicate_spans
+
+    common = " ".join(f"c{i}" for i in range(15))
+    short = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, "x0 x1 x2 " + common + " " + short),
+            (2, common + " y0 y1 y2 y3"),
+            (3, "z0 z1 z2 z3 z4 " + short),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, k=8, min_span=12).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["text"] == "y0 y1 y2 y3"
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (19, 15)
+    assert out[1]["text"] == "x0 x1 x2 " + common + " " + short  # verbatim
+    assert out[1]["n_removed"] == 0 and out[3]["n_removed"] == 0
+
+
+def test_strip_duplicate_spans_merges_overlapping_cuts(spark):
+    """Two overlapping spans against DIFFERENT earlier docs merge into one
+    cut range — tokens in the overlap are removed once, not twice."""
+    from sopspark.text.dedup import strip_duplicate_spans
+
+    T = [f"t{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(T[0:20]) + " p1 p2"),
+            (2, "q1 q2 " + " ".join(T[10:30])),
+            (3, " ".join(T) + " r1 r2 r3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, k=8, min_span=12).collect()}
+    assert out[3]["text"] == "r1 r2 r3"
+    assert (out[3]["n_tokens"], out[3]["n_removed"]) == (33, 30)
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
