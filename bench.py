@@ -153,6 +153,7 @@ def main() -> None:
         "embedding_quantize": QUERIES["embedding_quantize"],
         "dup_spans": QUERIES["dup_spans"],
         "strip_dup_text": QUERIES["strip_dup_text"],
+        "tfidf_topk": QUERIES["tfidf_topk"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1412,6 +1412,28 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (text/search.py::tfidf_topk): one corpus-token shuffle with map-side
+    combine, document frequencies off the tf table, N as a 1-row
+    broadcast, doc-keyed top-k window. Ranking on the rounded score with
+    term tie-break keeps the order engine-reproducible."""
+    from sopspark.text.search import tfidf_topk
+
+    docs = _capped_docs(spark, sf_dir)
+    return (
+        tfidf_topk(docs, topk=5)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def q_strip_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUT step of exact-substring dedup
     (text/dedup.py::strip_duplicate_spans): every duplicated span found by
@@ -1834,6 +1856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "dup_spans": q_dup_spans,
     "strip_dup_text": q_strip_dup_text,
+    "tfidf_topk": q_tfidf_topk,
     # -- flagship / representative entries already driver-green (fill to 50) --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
@@ -3503,6 +3526,35 @@ ORACLES["dup_spans"] = _capped_docs_sql(f"""
            CAST(b_start AS BIGINT) AS b_start,
            CAST(span_tokens AS BIGINT) AS span_tokens
     FROM spans ORDER BY a, b, a_start, b_start
+""")
+
+ORACLES["tfidf_topk"] = _capped_docs_sql("""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfr AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(CAST(tf.tf AS DOUBLE)
+                   * (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(dfr.df AS DOUBLE) + 1.0))
+                      + 1.0), 6) AS score
+      FROM tf JOIN dfr USING (term), n
+    ), ranked AS (
+      SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+           score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
 """)
 
 ORACLES["strip_dup_text"] = _capped_docs_sql(f"""

@@ -173,3 +173,55 @@ WHERE {hit_parts} > 0
 ORDER BY score DESC, {id_col} ASC
 LIMIT {topk}
 """
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    topk: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's public smooth-idf formula: ``tf · (ln((N+1)/(df+1)) + 1)``)
+    — the keyword-profile column that drives topic bucketing and
+    "what is this document about" sweeps.
+
+    Scale shape: explode → ``groupBy(doc, term)`` count (map-side
+    combined, ONE corpus-token shuffle), document frequencies from the tf
+    table (second map-side-combined agg), N as a 1-row broadcast, scores
+    map-side, and top-k under a doc-keyed window (bounded partitions —
+    never a global sort). Ranking uses the ROUNDED score with an ascending
+    term tie-break so the order is reproducible across engines.
+
+    Returns ``(id_col, term, tf, score, rank)``, ``rank ∈ [1, topk]``.
+    """
+    tk = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = tk.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = docs.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(dfr, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("_n").cast("double") + F.lit(1.0))
+                        / (F.col("_df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

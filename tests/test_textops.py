@@ -966,3 +966,21 @@ def test_strip_duplicate_spans_merges_overlapping_cuts(spark):
     assert out[3]["text"] == "r1 r2 r3"
     assert (out[3]["n_tokens"], out[3]["n_removed"]) == (33, 30)
     assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+
+def test_tfidf_topk_closed_form(spark):
+    """3-doc corpus with hand-computed smooth-idf scores."""
+    from sopspark.text.search import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "durian durian durian")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["rank"]): r for r in tfidf_topk(docs, topk=5).collect()}
+    # idf(apple) = ln(4/3)+1, idf(unique) = ln(2)+1
+    assert rows[(1, 1)]["term"] == "apple" and rows[(1, 1)]["score"] == 2.575364
+    assert rows[(1, 2)]["term"] == "banana" and rows[(1, 2)]["score"] == 1.693147
+    assert rows[(2, 1)]["term"] == "cherry"  # unique beats shared
+    assert rows[(2, 2)]["term"] == "apple" and rows[(2, 2)]["score"] == 1.287682
+    assert rows[(3, 1)]["term"] == "durian" and rows[(3, 1)]["score"] == 5.079442
+    assert len(rows) == 5
