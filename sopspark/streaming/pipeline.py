@@ -526,3 +526,118 @@ def stateful_conversation_assembly(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_minhash_ingest(
+    stream: DataFrame,
+    workdir: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous near-duplicate ingest — the streaming twin of the batch
+    MinHash pipeline, shaped like production dedup-at-ingest:
+
+    per micro-batch:
+
+      1. sign the NEW documents (:func:`~sopspark.text.dedup.
+         minhash_signatures` — the corpus is never rescanned),
+      2. probe the persisted signature index
+         (:func:`~sopspark.text.dedup.minhash_probe`: batch bands × index
+         bands equi-join) for cross-batch duplicates,
+      3. find within-batch duplicates (LSH self-join + signature
+         verification over the batch alone),
+      4. merge normalized ``(a < b)`` pairs into the pairs table, then the
+         new signatures into the index — both through the crash-safe
+         :func:`_swap_in`; pairs merge first, so a crash between the two
+         swaps replays against the OLD index and the distinct-merge
+         re-derives identical rows (exactly-once tables). Self-pairs that
+         a replay-after-index-swap would produce are filtered.
+
+    Durable state is the two parquet tables (signatures: one fixed-width
+    row per doc; pairs: duplicate evidence) — both ≪ corpus; nothing
+    accumulates in the streaming state store. Returns the StreamingQuery;
+    tables land at ``workdir/minhash_index`` and ``workdir/dup_pairs``.
+    """
+    import os
+
+    from sopspark.text.dedup import (
+        jaccard_of_signatures,
+        minhash_lsh_pairs,
+        minhash_probe,
+        minhash_signatures,
+    )
+
+    idx_path = os.path.join(workdir, "minhash_index")
+    idx_bak = idx_path + "._prev"
+    pairs_path = os.path.join(workdir, "dup_pairs")
+    pairs_bak = pairs_path + "._prev"
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        sigs = minhash_signatures(
+            batch, text_col, id_col, num_perm, shingle_k, hash_fn
+        ).localCheckpoint()
+
+        cand = minhash_lsh_pairs(sigs, id_col, bands, num_perm=num_perm, hash_fn=hash_fn)
+        within = (
+            jaccard_of_signatures(cand, sigs, id_col)
+            .where(F.col("jaccard_est") >= threshold)
+            .select("a", "b", F.round("jaccard_est", 6).alias("jaccard_est"))
+        )
+        cur_idx = _current_dir(idx_path, idx_bak)
+        new_pairs = within
+        if cur_idx:
+            cross = minhash_probe(
+                spark.read.parquet(cur_idx),
+                sigs,
+                id_col,
+                bands=bands,
+                threshold=threshold,
+                hash_fn=hash_fn,
+                num_perm=num_perm,
+            ).select(
+                F.least("new_id", "index_id").alias("a"),
+                F.greatest("new_id", "index_id").alias("b"),
+                "jaccard_est",
+            ).where(F.col("a") != F.col("b"))
+            new_pairs = within.unionByName(cross)
+
+        cur_p = _current_dir(pairs_path, pairs_bak)
+        all_pairs = (
+            new_pairs
+            if cur_p is None
+            else spark.read.parquet(cur_p).unionByName(new_pairs)
+        ).distinct()
+        tmp = pairs_path + f"._b{batch_id}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        all_pairs.write.mode("overwrite").parquet(tmp)
+        _swap_in(tmp, pairs_path, pairs_bak)
+
+        idx = (
+            sigs
+            if cur_idx is None
+            else spark.read.parquet(cur_idx).unionByName(sigs)
+        ).dropDuplicates([id_col])
+        tmp = idx_path + f"._b{batch_id}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        idx.write.mode("overwrite").parquet(tmp)
+        _swap_in(tmp, idx_path, idx_bak)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(workdir, "_minhash_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )

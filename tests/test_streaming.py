@@ -458,3 +458,59 @@ def test_stateful_conversation_assembly_cross_batch(spark, tmp_path):
         for r in extract_triples(assemble_turns(out)).collect()
     )
     assert got == want
+
+
+def test_streaming_minhash_ingest_matches_batch(spark, tmp_path):
+    """Two-micro-batch MinHash ingest (within-batch LSH + cross-batch index
+    probe) finds EXACTLY the pairs the one-shot batch LSH finds over the
+    full corpus; replaying the whole source against fresh checkpoints
+    leaves both tables unchanged (idempotent merges, self-pairs filtered)."""
+    import os
+    import shutil
+
+    from sopspark.streaming.pipeline import streaming_minhash_ingest
+    from sopspark.text.dedup import (
+        jaccard_of_signatures,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = minhash_signatures(docs, num_perm=16)
+    cand = minhash_lsh_pairs(sigs, bands=4, num_perm=16)
+    want = {
+        tuple(r)
+        for r in jaccard_of_signatures(cand, sigs)
+        .where(F.col("jaccard_est") >= 0.7)
+        .select("a", "b", F.round("jaccard_est", 6).alias("jaccard_est"))
+        .collect()
+    }
+    assert want, "fixture must contain near-dup pairs"
+
+    src = str(tmp_path / "src")
+    docs.where("doc_id < 250").coalesce(1).write.mode("overwrite").parquet(src)
+    docs.where("doc_id >= 250").coalesce(1).write.mode("append").parquet(src)
+    wd = str(tmp_path / "wd")
+
+    def run():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_minhash_ingest(stream, wd, num_perm=16, bands=4, threshold=0.7)
+        q.awaitTermination(300)
+
+    run()
+    got = {tuple(r) for r in spark.read.parquet(f"{wd}/dup_pairs").collect()}
+    assert got == want
+    assert spark.read.parquet(f"{wd}/minhash_index").count() == docs.count()
+
+    # full replay (checkpoint wiped): merges must be no-ops
+    shutil.rmtree(os.path.join(wd, "_minhash_ckpt"))
+    run()
+    got2 = {tuple(r) for r in spark.read.parquet(f"{wd}/dup_pairs").collect()}
+    assert got2 == want
+    assert spark.read.parquet(f"{wd}/minhash_index").count() == docs.count()
