@@ -86,6 +86,17 @@ def main() -> None:
         docs = spark.read.parquet(f"{d}/documents.parquet")
         return dedup_clusters(docs, para_sep=" a ", para_min_chars=20, hash_fn="xxhash64")
 
+    def _dedup_clusters_md5(spark, d):
+        # md5 hash lane ONLY (adaptive CC path): the registry twin
+        # (QUERIES["dedup_clusters"]) additionally FORCES the distributed
+        # star iterations so the oracle can verify them — a
+        # correctness-harness knob, not a production path, so benching it
+        # here would conflate two deltas (the r3 de-conflation rule).
+        from sopspark.text.dedup import dedup_clusters
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return dedup_clusters(docs, para_sep=" a ", para_min_chars=20, hash_fn="md5")
+
     OPERATOR_BENCHES: dict = {
         "filter_expr": QUERIES["filter_expr"],
         "map_expr": QUERIES["map_expr"],
@@ -149,7 +160,7 @@ def main() -> None:
         "quality_deciles": QUERIES["quality_deciles"],
         "salted_join": QUERIES["salted_join"],
         "dedup_clusters": _dedup_clusters_fast,
-        "dedup_clusters_md5": QUERIES["dedup_clusters"],
+        "dedup_clusters_md5": _dedup_clusters_md5,
         "embedding_quantize": QUERIES["embedding_quantize"],
         "dup_spans": QUERIES["dup_spans"],
         "strip_dup_text": QUERIES["strip_dup_text"],
