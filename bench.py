@@ -165,6 +165,7 @@ def main() -> None:
         "dup_spans": QUERIES["dup_spans"],
         "strip_dup_text": QUERIES["strip_dup_text"],
         "tfidf_topk": QUERIES["tfidf_topk"],
+        "random_projection": QUERIES["random_projection"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1434,6 +1434,26 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss Gaussian random projection 64→8 dims
+    (text/similarity.py::random_projection): the plane matrix is generated
+    once driver-side from a seeded RNG and inlined as LITERALS in both
+    engines (same policy as the LSH hyperplanes), so the map-only
+    projection is parity-exact. Output as 8 rounded double columns;
+    ``+ 0.0`` normalizes any ``-0.0`` so the value hash agrees."""
+    from sopspark.text.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = random_projection(emb, out_dim=8, seed=77)
+    return proj.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        *[
+            (F.round(F.element_at("projected", j + 1), 6) + F.lit(0.0)).alias(f"p{j}")
+            for j in range(8)
+        ],
+    ).orderBy("vec_id")
+
+
 def q_strip_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUT step of exact-substring dedup
     (text/dedup.py::strip_duplicate_spans): every duplicated span found by
@@ -1857,6 +1877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "strip_dup_text": q_strip_dup_text,
     "tfidf_topk": q_tfidf_topk,
+    "random_projection": q_random_projection,
     # -- flagship / representative entries already driver-green (fill to 50) --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
@@ -3527,6 +3548,34 @@ ORACLES["dup_spans"] = _capped_docs_sql(f"""
            CAST(span_tokens AS BIGINT) AS span_tokens
     FROM spans ORDER BY a, b, a_start, b_start
 """)
+
+def _random_projection_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 77) -> str:
+    """Same seeded plane matrix as the Spark side, inlined as full-precision
+    double literals (repr round-trips exactly); dim=64 matches the testdata
+    embedding width (the Spark side reads the actual width — they agree on
+    this corpus by construction)."""
+    import math
+
+    from sopspark.text.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed)
+    factor = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for j in range(out_dim):
+        lit = "[" + ", ".join(repr(w) for w in planes[j]) + "]"
+        cols.append(
+            f"ROUND(list_sum(list_transform(range(1, {dim + 1}),"
+            f" i -> v[i] * ({lit})[i])) * {factor!r}, 6) + 0.0 AS p{j}"
+        )
+    return (
+        "WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+        " SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        + ", ".join(cols)
+        + " FROM x ORDER BY vec_id"
+    )
+
+
+ORACLES["random_projection"] = _random_projection_oracle_sql()
 
 ORACLES["tfidf_topk"] = _capped_docs_sql("""
     WITH toks AS (

@@ -546,3 +546,41 @@ def quantize_embeddings(
         "codes",
         (F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size(v)).alias("mse"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 77,
+    scale: bool = True,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dimensions
+    (Gaussian matrix, public result: Indyk–Motwani / Achlioptas) — the
+    cheap dimensionality reduction in front of clustering/ANN when 64+
+    dims are overkill.
+
+    The ``out_dim × dim`` plane matrix is generated ONCE on the driver
+    from a seeded RNG (deterministic across runs/executors — same policy
+    as the LSH hyperplanes above) and broadcast as literal arrays, so the
+    projection is a map-only Catalyst expression: ``y_j = (1/√out_dim) ·
+    Σ_i P_ji · x_i`` via ``zip_with`` + ``aggregate``, no shuffle, no
+    Python. With ``scale=False`` the raw dot products are returned.
+
+    Returns ``(id_col, projected array<double>)``; rounding is left to the
+    caller (the oracle rounds at 6).
+    """
+    first = df.select(F.size(vec_col).alias("n")).first()
+    dim = int(first["n"]) if first else 0
+    planes = _hyperplanes(dim, out_dim, seed)
+    factor = (1.0 / float(np.sqrt(out_dim))) if scale else 1.0
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = []
+    for j in range(out_dim):
+        p = F.array(*[F.lit(float(w)) for w in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(v, p, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        )
+        cols.append(dot * F.lit(factor))
+    return df.select(F.col(id_col), F.array(*cols).alias("projected"))

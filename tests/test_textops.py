@@ -984,3 +984,19 @@ def test_tfidf_topk_closed_form(spark):
     assert rows[(2, 2)]["term"] == "apple" and rows[(2, 2)]["score"] == 1.287682
     assert rows[(3, 1)]["term"] == "durian" and rows[(3, 1)]["score"] == 5.079442
     assert len(rows) == 5
+
+
+def test_random_projection_matches_numpy(spark):
+    """Spark projection equals the numpy reference P @ x / sqrt(d) to
+    double precision for the same seeded plane matrix."""
+    import numpy as np
+    from sopspark.text.similarity import _hyperplanes, random_projection
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    P = np.array(_hyperplanes(64, 8, 77), dtype=np.float64)
+    got = {r["vec_id"]: np.array(r["projected"]) for r in random_projection(emb, 8, seed=77).collect()}
+    assert set(got) == set(rows)
+    for vid, x in rows.items():
+        want = (P @ x) / np.sqrt(8.0)
+        assert np.max(np.abs(got[vid] - want)) < 1e-9, vid
