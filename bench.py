@@ -166,6 +166,7 @@ def main() -> None:
         "strip_dup_text": QUERIES["strip_dup_text"],
         "tfidf_topk": QUERIES["tfidf_topk"],
         "random_projection": QUERIES["random_projection"],
+        "pq_codes": QUERIES["pq_codes"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -1434,6 +1434,23 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (text/cluster.py::pq_assign, Jégou et
+    al. TPAMI'11): 64 dims → 4 subspaces × 16-centroid Lloyd codebooks
+    (2 rounds, deterministic first-k init) → 4 codes + 4 distances per
+    vector. DuckDB twin: per-subspace unrolled kmeans chains on the
+    sliced vector, joined on id."""
+    from sopspark.text.cluster import pq_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = pq_assign(emb, m=4, k=16, iters=2)
+    return q.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        *[F.col(f"c{j}").cast("bigint").alias(f"c{j}") for j in range(4)],
+        *[F.col(f"d{j}").alias(f"d{j}") for j in range(4)],
+    ).orderBy("vec_id")
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss Gaussian random projection 64→8 dims
     (text/similarity.py::random_projection): the plane matrix is generated
@@ -1878,6 +1895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_dup_text": q_strip_dup_text,
     "tfidf_topk": q_tfidf_topk,
     "random_projection": q_random_projection,
+    "pq_codes": q_pq_codes,
     # -- flagship / representative entries already driver-green (fill to 50) --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
@@ -3576,6 +3594,32 @@ def _random_projection_oracle_sql(out_dim: int = 8, dim: int = 64, seed: int = 7
 
 
 ORACLES["random_projection"] = _random_projection_oracle_sql()
+
+
+def _pq_codes_oracle_sql(m: int = 4, dim: int = 64, k: int = 16, iters: int = 2) -> str:
+    from sopspark.text.cluster import kmeans_oracle_sql
+
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        inner = kmeans_oracle_sql(
+            f"SELECT vec_id AS id, embedding[{lo}:{hi}] AS embedding FROM embeddings",
+            k,
+            iters,
+        )
+        parts.append(f"({inner}) q{j}")
+    joins = parts[0] + "".join(
+        f" JOIN {p} ON q{j + 1}.id = q0.id" for j, p in enumerate(parts[1:])
+    )
+    cols = ", ".join(
+        [f"CAST(q{j}.cluster AS BIGINT) AS c{j}" for j in range(m)]
+        + [f"q{j}.dist AS d{j}" for j in range(m)]
+    )
+    return f"SELECT CAST(q0.id AS BIGINT) AS vec_id, {cols} FROM {joins} ORDER BY vec_id"
+
+
+ORACLES["pq_codes"] = _pq_codes_oracle_sql()
 
 ORACLES["tfidf_topk"] = _capped_docs_sql("""
     WITH toks AS (

@@ -141,3 +141,46 @@ def kmeans_oracle_sql(
     sql += f"""
     SELECT id, cluster, dist FROM a{iters} ORDER BY id"""
     return sql
+
+
+def pq_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product quantization codes (Jégou et al. TPAMI'11, the FAISS ``PQ``
+    shape): the vector splits into ``m`` contiguous subspaces, each
+    subspace trains its own ``k``-centroid Lloyd codebook
+    (:func:`kmeans_assign` — deterministic first-k init, broadcast
+    centroid literals, per-round driver state = k×(dim/m) floats), and a
+    vector's code is its nearest-centroid id per subspace — ``m·log2(k)``
+    bits instead of ``dim·32``.
+
+    Returns ``(id_col, c0..c{m-1}, d0..d{m-1})`` — per-subspace code and
+    (rounded) euclidean distance to the chosen centroid, flat columns so
+    the DuckDB twin (per-subspace :func:`kmeans_oracle_sql` on the sliced
+    vector, joined on id) hash-compares exactly. Scale shape: data never
+    shuffles — m sequential map-only assignment passes; only the m·k
+    codebook rows ever reach the driver.
+    """
+    first = df.select(F.size(vec_col).alias("n")).first()
+    dim = int(first["n"]) if first else 0
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        dj = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sub")
+        )
+        aj = kmeans_assign(dj, "_sub", id_col, k=k, iters=iters, round_dp=round_dp).select(
+            F.col(id_col),
+            F.col("cluster").alias(f"c{j}"),
+            F.col("dist").alias(f"d{j}"),
+        )
+        out = aj if out is None else out.join(aj, id_col)
+    return out

@@ -1000,3 +1000,28 @@ def test_random_projection_matches_numpy(spark):
     for vid, x in rows.items():
         want = (P @ x) / np.sqrt(8.0)
         assert np.max(np.abs(got[vid] - want)) < 1e-9, vid
+
+
+def test_pq_assign_m1_equals_kmeans_and_properties(spark):
+    """m=1 PQ degenerates to plain kmeans; identical subspace slices get
+    identical codes; bad m rejected."""
+    import pytest as _pytest
+
+    from sopspark.text.cluster import kmeans_assign, pq_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    pq1 = {r["vec_id"]: (r["c0"], r["d0"]) for r in pq_assign(emb, m=1, k=8, iters=2).collect()}
+    km = {r["vec_id"]: (r["cluster"], r["dist"]) for r in kmeans_assign(emb, k=8, iters=2).collect()}
+    assert pq1 == km
+
+    out = pq_assign(emb, m=4, k=16, iters=2).collect()
+    assert all(0 <= r[f"c{j}"] < 16 for r in out for j in range(4))
+    # duplicate a vector under a new id: all four codes must match
+    dup = emb.limit(1).withColumn("vec_id", F.lit(999_999))
+    out2 = {r["vec_id"]: tuple(r[f"c{j}"] for j in range(4))
+            for r in pq_assign(emb.unionByName(dup), m=4, k=16, iters=2).collect()}
+    src_id = emb.limit(1).first()["vec_id"]
+    assert out2[999_999] == out2[src_id]
+
+    with _pytest.raises(ValueError):
+        pq_assign(emb, m=7)
