@@ -227,7 +227,12 @@ def main() -> None:
             max(timings[name] - first, 0.0) / (n_rounds - 1), 3
         )
 
-    total = round(sum(timings.values()), 3)
+    # derived *_round_sec entries are rates/breakdowns, not additional wall
+    # time — summing them would double-count and break round-over-round
+    # total comparisons
+    total = round(
+        sum(v for k, v in timings.items() if not k.endswith("_round_sec")), 3
+    )
     print(
         json.dumps(
             {

@@ -299,7 +299,14 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 if args.output:
                     serialize_ndjsonld(df, args.output)
                 else:
-                    for row in to_jsonld_nodes(df).select("block").toLocalIterator():
+                    # orderBy: stdout must be run-deterministic like every
+                    # other serializer's stdout path (diff/golden-friendly)
+                    for row in (
+                        to_jsonld_nodes(df)
+                        .orderBy("sort_key")
+                        .select("block")
+                        .toLocalIterator()
+                    ):
                         print(row["block"])
             elif args.format in ("jsonld", "json", "yamlld", "yaml"):
                 from sopspark.operators.serialize import (

@@ -232,12 +232,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 t[_ZZ_ROWS, _ZZ_COLS] = vals
                 qtables[tq] = t
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if body[0] != 8:
+                # 12-bit extended-sequential is legal JPEG but this decoder's
+                # level shift / clip math is 8-bit — decoding it would emit
+                # silently corrupted pixels instead of an err-channel row
+                raise ValueError(
+                    f"unsupported JPEG sample precision {body[0]} — 8-bit only"
+                )
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _tq in comps:
+                if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
+                    # np.repeat with integer-divided factors would silently
+                    # mis-upsample non-dividing factors (e.g. 3 vs 2)
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {hi}x{vi} "
+                        f"(max {hmax}x{vmax}) — factors must divide"
+                    )
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise ValueError("progressive JPEG (SOF2) not supported — baseline only")

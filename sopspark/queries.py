@@ -1854,7 +1854,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but the hard signal should carry them), plus any new round-4 operators;
 # the tail re-lists entries already driver-green in CORRECTNESS_r01-r03.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-verified before round 4 (32) --
+    # -- never driver-verified before round 4 (33 entries) --
     "tpch_pricing": q_tpch_pricing,
     "tpch_shipping": q_tpch_shipping,
     "tpch_local_volume": q_tpch_local_volume,
@@ -1896,7 +1896,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "random_projection": q_random_projection,
     "pq_codes": q_pq_codes,
-    # -- flagship / representative entries already driver-green (fill to 50) --
+    # -- flagship / representative entries already driver-green in r01-r03;
+    #    with 33 unverified + 8 round-4 entries above, the first 9 of these
+    #    complete the driver's 50-entry sweep window and the rest overflow
+    #    into the long-verified tail --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
     "sparql_select": q_sparql_select,

@@ -287,6 +287,20 @@ class _Parser:
         self._fresh_prefix = fresh_prefix
         self.graph: tuple | None = None  # active named graph (via @graph)
 
+    # a user label that could collide with a fresh label (any parser
+    # instance: doc-level "jb<n>" or NDJSON line-level "l<rid>b<n>"), or
+    # that sits in the image of this escape map ("u…" of those shapes),
+    # is escaped with a "u" prefix. The full-match closure keeps the map
+    # injective and line-independent (dataset-scoped labels stay
+    # consistent across NDJSON lines) while every ordinary label passes
+    # through verbatim, preserving byte round-trips.
+    _COLLIDING = re.compile(r"^u*(?:jb\d+|l\d+b\d+)$")
+
+    def user_bnode(self, label: str) -> tuple:
+        if self._COLLIDING.match(label):
+            label = "u" + label
+        return (BNODE, label, None, None)
+
     def fresh(self) -> tuple:
         self._bn += 1
         return (BNODE, f"{self._fresh_prefix}{self._bn}", None, None)
@@ -296,7 +310,7 @@ class _Parser:
         if nid is None:
             return self.fresh()
         if nid.startswith("_:"):
-            return (BNODE, nid[2:], None, None)
+            return self.user_bnode(nid[2:])
         return (IRI, ctx.expand_id(nid), None, None)
 
     def build_list(self, items: list, ctx: "_Ctx", node_ctx: "_Ctx | None" = None) -> tuple:
@@ -376,7 +390,11 @@ class _Parser:
             # (@propagate: false frames revert, §4.1.9) with the scoped
             # context re-applied on top
             vctx = ctx.scoped(key)
-            nctx = ctx.scoped_for_node(key)
+            # with no non-propagated frame to revert, scoped_for_node would
+            # rebuild the identical context — reuse vctx (context processing
+            # runs per key per node, so the duplicate build is measurable on
+            # context-heavy corpora)
+            nctx = vctx if ctx.previous is None else ctx.scoped_for_node(key)
             cont = ctx.container(key)
             if "@list" in cont:
                 # "@container": "@list" — the whole array is ONE list value
@@ -464,7 +482,7 @@ class _Parser:
             if set(v.keys()) <= {"@id"} and "@id" in v:
                 nid = v["@id"]
                 if nid.startswith("_:"):
-                    return (BNODE, nid[2:], None, None)
+                    return self.user_bnode(nid[2:])
                 return (IRI, ctx.expand_id(nid), None, None)
             # nested node object: non-propagating frames already reverted
             # (and the term-scoped context re-applied) in node_ctx
@@ -478,7 +496,7 @@ class _Parser:
         if isinstance(v, str):
             if id_coercion:
                 if v.startswith("_:"):
-                    return (BNODE, v[2:], None, None)
+                    return self.user_bnode(v[2:])
                 return (IRI, ctx.expand_id(v), None, None)
             return (LITERAL, v, None, None)
         return None

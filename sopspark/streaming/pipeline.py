@@ -624,11 +624,18 @@ def streaming_minhash_ingest(
         all_pairs.write.mode("overwrite").parquet(tmp)
         _swap_in(tmp, pairs_path, pairs_bak)
 
+        # NEW signatures win deterministically on re-ingest of an existing
+        # id (left_anti keeps only old rows whose id is absent from the
+        # batch) — a bare dropDuplicates would keep an ARBITRARY row per
+        # id, so a corrected document could silently retain its stale
+        # signature and mis-probe every later batch
         idx = (
             sigs
             if cur_idx is None
-            else spark.read.parquet(cur_idx).unionByName(sigs)
-        ).dropDuplicates([id_col])
+            else spark.read.parquet(cur_idx)
+            .join(sigs.select(id_col), id_col, "left_anti")
+            .unionByName(sigs)
+        )
         tmp = idx_path + f"._b{batch_id}"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)

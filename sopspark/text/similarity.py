@@ -502,7 +502,6 @@ def quantize_embeddings(
     Returns ``(id_col, codes array<int>, mse double)`` where ``mse`` is the
     per-vector mean squared reconstruction error.
     """
-    spark = df.sparkSession
     v = F.col("_v")
     base = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")

@@ -566,3 +566,23 @@ def test_jsonld11_per_term_protected_false_override():
     }
     preds = {q[1][1] for q in parse_jsonld_text(json.dumps(doc))}
     assert preds == {"http://e/other"}
+
+
+def test_jsonld_user_bnode_label_cannot_collide_with_fresh(spark, tmp_path):
+    """A user-supplied ``_:jb1`` label (the fresh-label shape) must stay a
+    DIFFERENT blank node from an anonymous node's fresh label — the
+    injective 'u'-escape keeps the namespaces disjoint while ordinary
+    labels round-trip verbatim."""
+    from sopspark.sources.jsonld import parse_jsonld_text
+    from sopspark.terms import BNODE
+
+    doc = (
+        '{"@id": "_:jb1", "http://e/p": [{"http://e/q": [{"@value": "x"}]}],'
+        ' "http://e/r": [{"@id": "_:ordinary"}]}'
+    )
+    quads = parse_jsonld_text(doc, {}, None)
+    bnodes = {t[1] for q in quads for t in q if t and t[0] == BNODE}
+    # user label escaped, fresh label jb1 distinct from it
+    assert "ujb1" in bnodes and "jb1" in bnodes and "ordinary" in bnodes
+    subj_labels = {q[0][1] for q in quads if q[0][0] == BNODE}
+    assert "jb1" not in subj_labels or "ujb1" in subj_labels

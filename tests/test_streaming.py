@@ -514,3 +514,39 @@ def test_streaming_minhash_ingest_matches_batch(spark, tmp_path):
     got2 = {tuple(r) for r in spark.read.parquet(f"{wd}/dup_pairs").collect()}
     assert got2 == want
     assert spark.read.parquet(f"{wd}/minhash_index").count() == docs.count()
+
+
+def test_streaming_minhash_ingest_reingest_updates_signature(spark, tmp_path):
+    """A corrected re-delivery of an existing doc_id must deterministically
+    replace its signature in the index (a bare dropDuplicates could keep
+    the stale row and mis-probe every later batch)."""
+    import time as _time
+
+    from sopspark.streaming.pipeline import streaming_minhash_ingest
+    from sopspark.text.dedup import minhash_signatures
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    wd = str(tmp_path / "wd")
+    old = spark.createDataFrame([(1, "the original text of document one here")], schema)
+    old.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(old.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = streaming_minhash_ingest(stream, wd, num_perm=16, bands=4, threshold=0.7)
+        q.awaitTermination(180)
+
+    run()
+    new = spark.createDataFrame(
+        [(1, "a completely rewritten body for document one now")], schema
+    )
+    _time.sleep(1.1)  # distinct mtime so the file source sees a NEW file
+    new.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    want = minhash_signatures(new, num_perm=16).collect()[0]["sig"]
+    got = spark.read.parquet(f"{wd}/minhash_index").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+    assert list(got[0]["sig"]) == list(want)

@@ -1025,3 +1025,42 @@ def test_pq_assign_m1_equals_kmeans_and_properties(spark):
 
     with _pytest.raises(ValueError):
         pq_assign(emb, m=7)
+
+
+def test_decode_jpeg_rejects_unsupported_precision_and_sampling():
+    """Legal-but-unsupported baseline variants must raise (err-channel
+    boundary), not decode to silently corrupted pixels: 12-bit SOF
+    precision and non-dividing sampling factors."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sopspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90, subsample="420"))
+
+    def sof_off(b: bytes) -> int:
+        i = 2
+        while i < len(b):
+            assert b[i] == 0xFF
+            marker, ln = b[i + 1], int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in (0xC0, 0xC1):
+                return i + 4  # start of segment body
+            i += 2 + ln
+        raise AssertionError("no SOF")
+
+    off = sof_off(bytes(data))
+    bad_prec = bytearray(data)
+    bad_prec[off] = 12
+    with _pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(bad_prec))
+
+    # components start at body+6, 3 bytes each: (cid, hv, tq); make comp0
+    # h=3 while comp1 keeps h=1 → hmax=3 does not divide by... 3%1==0, so
+    # instead set comp0 h=3,v=2 and comp1 h=2,v=1 → hmax=3, comp1 h=2 → 3%2
+    bad_hv = bytearray(data)
+    bad_hv[off + 6 + 1] = 0x32
+    bad_hv[off + 9 + 1] = 0x21
+    with _pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(bad_hv))
