@@ -1897,9 +1897,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
     "pq_codes": q_pq_codes,
     # -- flagship / representative entries already driver-green in r01-r03;
-    #    with 33 unverified + 8 round-4 entries above, the first 9 of these
-    #    complete the driver's 50-entry sweep window and the rest overflow
-    #    into the long-verified tail --
+    #    with 33 unverified + 7 round-4 entries above, the first 10 of these
+    #    (through docs_curation) complete the driver's 50-entry sweep window
+    #    and the rest overflow into the long-verified tail --
     "kg_flagship": q_kg_flagship,
     "kg_incremental": q_kg_incremental,
     "sparql_select": q_sparql_select,

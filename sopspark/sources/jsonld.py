@@ -122,8 +122,13 @@ class _Ctx:
             if m is not _NULL_CTX and "@propagate" in m:
                 if not isinstance(m["@propagate"], bool):
                     raise JsonLdError("@propagate value must be a boolean")
-                if m["@propagate"] is False and self.previous is None and parent:
-                    self.previous = parent
+                if m["@propagate"] is False and self.previous is None:
+                    # outermost context: nested node objects revert to the
+                    # INITIAL (empty) context (§4.1.9) — a parentless
+                    # non-propagating frame must still record a revert point
+                    self.previous = (
+                        parent if parent is not None else _Ctx(None, loader=loader)
+                    )
             if m is _NULL_CTX:
                 # @context: null resets to the initial (empty) context
                 # (§4.1) — invalid while protected term definitions are in
@@ -288,13 +293,14 @@ class _Parser:
         self.graph: tuple | None = None  # active named graph (via @graph)
 
     # a user label that could collide with a fresh label (any parser
-    # instance: doc-level "jb<n>" or NDJSON line-level "l<rid>b<n>"), or
+    # instance: doc-level "jb<n>" or NDJSON line-level
+    # "l<md5hex>x<seq>b<n>"), or
     # that sits in the image of this escape map ("u…" of those shapes),
     # is escaped with a "u" prefix. The full-match closure keeps the map
     # injective and line-independent (dataset-scoped labels stay
     # consistent across NDJSON lines) while every ordinary label passes
     # through verbatim, preserving byte round-trips.
-    _COLLIDING = re.compile(r"^u*(?:jb\d+|l\d+b\d+)$")
+    _COLLIDING = re.compile(r"^u*(?:jb\d+|l[0-9a-f]{32}x\d+b\d+)$")
 
     def user_bnode(self, label: str) -> tuple:
         if self._COLLIDING.match(label):
@@ -361,7 +367,11 @@ class _Parser:
                         continue
                     rpred = (IRI, r_iri, None, None)
                     for v in rval if isinstance(rval, list) else [rval]:
-                        obj = self.value_object(v, ctx, id_coercion=True)
+                        # values under @reverse are nested node objects —
+                        # non-propagating frames revert for them too
+                        obj = self.value_object(
+                            v, ctx, id_coercion=True, node_ctx=ctx.rollback()
+                        )
                         if obj is not None:
                             self.quads.append((obj, rpred, subj, self.graph))
                 continue
@@ -483,7 +493,15 @@ class _Parser:
                 nid = v["@id"]
                 if nid.startswith("_:"):
                     return self.user_bnode(nid[2:])
-                return (IRI, ctx.expand_id(nid), None, None)
+                # a bare node reference is a (nested) node object: its @id
+                # expands against the nested-node context (rolled-back +
+                # term-scoped), not the value context
+                return (
+                    IRI,
+                    (node_ctx if node_ctx is not None else ctx).expand_id(nid),
+                    None,
+                    None,
+                )
             # nested node object: non-propagating frames already reverted
             # (and the term-scoped context re-applied) in node_ctx
             return self.parse_node(v, node_ctx if node_ctx is not None else ctx)
@@ -605,11 +623,41 @@ def parse_ndjsonld(
     (two lines can't collide on the parser's fresh-bnode counter)."""
     if isinstance(paths, str):
         paths = [paths]
+    from pyspark.sql import Window
+
     lines = (
         spark.read.text(paths)
         .where(F.length(F.trim(F.col("value"))) > 0)
         .select("value", F.input_file_name().alias("src"))
-        .withColumn("rid", F.monotonically_increasing_id())
+        # rid must be DETERMINISTIC across partition layouts (a
+        # monotonically_increasing_id would relabel anonymous bnodes
+        # whenever the split count changes, breaking golden/value-hash
+        # comparisons of non-canonicalized output): content hash of
+        # (file, line) + an ordinal that distinguishes byte-identical
+        # duplicate lines. The ordinal pass shuffles only (hash, mono)
+        # pairs — 48-byte rows, never the line text — and the resulting
+        # duplicate-line table (usually empty) broadcasts back.
+        .withColumn("_h", F.md5(F.concat_ws("\n", "src", "value")))
+        .withColumn("_mono", F.monotonically_increasing_id())
+    )
+    wu = Window.partitionBy("_h")
+    wo = Window.partitionBy("_h").orderBy("_mono")
+    dup_seq = (
+        lines.select("_h", "_mono")
+        .withColumn("_cnt", F.count(F.lit(1)).over(wu))
+        .where(F.col("_cnt") > 1)
+        # which physical copy gets which ordinal is arbitrary, but
+        # byte-identical lines are interchangeable: the RESULT multiset
+        # (quads up to that choice) is identical either way
+        .withColumn("_seq", F.row_number().over(wo))
+        .select("_mono", "_seq")
+    )
+    lines = lines.join(F.broadcast(dup_seq), "_mono", "left").select(
+        "value",
+        "src",
+        F.concat_ws(
+            "x", "_h", F.coalesce(F.col("_seq"), F.lit(1)).cast("string")
+        ).alias("rid"),
     )
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

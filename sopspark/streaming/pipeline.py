@@ -552,17 +552,26 @@ def streaming_minhash_ingest(
          bands equi-join) for cross-batch duplicates,
       3. find within-batch duplicates (LSH self-join + signature
          verification over the batch alone),
-      4. merge normalized ``(a < b)`` pairs into the pairs table, then the
-         new signatures into the index — both through the crash-safe
-         :func:`_swap_in`; pairs merge first, so a crash between the two
-         swaps replays against the OLD index and the distinct-merge
-         re-derives identical rows (exactly-once tables). Self-pairs that
-         a replay-after-index-swap would produce are filtered.
+      4. APPEND this batch's normalized ``(a < b)`` pairs to a
+         ``batch=<id>`` partition of the pairs table (overwrite of the
+         batch's own partition → replay-idempotent, and history is never
+         rewritten, so per-batch cost tracks the batch, not corpus age),
+         then merge the new signatures into the index through the
+         crash-safe :func:`_swap_in` (in-place update is required there:
+         a re-ingested doc_id must REPLACE its signature). Pairs land
+         first, so a crash between the two steps replays against the OLD
+         index and re-derives the identical partition; self-pairs a
+         replay-after-index-swap would produce are filtered.
 
     Durable state is the two parquet tables (signatures: one fixed-width
     row per doc; pairs: duplicate evidence) — both ≪ corpus; nothing
-    accumulates in the streaming state store. Returns the StreamingQuery;
-    tables land at ``workdir/minhash_index`` and ``workdir/dup_pairs``.
+    accumulates in the streaming state store. The index rewrite is the one
+    whole-table pass per batch — size batches (or compact off-line) so the
+    signature table rewrite amortizes; the evidence table never rewrites.
+    Returns the StreamingQuery; tables land at ``workdir/minhash_index``
+    and ``workdir/dup_pairs`` (read the latter with a trailing
+    ``distinct()`` when a re-ingested doc may have contributed the same
+    pair to two batch partitions).
     """
     import os
 
@@ -576,7 +585,6 @@ def streaming_minhash_ingest(
     idx_path = os.path.join(workdir, "minhash_index")
     idx_bak = idx_path + "._prev"
     pairs_path = os.path.join(workdir, "dup_pairs")
-    pairs_bak = pairs_path + "._prev"
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         import shutil
@@ -612,17 +620,18 @@ def streaming_minhash_ingest(
             ).where(F.col("a") != F.col("b"))
             new_pairs = within.unionByName(cross)
 
-        cur_p = _current_dir(pairs_path, pairs_bak)
-        all_pairs = (
-            new_pairs
-            if cur_p is None
-            else spark.read.parquet(cur_p).unionByName(new_pairs)
-        ).distinct()
-        tmp = pairs_path + f"._b{batch_id}"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        all_pairs.write.mode("overwrite").parquet(tmp)
-        _swap_in(tmp, pairs_path, pairs_bak)
+        # pairs are APPEND-ONLY evidence: each batch writes its normalized
+        # distinct pairs to its own batch=<id> partition (overwrite → a
+        # replayed batch re-derives the identical set into the same dir).
+        # History is never read back or rewritten, so per-batch cost stays
+        # proportional to the batch — a union + full re-distinct of the
+        # whole table would make batch latency grow with corpus age
+        # (O(N²) cumulative IO over the ingest lifetime). A re-ingested
+        # doc may contribute a pair to a second batch partition; readers
+        # wanting exactly-once pairs apply distinct over (a, b).
+        new_pairs.distinct().write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
 
         # NEW signatures win deterministically on re-ingest of an existing
         # id (left_anti keeps only old rows whose id is absent from the

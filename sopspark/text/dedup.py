@@ -23,6 +23,8 @@ bucket, and AQE skew-join covers the rest.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -731,7 +733,11 @@ def dedup_clusters(
     d = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
 
     paras = (
-        d.select("doc_id", F.explode(F.split("text", para_sep)).alias("para"))
+        # re.escape: para_sep is a LITERAL separator (the DuckDB twin uses
+        # string_split), so regex metacharacters must not change semantics
+        d.select(
+            "doc_id", F.explode(F.split("text", re.escape(para_sep))).alias("para")
+        )
         .where(F.length("para") >= para_min_chars)
         .select("doc_id", F.sha2(F.col("para"), 256).alias("dig"))
         .distinct()
@@ -797,10 +803,14 @@ def duplicate_spans(
          ``span_tokens = islands + k - 1``; spans shorter than ``min_span``
          are dropped.
 
-    ``max_bucket`` (optional) caps how many shingle occurrences a single
-    hot shingle may contribute (deterministic keep-first by (doc, pos)) —
-    the boilerplate-explosion guard at corpus scale; the cap is replicable
-    in SQL, so a capped oracle stays exact. Returns
+    ``max_bucket`` (optional) DROPS shingles occurring more than
+    ``max_bucket`` times corpus-wide — such shingles are boilerplate and
+    carry no alignment signal, and the drop is computed with one
+    map-side-combined count aggregate + an anti-join, so the hot shingle
+    never funnels into a single sorted window task (a keep-first cap
+    would sort the entire hot bucket in one task — the exact skew the
+    guard exists to defuse). SQL-replicable (``HAVING count <=``), so a
+    guarded oracle stays exact. Returns
     ``(a, b, a_start, a_end, b_start, span_tokens)`` over 0-based token
     offsets.
     """
@@ -823,10 +833,13 @@ def duplicate_spans(
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
     )
     if max_bucket is not None:
-        w = Window.partitionBy("g").orderBy("doc_id", "pos")
-        grams = grams.withColumn("_rk", F.row_number().over(w)).where(
-            F.col("_rk") <= max_bucket
-        ).drop("_rk")
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("g")
+        )
+        grams = grams.join(hot, "g", "left_anti")
 
     a = grams.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"), "g")
     b = grams.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"), "g")

@@ -586,3 +586,42 @@ def test_jsonld_user_bnode_label_cannot_collide_with_fresh(spark, tmp_path):
     assert "ujb1" in bnodes and "jb1" in bnodes and "ordinary" in bnodes
     subj_labels = {q[0][1] for q in quads if q[0][0] == BNODE}
     assert "jb1" not in subj_labels or "ujb1" in subj_labels
+
+
+def test_jsonld_propagate_false_outermost_and_reverse_paths(spark):
+    """Two @propagate:false edges from the round-4 self-review: (a) a
+    non-propagating OUTERMOST context must revert to the initial empty
+    context inside nested node objects; (b) nested node objects reached
+    through a literal @reverse key revert non-propagated frames too."""
+    from sopspark.sources.jsonld import parse_jsonld_text
+    from sopspark.terms import IRI
+
+    # (a) outermost @propagate:false: 'baz' maps at the top node but must
+    # NOT map inside the nested node object (term drops, key is ignored)
+    doc = (
+        '{"@id": "http://e/top", "baz": [{"@value": "t"}],'
+        ' "http://e/child": [{"@id": "http://e/kid", "baz": [{"@value": "k"}]}]}'
+    )
+    ctx = {"@propagate": False, "baz": "http://scoped/baz"}
+    quads = parse_jsonld_text(doc, ctx)
+    preds = {q[1][1] for q in quads}
+    assert "http://scoped/baz" in preds  # applies at the introducing node
+    objs = {q[2][1] for q in quads if q[2][0] != IRI}
+    assert "k" not in objs  # dropped inside the nested node (term reverted)
+
+    # (b) @reverse values are nested node objects: the scoped
+    # non-propagating frame must revert inside them
+    ctx2 = {
+        "bar": {
+            "@id": "http://v/bar",
+            "@context": {"@propagate": False, "baz": "http://scoped/baz"},
+        }
+    }
+    doc2 = (
+        '{"@id": "http://e/d1", "bar": [{"@id": "http://e/mid",'
+        ' "@reverse": {"http://v/parent": [{"@id": "http://e/d2",'
+        ' "baz": [{"@value": "x"}]}]}}]}'
+    )
+    quads2 = parse_jsonld_text(doc2, ctx2)
+    preds2 = {q[1][1] for q in quads2}
+    assert "http://scoped/baz" not in preds2  # reverted inside d2

@@ -522,3 +522,28 @@ def test_turtle_star_annotation_syntax(spark):
         "1",
     ) in spo
     assert sum(1 for q in quads if q[0][0] == QUOTED) == 4
+
+
+def test_ndjsonld_fresh_labels_deterministic_and_duplicate_lines_distinct(spark, tmp_path):
+    """Fresh bnode labels derive from line CONTENT (not partition layout),
+    so two parses of the same file agree label-for-label; byte-identical
+    duplicate lines still get DISTINCT anonymous bnodes (per-duplicate
+    ordinal)."""
+    from sopspark.sources.jsonld import parse_ndjsonld
+    from sopspark.terms import BNODE
+
+    f = tmp_path / "dup.ndjsonld"
+    anon = '{"@id":"http://e/s","http://e/p":[{"http://e/q":[{"@value":"x"}]}]}'
+    other = '{"@id":"http://e/t","http://e/p":[{"http://e/q":[{"@value":"y"}]}]}'
+    f.write_text(anon + "\n" + anon + "\n" + other + "\n")
+
+    def labels():
+        rows = parse_ndjsonld(spark, str(f)).collect()
+        assert not [r for r in rows if r["err"]]
+        return sorted(
+            r["o"]["value"] for r in rows if r["o"] and r["o"]["kind"] == BNODE
+        )
+
+    a, b = labels(), labels()
+    assert a == b  # deterministic run-to-run
+    assert len(a) == 3 and len(set(a)) == 3  # dup lines stay distinct

@@ -907,9 +907,11 @@ def test_duplicate_spans_closed_form(spark):
     assert rows == [(1, 2, 3, 17, 0, 15)]
 
 
-def test_duplicate_spans_max_bucket_caps_hot_shingles(spark):
-    """max_bucket=2 keeps only the first two (doc, pos) occurrences of each
-    shingle — the third copy of the boilerplate contributes no pairs."""
+def test_duplicate_spans_max_bucket_drops_hot_shingles(spark):
+    """Shingles occurring more than max_bucket times corpus-wide are
+    boilerplate and are DROPPED outright (count-agg + anti-join — no
+    single-task sorted cap of the hot bucket); at or under the threshold
+    everything is kept."""
     from sopspark.text.dedup import duplicate_spans
 
     common = " ".join(f"c{i}" for i in range(15))
@@ -919,10 +921,14 @@ def test_duplicate_spans_max_bucket_caps_hot_shingles(spark):
     )
     full = sorted(map(tuple, duplicate_spans(docs, k=8, min_span=12).collect()))
     assert {(r[0], r[1]) for r in full} == {(1, 2), (1, 3), (2, 3)}
-    capped = sorted(
-        map(tuple, duplicate_spans(docs, k=8, min_span=12, max_bucket=2).collect())
+    # every shared shingle occurs 3× (once per doc): threshold 3 keeps all
+    kept = sorted(
+        map(tuple, duplicate_spans(docs, k=8, min_span=12, max_bucket=3).collect())
     )
-    assert {(r[0], r[1]) for r in capped} == {(1, 2)}
+    assert kept == full
+    # threshold 2 drops the boilerplate entirely — no pairs survive
+    dropped = duplicate_spans(docs, k=8, min_span=12, max_bucket=2).collect()
+    assert dropped == []
 
 
 def test_strip_duplicate_spans_cuts_later_doc_only(spark):
