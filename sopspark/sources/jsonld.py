@@ -366,11 +366,16 @@ class _Parser:
                     if r_iri is None:
                         continue
                     rpred = (IRI, r_iri, None, None)
+                    # a reverse key is processed like a forward key: its
+                    # term-scoped context applies to the values, and nested
+                    # node objects under it revert non-propagating frames
+                    r_vctx = ctx.scoped(rkey)
+                    r_nctx = (
+                        r_vctx if ctx.previous is None else ctx.scoped_for_node(rkey)
+                    )
                     for v in rval if isinstance(rval, list) else [rval]:
-                        # values under @reverse are nested node objects —
-                        # non-propagating frames revert for them too
                         obj = self.value_object(
-                            v, ctx, id_coercion=True, node_ctx=ctx.rollback()
+                            v, r_vctx, id_coercion=True, node_ctx=r_nctx
                         )
                         if obj is not None:
                             self.quads.append((obj, rpred, subj, self.graph))
@@ -493,15 +498,11 @@ class _Parser:
                 nid = v["@id"]
                 if nid.startswith("_:"):
                     return self.user_bnode(nid[2:])
-                # a bare node reference is a (nested) node object: its @id
-                # expands against the nested-node context (rolled-back +
-                # term-scoped), not the value context
-                return (
-                    IRI,
-                    (node_ctx if node_ctx is not None else ctx).expand_id(nid),
-                    None,
-                    None,
-                )
+                # expansion step 8 EXEMPTS a map with a single @id entry
+                # from the non-propagated-frame revert: a bare node
+                # reference expands against the value context (so a scoped
+                # @base still applies), same as the coerced-string form
+                return (IRI, ctx.expand_id(nid), None, None)
             # nested node object: non-propagating frames already reverted
             # (and the term-scoped context re-applied) in node_ctx
             return self.parse_node(v, node_ctx if node_ctx is not None else ctx)
@@ -652,7 +653,11 @@ def parse_ndjsonld(
         .withColumn("_seq", F.row_number().over(wo))
         .select("_mono", "_seq")
     )
-    lines = lines.join(F.broadcast(dup_seq), "_mono", "left").select(
+    # no broadcast HINT: dup_seq is usually empty (AQE broadcasts it), but
+    # a boilerplate-heavy corpus can make it line-count-sized — a forced
+    # broadcast would hit the driver limit where a shuffle join degrades
+    # gracefully
+    lines = lines.join(dup_seq, "_mono", "left").select(
         "value",
         "src",
         F.concat_ws(

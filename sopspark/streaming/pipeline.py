@@ -586,12 +586,42 @@ def streaming_minhash_ingest(
     idx_bak = idx_path + "._prev"
     pairs_path = os.path.join(workdir, "dup_pairs")
 
+    def _migrate_legacy_pairs() -> None:
+        """One-time layout migration: a workdir written before the
+        batch-partitioned pairs table holds root-level part files (or, if
+        the old run crashed mid-swap, a ``._prev`` backup). Mixing those
+        with ``batch=<id>`` subdirs would fail partition discovery
+        ('conflicting directory structures'), and the backup would be
+        silently orphaned — move them into a ``batch=-1`` partition."""
+        bak = pairs_path + "._prev"
+        legacy = None
+        if os.path.isdir(pairs_path) and any(
+            f.startswith("part-") for f in os.listdir(pairs_path)
+        ):
+            legacy = pairs_path
+        elif os.path.isdir(bak):
+            legacy = bak
+        if legacy is None:
+            return
+        import shutil
+
+        dst = os.path.join(pairs_path, "batch=-1")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(legacy):
+            if f.startswith("part-"):
+                os.rename(os.path.join(legacy, f), os.path.join(dst, f))
+            elif f == "_SUCCESS":
+                os.remove(os.path.join(legacy, f))
+        if legacy == bak:
+            shutil.rmtree(bak, ignore_errors=True)
+
     def upsert(batch: DataFrame, batch_id: int) -> None:
         import shutil
 
         spark = batch.sparkSession
         if batch.isEmpty():
             return
+        _migrate_legacy_pairs()
         sigs = minhash_signatures(
             batch, text_col, id_col, num_perm, shingle_k, hash_fn
         ).localCheckpoint()

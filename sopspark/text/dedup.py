@@ -233,6 +233,17 @@ def minhash_lsh_pairs(
     the worst case; capped buckets are still fully deduplicated via their
     first representative chain (a<b ordering keeps the union-find
     connected).
+
+    Deliberate asymmetry with :func:`duplicate_spans`' drop-style
+    ``max_bucket``: here the hot bucket IS the duplicate cluster we are
+    hunting, so dropping it would lose exactly the boilerplate dup
+    clusters LSH exists to find — keep-first preserves their
+    representative chain. The cost is one sorted window task per hot
+    bucket (8-byte ids, spillable sort — a straggler, not an OOM), and
+    the keep-first rank is what the DuckDB oracles replicate (the
+    ``capped`` CTE in ``_minhash_dedup_oracle_sql`` /
+    ``_minhash_probe_oracle_sql``) — changing this guard means changing
+    both sides.
     """
     if num_perm is None:  # one-row probe; static band exprs need the width
         first = signatures.select(F.size("sig").alias("n")).first()
@@ -476,8 +487,14 @@ def paragraph_dedup(
 ) -> DataFrame:
     """Corpus-wide duplicate-paragraph removal with document reassembly.
 
-    Each document splits into paragraphs on ``sep`` (a regex-safe literal —
-    it is used as a regex by Spark's ``split``); a paragraph occurrence
+    CONTRACT: ``sep`` is a Java REGEX (pre-escape literal separators —
+    e.g. ``sep=r"\\|"`` with ``joiner="|"``), while ``joiner`` is a
+    literal; this asymmetry is deliberate (split-on-pattern, rejoin-with-
+    canonical-text) and pinned by
+    ``tests/test_textops.py::test_paragraph_dedup_min_chars_and_joiner``.
+    :func:`dedup_clusters` wraps this domain with a LITERAL ``para_sep``
+    (it escapes before calling split) to match its DuckDB
+    ``string_split`` twin. A paragraph occurrence
     survives iff it is the FIRST occurrence of that exact paragraph text
     corpus-wide (ordered by ``(doc_id, pos)``) or shorter than
     ``min_chars``. Documents are reassembled from surviving paragraphs in
@@ -496,7 +513,8 @@ def paragraph_dedup(
     """
     joiner = sep if joiner is None else joiner
     paras = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
     ).withColumn("_h", F.sha2(F.col("para"), 256))
     firsts = (
         paras.where(F.length("para") >= min_chars)

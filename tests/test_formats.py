@@ -625,3 +625,37 @@ def test_jsonld_propagate_false_outermost_and_reverse_paths(spark):
     quads2 = parse_jsonld_text(doc2, ctx2)
     preds2 = {q[1][1] for q in quads2}
     assert "http://scoped/baz" not in preds2  # reverted inside d2
+
+
+def test_jsonld_reverse_scoped_context_and_bare_id_exemption(spark):
+    """Third-review-pass regressions pinned: (a) a reverse key's
+    term-scoped context applies to its values like a forward key's;
+    (b) a bare {"@id": ...} node REFERENCE is exempt from the
+    non-propagated-frame revert (expansion step 8), so a scoped @base
+    still applies — same as the coerced-string spelling."""
+    from sopspark.sources.jsonld import parse_jsonld_text
+    from sopspark.terms import IRI
+
+    ctx = {"parent": {"@id": "http://v/parent", "@context": {"baz": "http://scoped/baz"}}}
+    doc = (
+        '{"@id": "http://e/mid", "@reverse": {"parent": [{"@id": "http://e/d2",'
+        ' "baz": [{"@value": "x"}]}]}}'
+    )
+    quads = parse_jsonld_text(doc, ctx)
+    got = {(q[0][1], q[1][1], q[2][1]) for q in quads}
+    assert ("http://e/d2", "http://v/parent", "http://e/mid") in got
+    assert ("http://e/d2", "http://scoped/baz", "x") in got
+
+    ctx2 = {
+        "bar": {
+            "@id": "http://v/bar",
+            "@context": {"@propagate": False, "@base": "http://B/"},
+        }
+    }
+    doc2 = (
+        '{"@id": "http://e/top", "bar": [{"@id": "http://B/mid",'
+        ' "http://e/q": [{"@id": "kid"}]}]}'
+    )
+    quads2 = parse_jsonld_text(doc2, ctx2)
+    objs = {q[2][1] for q in quads2 if q[2][0] == IRI}
+    assert "http://B/kid" in objs  # bare ref keeps the scoped @base

@@ -550,3 +550,29 @@ def test_streaming_minhash_ingest_reingest_updates_signature(spark, tmp_path):
     got = spark.read.parquet(f"{wd}/minhash_index").collect()
     assert len(got) == 1 and got[0]["doc_id"] == 1
     assert list(got[0]["sig"]) == list(want)
+
+
+def test_streaming_minhash_ingest_migrates_legacy_pairs_layout(spark, tmp_path):
+    """A workdir whose dup_pairs was written by the pre-partitioned (flat
+    swap-managed) layout must keep its evidence: root-level part files move
+    into a batch=-1 partition before the first new batch writes."""
+    from sopspark.streaming.pipeline import streaming_minhash_ingest
+
+    wd = str(tmp_path / "wd")
+    legacy = spark.createDataFrame(
+        [(7, 9, 0.875)], "a long, b long, jaccard_est double"
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(f"{wd}/dup_pairs")
+
+    docs = spark.createDataFrame(
+        [(1, "totally unique text one"), (2, "other unique body two")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = streaming_minhash_ingest(stream, wd, num_perm=16, bands=4, threshold=0.7)
+    q.awaitTermination(180)
+
+    pairs = spark.read.parquet(f"{wd}/dup_pairs").select("a", "b", "jaccard_est")
+    assert (7, 9, 0.875) in {tuple(r) for r in pairs.collect()}
