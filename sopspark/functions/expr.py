@@ -167,15 +167,32 @@ def term_eq(a: Column, b: Column, recognize_datatypes: bool = True) -> Column:
     )
     base = F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
     if recognize_datatypes:
-        return base.when(both_num, num(a) == num(b)).otherwise(ident)
+        at, bt = _datetime_value(a), _datetime_value(b)
+        return (
+            base.when(both_num, num(a) == num(b))
+            # op:dateTime-equal: value-space (timepoint) equality — two
+            # lexically different zoned forms of one instant are equal
+            .when(at.isNotNull() & bt.isNotNull(), at == bt)
+            .otherwise(ident)
+        )
     return base.otherwise(ident)
+
+
+def _datetime_value(t: Column) -> Column:
+    """timestamp value when the term is an xsd:dateTime literal (NULL
+    otherwise, incl. malformed lexical forms)."""
+    return F.to_timestamp(
+        F.when((t["kind"] == LITERAL) & (t["dt"] == XSD + "dateTime"), t["value"])
+    )
 
 
 def term_cmp(a: Column, b: Column, op: str) -> Column:
     """``< > <= >=``: numeric when both numeric, codepoint-string when both
-    plain strings, else error (NULL)."""
+    plain strings, op:dateTime-* timepoint comparison when both
+    xsd:dateTime, else error (NULL)."""
     an, bn = num(a), num(b)
     as_, bs = _plain_string(a), _plain_string(b)
+    at, bt = _datetime_value(a), _datetime_value(b)
 
     def apply(x: Column, y: Column) -> Column:
         return {"<": x < y, ">": x > y, "<=": x <= y, ">=": x >= y}[op]
@@ -183,6 +200,7 @@ def term_cmp(a: Column, b: Column, op: str) -> Column:
     return (
         F.when(an.isNotNull() & bn.isNotNull(), apply(an, bn))
         .when(as_.isNotNull() & bs.isNotNull(), apply(as_, bs))
+        .when(at.isNotNull() & bt.isNotNull(), apply(at, bt))
         .otherwise(F.lit(None).cast("boolean"))
     )
 
@@ -289,6 +307,10 @@ def _compile_bool(n: Node, env: dict[str, Column], rd: bool) -> Column:
                 eq = (t["kind"] == IRI) & (t["value"] == value)
             elif dt in NUMERIC_DTS and rd:
                 eq = num(t) == float(value)
+            elif dt == XSD + "dateTime" and rd:
+                # op:dateTime-equal — timepoint equality, so a differently
+                # zoned lexical form of the same instant still matches
+                eq = _datetime_value(t) == F.to_timestamp(F.lit(value))
             else:
                 d = None if dt == XSD_STRING else dt
                 eq = (
@@ -622,16 +644,29 @@ def _call(name: str, args: list[Column], rd: bool) -> Column:
         # url_encode is form-encoding (space → '+'); SPARQL wants RFC 3986
         return _mk_literal(F.regexp_replace(F.url_encode(_plain_string(args[0])), r"\+", "%20"))
     if n in ("year", "month", "day", "hours", "minutes", "seconds"):
+        # fn:*-from-dateTime operate on the literal's OWN lexical
+        # components (its own timezone's wall clock) — converting through
+        # to_timestamp would re-express the instant in the SESSION zone
+        # and shift every component (HOURS("...T14:45:13-05:00") must be
+        # 14, not the session-zone hour; DAY can even cross midnight).
+        # Extract from the lexical form directly; malformed / non-dateTime
+        # input extracts "" → NULL → error term.
         is_dt = (args[0]["kind"] == LITERAL) & (args[0]["dt"] == XSD + "dateTime")
-        ts = F.to_timestamp(F.when(is_dt, args[0]["value"]))
-        part = {
-            "year": F.year, "month": F.month, "day": F.dayofmonth,
-            "hours": F.hour, "minutes": F.minute,
-        }.get(n)
+        lex = F.when(is_dt, args[0]["value"])
+        pattern = {
+            "year": r"^(-?\d{4,})-\d{2}-\d{2}T",
+            "month": r"^-?\d{4,}-(\d{2})-\d{2}T",
+            "day": r"^-?\d{4,}-\d{2}-(\d{2})T",
+            "hours": r"T(\d{2}):\d{2}:\d{2}",
+            "minutes": r"T\d{2}:(\d{2}):\d{2}",
+            "seconds": r"T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+        }[n]
+        raw = F.regexp_extract(lex, pattern, 1)
+        raw = F.when(raw != "", raw)
         if n == "seconds":
             # xsd:decimal seconds including the fraction
-            return _num_term(F.second(ts) + (F.unix_micros(ts) % 60_000_000 % 1_000_000) / 1e6)
-        return _num_term(part(ts).cast("double"), integer=True)
+            return _num_term(raw.cast("double"))
+        return _num_term(raw.cast("double"), integer=True)
     if n in ("tz", "timezone"):
         lex = F.when((args[0]["kind"] == LITERAL) & (args[0]["dt"] == XSD + "dateTime"), args[0]["value"])
         return _mk_literal(F.coalesce(F.regexp_extract(lex, r"(Z|[+-]\d{2}:\d{2})$", 1), F.lit("")))

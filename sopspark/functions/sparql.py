@@ -933,18 +933,25 @@ def _materialize(df: DataFrame) -> DataFrame:
     return out
 
 
-def _transitive_closure(base: DataFrame, max_iter: int = 32, per_graph: bool = False) -> DataFrame:
+def _transitive_closure(
+    base: DataFrame, max_iter: int | None = None, per_graph: bool = False
+) -> DataFrame:
     """Distinct (_ps, _po) pairs → transitive closure, semi-naive: each round
     extends only the frontier (pairs new last round) by one base hop, so work
     is proportional to new facts, not the whole closure. localCheckpoint
-    truncates lineage per round; rounds ≈ graph diameter (≤ log₂ with
-    doubling — diameter hops suffice here and keep each join small).
+    truncates lineage per round; rounds ≈ graph diameter. Runs to FIXPOINT
+    (semi-naive always terminates on a finite graph: every round adds at
+    least one new pair, bounded by n²) — an earlier 32-round cap silently
+    truncated ``+``/``*`` results on chains longer than 33. ``max_iter``
+    now RAISES on non-convergence instead of returning a wrong answer
+    (useful as an explicit resource guard).
     ``per_graph``: pairs carry ``_pg`` and hops never cross graphs — the join
     key simply grows by the graph column."""
     edges = _materialize(base.distinct())
     closure = edges
     frontier = edges
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         cond = F.col("f._po").eqNullSafe(F.col("e._ps"))
         if per_graph:
             cond = cond & F.col("f._pg").eqNullSafe(F.col("e._pg"))
@@ -958,6 +965,11 @@ def _transitive_closure(base: DataFrame, max_iter: int = 32, per_graph: bool = F
         new = _materialize(nxt.subtract(closure))
         if new.isEmpty():
             break
+        rounds += 1
+        if max_iter is not None and rounds > max_iter:
+            raise SparqlError(
+                f"property-path closure did not converge within {max_iter} rounds"
+            )
         closure = _materialize(closure.unionByName(new))
         frontier = new
     return closure
@@ -1029,9 +1041,52 @@ def _path_pairs(quads: DataFrame, path: tuple, graph: tuple | None) -> DataFrame
     raise SparqlError(f"unsupported path operator {op!r}")
 
 
+def _path_admits_zero(path: tuple) -> bool:
+    """Does the path's language contain the empty word (zero-length match)?"""
+    op = path[0]
+    if op in ("star", "opt"):
+        return True
+    if op == "seq":
+        return _path_admits_zero(path[1]) and _path_admits_zero(path[2])
+    if op == "alt":
+        return _path_admits_zero(path[1]) or _path_admits_zero(path[2])
+    if op == "inv":
+        return _path_admits_zero(path[1])
+    return False
+
+
 def _scan_path_pattern(quads: DataFrame, tp: TriplePattern) -> DataFrame:
     """Triple pattern whose predicate is a property path → solution frame."""
     pairs = _path_pairs(quads, tp.p[1], tp.graph)
+    if _path_admits_zero(tp.p[1]):
+        # §18.4 ZeroLengthPath: a GROUND endpoint relates to itself even
+        # when the term does not occur in the graph (the identity built
+        # from graph nodes alone misses it — `ASK { <a> <p>* <a> }` must
+        # hold on a dataset never mentioning <a>). Seed (t, t) for each
+        # ground endpoint; the endpoint filters below keep exactly the
+        # spec's solutions (both-ground unequal terms filter away).
+        seeds = [t for t in (tp.s, tp.o) if t[0] != "var" and t[0] != "qpat"]
+        if seeds:
+            per = _per_graph(tp.graph)
+            for term in seeds:
+                if per:
+                    seed = (
+                        _graph_scope(quads, tp.graph)
+                        .select(F.col("g").alias("_pg"))
+                        .distinct()
+                        .select(
+                            "_pg",
+                            _term_lit(term[1]).alias("_ps"),
+                            _term_lit(term[1]).alias("_po"),
+                        )
+                    )
+                else:
+                    seed = quads.sparkSession.range(1).select(
+                        _term_lit(term[1]).alias("_ps"),
+                        _term_lit(term[1]).alias("_po"),
+                    )
+                pairs = pairs.unionByName(seed)
+            pairs = pairs.distinct()
     cols: dict[str, Column] = {}  # var name -> pair-relation column
     bound: dict[str, str] = {}  # var name -> _pg/_ps/_po (for repeat vars)
     df = pairs
@@ -1125,13 +1180,20 @@ def _join_filtered(
     the outer row's bindings). MINUS deliberately does NOT take this path
     (§8.3 evaluates it independently of the outer bindings)."""
     shared = [c for c in a.columns if c in b.columns]
+    mn_a, mn_b = _mn(a), _mn(b)
+    nullable = {c for c in shared if c in mn_a or c in mn_b}
     bb = b
     for c in b.columns:
         bb = bb.withColumnRenamed(c, f"_r_{c}")
     cond = F.lit(True)
     for c in shared:
-        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
-    env = {c: F.col(c) for c in a.columns}
+        lc, rc = F.col(c), F.col(f"_r_{c}")
+        eq = (lc.isNull() | rc.isNull() | (lc == rc)) if c in nullable else (lc == rc)
+        cond = cond & eq
+    env = {
+        c: (F.coalesce(F.col(c), F.col(f"_r_{c}")) if c in nullable else F.col(c))
+        for c in a.columns
+    }
     for c in b.columns:
         if c not in a.columns:
             env[c] = F.col(f"_r_{c}")
@@ -1139,20 +1201,78 @@ def _join_filtered(
         cond = cond & F.coalesce(_compile_bool(fnode, env, True), F.lit(False))
     out = a.join(bb, on=cond, how=how)
     if how in ("left_semi", "left_anti"):
-        return out  # left columns only
-    keep = [F.col(c) for c in a.columns] + [
-        F.col(f"_r_{c}").alias(c) for c in b.columns if c not in a.columns
-    ]
-    return out.select(*keep)
+        return _with_mn(out, mn_a)  # left columns only
+    keep = [
+        (F.coalesce(F.col(c), F.col(f"_r_{c}")).alias(c) if c in nullable else F.col(c))
+        for c in a.columns
+    ] + [F.col(f"_r_{c}").alias(c) for c in b.columns if c not in a.columns]
+    return _with_mn(
+        out.select(*keep), set(mn_a) | {c for c in b.columns if c not in shared}
+    )
+
+
+def _mn(df: DataFrame) -> frozenset:
+    """Maybe-UNBOUND solution variables of a frame. SPARQL's join is over
+    COMPATIBLE mappings (§18.5): an unbound shared variable matches any
+    binding, which SQL NULL equality gets wrong. Pattern scans always
+    bind, so nullability enters only at known construction points (UNION
+    var asymmetry, VALUES UNDEF, OPTIONAL, BIND, subselect projection) —
+    each re-attaches this attribute, and joins consult it so the common
+    all-bound case keeps plain (hash-joinable) equality conditions."""
+    return getattr(df, "_sop_maybe_null", frozenset())
+
+
+def _with_mn(df: DataFrame, mn) -> DataFrame:
+    df._sop_maybe_null = frozenset(mn)
+    return df
 
 
 def _join_solutions(a: DataFrame | None, b: DataFrame, how: str = "inner") -> DataFrame:
     if a is None:
         return b
     shared = [c for c in a.columns if c in b.columns]
-    if shared:
-        return a.join(b, on=shared, how=how)
-    return a.crossJoin(b) if how == "inner" else a.join(b, how="left")
+    mn_a, mn_b = _mn(a), _mn(b)
+    if not shared:
+        out = a.crossJoin(b) if how == "inner" else a.join(b, how="left")
+        return _with_mn(
+            out, set(mn_a) | (set(mn_b) if how == "inner" else set(b.columns))
+        )
+    nullable = [c for c in shared if c in mn_a or c in mn_b]
+    if not nullable:
+        out = a.join(b, on=shared, how=how)
+        if how in ("left_semi", "left_anti"):
+            return _with_mn(out, mn_a)
+        if how == "inner":
+            return _with_mn(out, set(mn_a) | {c for c in mn_b if c not in shared})
+        return _with_mn(out, set(mn_a) | {c for c in b.columns if c not in shared})
+    # compatibility join (§18.5): unbound shared vars match anything, the
+    # merged binding takes whichever side is bound
+    bb = b
+    for c in b.columns:
+        bb = bb.withColumnRenamed(c, f"_r_{c}")
+    cond = F.lit(True)
+    for c in shared:
+        lc, rc = F.col(c), F.col(f"_r_{c}")
+        eq = (lc.isNull() | rc.isNull() | (lc == rc)) if c in nullable else (lc == rc)
+        cond = cond & eq
+    out = a.join(bb, on=cond, how=how)
+    if how in ("left_semi", "left_anti"):
+        return _with_mn(out, mn_a)
+    keep = []
+    for c in a.columns:
+        if c in nullable:
+            keep.append(F.coalesce(F.col(c), F.col(f"_r_{c}")).alias(c))
+        else:
+            keep.append(F.col(c))
+    keep += [F.col(f"_r_{c}").alias(c) for c in b.columns if c not in a.columns]
+    out = out.select(*keep)
+    if how == "inner":
+        mn = {c for c in mn_a if c not in shared}
+        mn |= {c for c in mn_b if c not in shared}
+        mn |= {c for c in shared if c in mn_a and c in mn_b}
+    else:  # left: unmatched rows null every b-only column
+        mn = set(mn_a) | {c for c in b.columns if c not in shared}
+    return _with_mn(out, mn)
 
 
 def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
@@ -1179,17 +1299,25 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p, allowMissingColumns=True)
+        # a var absent from SOME branch is unbound in that branch's rows
+        all_cols = set().union(*[set(p.columns) for p in parts])
+        missing = {c for c in all_cols if any(c not in p.columns for p in parts)}
+        u = _with_mn(u, set().union(*[_mn(p) for p in parts]) | missing)
         sol = _join_solutions(sol, u)
     for vars_, rows in g.values:
         spark = quads.sparkSession
         schema = ", ".join(f"{v} struct<kind:tinyint,value:string,dt:string,lang:string>" for v in vars_)
         vdf = spark.createDataFrame([tuple(r) for r in rows], schema)
-        sol = _join_solutions(sol, F.broadcast(vdf)) if sol is not None else vdf
+        # UNDEF rows leave the variable unbound (compatible-with-anything)
+        undef = {v for i, v in enumerate(vars_) if any(r[i] is None for r in rows)}
+        vdf = _with_mn(F.broadcast(vdf), undef)
+        sol = _join_solutions(sol, vdf) if sol is not None else vdf
     if sol is None and (g.binds or g.filters or g.exists or g.minuses):
         raise SparqlError("empty group pattern")
     for var, node in g.binds:
         env = {c: F.col(c) for c in sol.columns}
-        sol = sol.withColumn(var, node.col(env, True))
+        # a BIND expression can error → unbound
+        sol = _with_mn(sol.withColumn(var, node.col(env, True)), _mn(sol) | {var})
     for opt in g.optionals:
         # filters that reference variables the optional group cannot bind
         # belong to the LEFT JOIN condition (LeftJoin(P1, P2, F)), not to
@@ -1226,21 +1354,49 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         inner = _eval_group(quads, sub)
         shared = [c for c in sol.columns if c in inner.columns]
         if shared:
-            sol = sol.join(inner, on=shared, how=how)
+            # _join_solutions applies compatibility semantics when a
+            # shared var may be unbound (semi/anti keep left columns)
+            sol = _join_solutions(sol, inner, how=how)
         else:  # uncorrelated: constant guard over the whole solution set
             nonempty = inner.limit(1).count() > 0
             if nonempty != positive:
-                sol = sol.limit(0)
+                sol = _with_mn(sol.limit(0), _mn(sol))
     for m in g.minuses:
         inner = _eval_group(quads, m)
         shared = [c for c in sol.columns if c in inner.columns]
         if shared:  # no shared domain → MINUS removes nothing (SPARQL 1.1 §8.3)
-            sol = sol.join(inner, on=shared, how="left_anti")
+            mn_s, mn_i = _mn(sol), _mn(inner)
+            nullable = {c for c in shared if c in mn_s or c in mn_i}
+            if nullable:
+                # §8.3: remove μ1 iff ∃ compatible μ2 with NONEMPTY domain
+                # overlap — compatibility alone is not enough when shared
+                # vars can be unbound (a row unbound on every shared var
+                # must survive)
+                ii = inner
+                for c in inner.columns:
+                    ii = ii.withColumnRenamed(c, f"_r_{c}")
+                compat = F.lit(True)
+                overlap = F.lit(False)
+                for c in shared:
+                    lc, rc = F.col(c), F.col(f"_r_{c}")
+                    eq = (
+                        (lc.isNull() | rc.isNull() | (lc == rc))
+                        if c in nullable
+                        else (lc == rc)
+                    )
+                    compat = compat & eq
+                    overlap = overlap | (lc.isNotNull() & rc.isNotNull())
+                sol = _with_mn(sol.join(ii, compat & overlap, "left_anti"), mn_s)
+            else:
+                sol = _with_mn(sol.join(inner, on=shared, how="left_anti"), mn_s)
     if sol is None:
         raise SparqlError("empty group pattern")
     for fnode in g.filters:
         env = {c: F.col(c) for c in sol.columns}
-        sol = sol.where(F.coalesce(_compile_bool(fnode, env, True), F.lit(False)))
+        sol = _with_mn(
+            sol.where(F.coalesce(_compile_bool(fnode, env, True), F.lit(False))),
+            _mn(sol),
+        )
     return sol
 
 
@@ -1373,33 +1529,71 @@ def _eval_select(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list[st
         out, names = _eval_aggregate(sol, q, rd)
         if q.distinct:
             out = out.dropDuplicates()
-        return _apply_order_limit(out, q, rd), names
+        # aggregates can be unbound (SUM type error, SAMPLE of empty, …);
+        # plain group keys inherit the input's nullability
+        mn = {n for n in names if n not in sol.columns or n in _mn(sol)}
+        return _with_mn(_apply_order_limit(out, q, rd), mn), names
 
     if q.variables == ["*"]:
         names = [c for c in sol.columns if not c.startswith("_anon")]
         out = sol.select(*names)
-    else:
-        exprs = []
-        names = []
+        if q.distinct:
+            out = out.dropDuplicates()
+        return _with_mn(_apply_order_limit(out, q, rd), _mn(sol) & set(names)), names
+
+    names = [name for name, _ in q.variables]
+    # projected expressions may error → unbound; plain vars inherit, and a
+    # projected var the WHERE never binds is always unbound
+    mn_out = {
+        name
+        for name, node in q.variables
+        if node is not None or name not in sol.columns or name in _mn(sol)
+    }
+    if q.order_by and not q.distinct:
+        # §18.2.4/§15.1: ORDER BY applies to SOLUTIONS, before projection —
+        # a sort key may reference a WHERE variable that is not projected
+        # (projecting first would compile it to a constant NULL key and
+        # silently not sort). Compute projection aliases as extra columns,
+        # order + slice the full frame, then project. (With DISTINCT the
+        # grammar restricts order keys to projected variables, and
+        # dropDuplicates would destroy the order anyway — that path keeps
+        # the post-projection ordering below.)
+        tmp = sol
         for name, node in q.variables:
             if node is None:
-                exprs.append(F.col(name) if name in sol.columns else F.lit(None).cast(TERM_SQL_TYPE))
+                if name not in tmp.columns:
+                    tmp = tmp.withColumn(name, F.lit(None).cast(TERM_SQL_TYPE))
             else:
                 env = {c: F.col(c) for c in sol.columns}
-                exprs.append(node.col(env, rd))
-            exprs[-1] = exprs[-1].alias(name)
-            names.append(name)
-        out = sol.select(*exprs)
+                tmp = tmp.withColumn(name, node.col(env, rd))
+        return _with_mn(_apply_order_limit(tmp, q, rd).select(*names), mn_out), names
+
+    exprs = []
+    for name, node in q.variables:
+        if node is None:
+            exprs.append(F.col(name) if name in sol.columns else F.lit(None).cast(TERM_SQL_TYPE))
+        else:
+            env = {c: F.col(c) for c in sol.columns}
+            exprs.append(node.col(env, rd))
+        exprs[-1] = exprs[-1].alias(name)
+    out = sol.select(*exprs)
     if q.distinct:
         out = out.dropDuplicates()
-    return _apply_order_limit(out, q, rd), names
+    return _with_mn(_apply_order_limit(out, q, rd), mn_out), names
 
 
 def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list[str]]:
     """GROUP BY + aggregate projections → groupBy().agg() with map-side
     partial aggregation; values stay TERM structs, numeric aggregates go
     through ``num()``."""
-    from sopspark.functions.expr import AGG_FUNCS, INTEGER_DTS, _mk_literal, _num_term, num
+    from sopspark.functions.expr import (
+        AGG_FUNCS,
+        INTEGER_DTS,
+        _mk_literal,
+        _null_term,
+        _num_term,
+        num,
+    )
     from sopspark.terms import XSD
 
     env = {c: F.col(c) for c in sol.columns}
@@ -1423,6 +1617,15 @@ def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list
         inner_t = args[0].col(env, rd)
         if name in ("sum", "avg"):
             v = num(inner_t)
+            # §18.5.1.2: op:numeric-add over a non-numeric BOUND value is
+            # a type error and the whole aggregate errors (unbound result)
+            # — F.sum would silently skip it and return a wrong total.
+            # Unbound rows (NULL term) are skipped, lenient like the COUNT
+            # path. And SUM/AVG over an EMPTY group are 0, not unbound.
+            has_err = (
+                F.max(F.when(inner_t.isNotNull() & v.isNull(), F.lit(1)).otherwise(F.lit(0)))
+                == 1
+            )
             if distinct:
                 # AVG(DISTINCT) = sum/count over the distinct value set
                 # (SPARQL 18.5.1.4 applies Distinct to the multiset first)
@@ -1435,8 +1638,15 @@ def _eval_aggregate(sol: DataFrame, q: Query, rd: bool) -> tuple[DataFrame, list
             if name == "sum":
                 # SPARQL: SUM over an integer-only group stays xsd:integer
                 all_int = F.bool_and(inner_t["dt"].isin(INTEGER_DTS))
-                return F.when(all_int, _num_term(c, integer=True)).otherwise(_num_term(c)).alias(alias)
-            return _num_term(c).alias(alias)
+                res = F.when(all_int, _num_term(c, integer=True)).otherwise(_num_term(c))
+            else:
+                res = _num_term(c)
+            return (
+                F.when(has_err, _null_term())
+                .when(c.isNull(), _num_term(F.lit(0.0), integer=True))
+                .otherwise(res)
+                .alias(alias)
+            )
         if name in ("min", "max"):
             # numeric when possible, else codepoint order on the lexical form
             key = F.struct(F.coalesce(num(inner_t), F.lit(0.0)).alias("n"), inner_t["value"].alias("v"))

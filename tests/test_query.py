@@ -960,3 +960,168 @@ def test_exists_filter_sees_outer_vars(spark):
     assert sorted(
         r.s.value for r in sparql_query(df, q % "NOT EXISTS").df.collect()
     ) == ["http://e/b"]
+
+
+# ---------------------------------------------------------------------------
+# round-4 SPARQL-semantics review fixes
+# ---------------------------------------------------------------------------
+
+def _quads(spark, rows):
+    from sopspark.sources.ntriples import parse_lines_df
+
+    return parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+
+
+_X = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_order_by_non_projected_variable(spark):
+    """§15.1: ORDER BY applies to solutions BEFORE projection — sorting by
+    a WHERE variable that is not selected must still order the output."""
+    rows = [
+        f'<http://e/s{i}> <http://e/p> "{9 - i}"^^<{_X}integer> .' for i in range(10)
+    ]
+    res = sparql_query(
+        _quads(spark, rows),
+        "SELECT ?s WHERE { ?s <http://e/p> ?o } ORDER BY ?o LIMIT 3",
+    )
+    got = [r["s"]["value"] for r in res.df.collect()]
+    assert got == ["http://e/s9", "http://e/s8", "http://e/s7"]
+
+
+def test_zero_length_path_ground_endpoint_absent_from_graph(spark):
+    """§18.4 ZeroLengthPath: a ground endpoint relates to itself even when
+    the term never occurs in the data."""
+    df = _quads(spark, ["<http://e/a> <http://e/p> <http://e/b> ."])
+    assert sparql_query(df, "ASK { <http://e/zz> <http://e/p>* <http://e/zz> }").value is True
+    assert sparql_query(df, "ASK { <http://e/zz> <http://e/p>+ <http://e/zz> }").value is False
+    r = sparql_query(df, "SELECT ?x { <http://e/zz> <http://e/p>? ?x }")
+    assert [x["x"]["value"] for x in r.df.collect()] == ["http://e/zz"]
+
+
+def test_datetime_compare_equal_and_lexical_accessors(spark):
+    rows = [
+        f'<http://e/a> <http://e/d> "2011-01-10T14:45:13.815-05:00"^^<{_X}dateTime> .',
+        f'<http://e/b> <http://e/d> "2020-06-01T00:00:00Z"^^<{_X}dateTime> .',
+        f'<http://e/c> <http://e/d> "2020-01-01T05:00:00+05:00"^^<{_X}dateTime> .',
+    ]
+    df = _quads(spark, rows)
+    # fn:*-from-dateTime read the literal's OWN timezone's wall clock
+    res = sparql_query(
+        df,
+        "SELECT ?s ?y ?h ?sec WHERE { ?s <http://e/d> ?d "
+        "BIND(YEAR(?d) AS ?y) BIND(HOURS(?d) AS ?h) BIND(SECONDS(?d) AS ?sec) }",
+    )
+    out = {r["s"]["value"]: (r["y"]["value"], r["h"]["value"], r["sec"]["value"]) for r in res.df.collect()}
+    assert out["http://e/a"] == ("2011", "14", "13.815")
+    assert out["http://e/b"][1] == "0"
+    # op:dateTime ordering across zones
+    got = sorted(
+        r["s"]["value"]
+        for r in sparql_query(
+            df,
+            f'SELECT ?s WHERE {{ ?s <http://e/d> ?d FILTER(?d >= "2020-01-01T00:00:00Z"^^<{_X}dateTime>) }}',
+        ).df.collect()
+    )
+    assert got == ["http://e/b", "http://e/c"]
+    # op:dateTime-equal is timepoint equality, not lexical
+    assert sparql_query(
+        df, f'ASK {{ <http://e/c> <http://e/d> ?d FILTER(?d = "2020-01-01T00:00:00Z"^^<{_X}dateTime>) }}'
+    ).value is True
+
+
+def test_sum_type_error_unbound_and_empty_group_zero(spark):
+    rows = [
+        f'<http://e/s> <http://e/v> "1"^^<{_X}integer> .',
+        '<http://e/s> <http://e/v> "foo" .',
+    ]
+    df = _quads(spark, rows)
+    r = sparql_query(df, "SELECT (SUM(?o) AS ?t) WHERE { ?s <http://e/v> ?o }")
+    assert r.df.collect()[0]["t"] is None  # §18.5.1.2 type error → unbound
+    r0 = sparql_query(
+        df, "SELECT (SUM(?o) AS ?t) (AVG(?o) AS ?a) WHERE { ?s <http://e/no> ?o }"
+    )
+    row = r0.df.collect()[0]
+    assert row["t"]["value"] == "0" and row["t"]["dt"].endswith("integer")
+    assert row["a"]["value"] == "0"
+
+
+def test_transitive_closure_beyond_32_hops(spark):
+    rows = [f"<http://e/a{i}> <http://e/p> <http://e/a{i + 1}> ." for i in range(1, 40)]
+    res = sparql_query(
+        _quads(spark, rows), "SELECT ?o WHERE { <http://e/a1> <http://e/p>+ ?o }"
+    )
+    assert res.df.count() == 39  # the old 32-round cap silently dropped the tail
+
+
+def test_values_undef_compatible_with_any_binding(spark):
+    rows = [
+        "<http://e/s1> <http://e/p> <http://e/o1> .",
+        "<http://e/s2> <http://e/p> <http://e/o2> .",
+    ]
+    df = _quads(spark, rows)
+    got = sorted(
+        r["s"]["value"]
+        for r in sparql_query(
+            df, "SELECT ?s WHERE { VALUES ?o { UNDEF } ?s <http://e/p> ?o }"
+        ).df.collect()
+    )
+    assert got == ["http://e/s1", "http://e/s2"]
+    got = sorted(
+        r["s"]["value"]
+        for r in sparql_query(
+            df,
+            "SELECT ?s WHERE { VALUES ?o { UNDEF <http://e/o1> } ?s <http://e/p> ?o }",
+        ).df.collect()
+    )
+    assert got == ["http://e/s1", "http://e/s1", "http://e/s2"]
+
+
+def test_union_branch_var_asymmetry_then_join(spark):
+    rows = [
+        "<http://e/s1> <http://e/p> <http://e/o1> .",
+        "<http://e/s2> <http://e/p> <http://e/o2> .",
+        "<http://e/s1> <http://e/c> <http://e/o1> .",
+        "<http://e/s2> <http://e/b> <http://e/o2> .",
+    ]
+    q = """SELECT ?s WHERE {
+      { { ?s <http://e/c> ?x } UNION { ?s <http://e/b> ?y } }
+      ?s <http://e/p> ?o }"""
+    got = sorted(r["s"]["value"] for r in sparql_query(_quads(spark, rows), q).df.collect())
+    assert got == ["http://e/s1", "http://e/s2"]  # branch-2 rows (no ?x) survive
+
+
+def test_second_optional_fills_var_first_left_unbound(spark):
+    rows = [
+        "<http://e/s1> <http://e/p> <http://e/o1> .",
+        "<http://e/s2> <http://e/p> <http://e/o2> .",
+        "<http://e/s1> <http://e/c> <http://e/o1> .",
+        "<http://e/s2> <http://e/b> <http://e/o2> .",
+    ]
+    q = """SELECT ?s ?v WHERE { ?s <http://e/p> ?o
+      OPTIONAL { ?s <http://e/c> ?v } OPTIONAL { ?s <http://e/b> ?v } }"""
+    got = sorted(
+        (r["s"]["value"], r["v"]["value"])
+        for r in sparql_query(_quads(spark, rows), q).df.collect()
+    )
+    assert got == [("http://e/s1", "http://e/o1"), ("http://e/s2", "http://e/o2")]
+
+
+def test_minus_compatibility_and_domain_overlap(spark):
+    rows = [
+        "<http://e/s1> <http://e/p> <http://e/o1> .",
+        "<http://e/s2> <http://e/p> <http://e/o2> .",
+        "<http://e/s1> <http://e/c> <http://e/o1> .",
+        "<http://e/s2> <http://e/b> <http://e/o2> .",
+    ]
+    df = _quads(spark, rows)
+    # s2's ?v is unbound → compatible with the inner row, s-overlap nonempty → removed
+    q = """SELECT ?s WHERE { ?s <http://e/p> ?o
+      OPTIONAL { ?s <http://e/c> ?v } MINUS { ?s <http://e/b> ?v } }"""
+    got = sorted(r["s"]["value"] for r in sparql_query(df, q).df.collect())
+    assert got == ["http://e/s1"]
+    # a row unbound on EVERY shared var has empty domain overlap → survives
+    q2 = """SELECT ?s WHERE { ?s <http://e/c> ?o
+      OPTIONAL { ?o <http://e/x> ?v } MINUS { <http://e/s2> <http://e/b> ?v } }"""
+    got = sorted(r["s"]["value"] for r in sparql_query(df, q2).df.collect())
+    assert got == ["http://e/s1"]
