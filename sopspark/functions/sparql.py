@@ -1171,6 +1171,27 @@ def _bindable_vars(g: PatternGroup) -> set[str]:
     return vs
 
 
+def _split_correlated(g: PatternGroup, inner_vars: set) -> tuple[PatternGroup, list[Node]]:
+    """Pull CORRELATED filters (referencing variables the whole subtree
+    cannot bind) out of ``g`` and its nested plain subgroups — they belong
+    in the enclosing OPTIONAL/EXISTS join condition, where the outer row's
+    bindings are visible. Filters inside UNION branches / nested optionals
+    are left alone (they apply per branch / per optional row)."""
+    from dataclasses import replace as _dc_replace
+
+    own = [f for f in g.filters if not _expr_vars(f) <= inner_vars]
+    kept = [f for f in g.filters if f not in own]
+    deferred = list(own)
+    new_subs = []
+    for s in g.subgroups:
+        s2, d2 = _split_correlated(s, inner_vars)
+        new_subs.append(s2)
+        deferred += d2
+    if not deferred:
+        return g, []
+    return _dc_replace(g, filters=kept, subgroups=new_subs), deferred
+
+
 def _join_filtered(
     a: DataFrame, b: DataFrame, deferred: list[Node], how: str
 ) -> DataFrame:
@@ -1314,23 +1335,54 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         sol = _join_solutions(sol, vdf) if sol is not None else vdf
     if sol is None and (g.binds or g.filters or g.exists or g.minuses):
         raise SparqlError("empty group pattern")
-    for var, node in g.binds:
+
+    def _apply_bind(sol: DataFrame, var: str, node: Node) -> DataFrame:
+        from sopspark.functions.expr import term_eq
+
         env = {c: F.col(c) for c in sol.columns}
+        val = node.col(env, True)
+        if var in sol.columns:
+            # the variable is already pattern-bound: the legal reading is
+            # BIND-before-pattern (§10.1 up-to-point rule), whose algebra
+            # is Join(Extend(x, expr), BGP) — i.e. an equality constraint,
+            # NOT a silent overwrite. An erroring expr leaves x unbound in
+            # Extend, which is compatible with any pattern binding.
+            return _with_mn(
+                sol.where(
+                    val.isNull() | F.coalesce(term_eq(val, F.col(var)), F.lit(False))
+                ),
+                _mn(sol),
+            )
         # a BIND expression can error → unbound
-        sol = _with_mn(sol.withColumn(var, node.col(env, True)), _mn(sol) | {var})
+        return _with_mn(sol.withColumn(var, val), _mn(sol) | {var})
+
+    # The parser keeps binds/optionals/unions in separate lists, losing the
+    # group's syntactic order. Two-phase heuristic: a BIND whose expression
+    # references a variable that only an OPTIONAL in this group can bind
+    # must run AFTER the optionals (the common
+    # `OPTIONAL {...} BIND(COALESCE(?v,...) AS ?w)` shape — running it
+    # first would see ?v unbound and mis-bind every row); all other binds
+    # keep their pre-optional position so optionals can join on them.
+    opt_vars: set[str] = set()
+    for opt in g.optionals:
+        opt_vars |= _bindable_vars(opt)
+    opt_vars -= set(sol.columns) if sol is not None else set()
+    late_binds = [
+        (v, n) for v, n in g.binds if _expr_vars(n) & opt_vars
+    ]
+    for var, node in g.binds:
+        if (var, node) in late_binds:
+            continue
+        sol = _apply_bind(sol, var, node)
     for opt in g.optionals:
         # filters that reference variables the optional group cannot bind
         # belong to the LEFT JOIN condition (LeftJoin(P1, P2, F)), not to
         # the group's standalone evaluation — there the outer vars would be
-        # unbound and the filter would drop every row
-        inner_vars = _bindable_vars(opt)
-        deferred = [f for f in opt.filters if not _expr_vars(f) <= inner_vars]
+        # unbound and the filter would drop every row. _split_correlated
+        # walks NESTED plain subgroups too (a correlated filter inside
+        # braces is just as correlated).
+        opt_inner, deferred = _split_correlated(opt, _bindable_vars(opt))
         if deferred and sol is not None:
-            from dataclasses import replace as _dc_replace
-
-            opt_inner = _dc_replace(
-                opt, filters=[f for f in opt.filters if f not in deferred]
-            )
             opt_sol = _eval_group(quads, opt_inner)
             if opt_sol is not None:
                 sol = _join_filtered(sol, opt_sol, deferred, how="left")
@@ -1338,16 +1390,15 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
             opt_sol = _eval_group(quads, opt)
             if opt_sol is not None:
                 sol = _join_solutions(sol, opt_sol, how="left")
+    for var, node in late_binds:
+        sol = _apply_bind(sol, var, node)
     for sub, positive in g.exists:
         how = "left_semi" if positive else "left_anti"
         # filters over variables the EXISTS pattern cannot bind see the
-        # OUTER row's bindings (§8.1.1 substitution) → join condition
-        ex_inner_vars = _bindable_vars(sub)
-        ex_deferred = [f for f in sub.filters if not _expr_vars(f) <= ex_inner_vars]
+        # OUTER row's bindings (§8.1.1 substitution) → join condition;
+        # collected recursively from nested plain subgroups too
+        sub2, ex_deferred = _split_correlated(sub, _bindable_vars(sub))
         if ex_deferred:
-            from dataclasses import replace as _dc_replace2
-
-            sub2 = _dc_replace2(sub, filters=[f for f in sub.filters if f not in ex_deferred])
             inner = _eval_group(quads, sub2)
             sol = _join_filtered(sol, inner, ex_deferred, how=how)
             continue

@@ -1125,3 +1125,48 @@ def test_minus_compatibility_and_domain_overlap(spark):
       OPTIONAL { ?o <http://e/x> ?v } MINUS { <http://e/s2> <http://e/b> ?v } }"""
     got = sorted(r["s"]["value"] for r in sparql_query(df, q2).df.collect())
     assert got == ["http://e/s1"]
+
+
+def test_bind_before_pattern_is_join_constraint(spark):
+    """§10.1: BIND preceding a pattern that also binds the variable is
+    Join(Extend(...), BGP) — an equality constraint, never an overwrite."""
+    rows = [
+        f'<http://e/s1> <http://e/p> "1"^^<{_X}integer> .',
+        f'<http://e/s2> <http://e/p> "2"^^<{_X}integer> .',
+    ]
+    r = sparql_query(
+        _quads(spark, rows),
+        f'SELECT ?s WHERE {{ BIND("1"^^<{_X}integer> AS ?x) ?s <http://e/p> ?x }}',
+    )
+    assert [x["s"]["value"] for x in r.df.collect()] == ["http://e/s1"]
+
+
+def test_bind_after_optional_sees_optional_bindings(spark):
+    rows = [
+        "<http://e/s1> <http://e/p> <http://e/o1> .",
+        "<http://e/s2> <http://e/p> <http://e/o2> .",
+        "<http://e/s1> <http://e/c> <http://e/o1> .",
+    ]
+    q = """SELECT ?s ?w WHERE { ?s <http://e/p> ?o
+      OPTIONAL { ?s <http://e/c> ?v }
+      BIND(COALESCE(?v, <http://e/none>) AS ?w) }"""
+    got = sorted(
+        (r["s"]["value"], r["w"]["value"])
+        for r in sparql_query(_quads(spark, rows), q).df.collect()
+    )
+    assert got == [("http://e/s1", "http://e/o1"), ("http://e/s2", "http://e/none")]
+
+
+def test_correlated_filter_nested_in_braces_inside_exists(spark):
+    """§8.1.1 substitution reaches filters inside nested plain subgroups of
+    an EXISTS pattern, not only its top level."""
+    rows = [
+        f'<http://e/s1> <http://e/p> "1"^^<{_X}integer> .',
+        f'<http://e/s2> <http://e/p> "2"^^<{_X}integer> .',
+        f'<http://e/s1> <http://e/q> "1"^^<{_X}integer> .',
+        f'<http://e/s2> <http://e/q> "9"^^<{_X}integer> .',
+    ]
+    q = """SELECT ?s WHERE { ?s <http://e/p> ?outer
+      FILTER EXISTS { { ?s <http://e/q> ?v . FILTER(?v = ?outer) } } }"""
+    got = [r["s"]["value"] for r in sparql_query(_quads(spark, rows), q).df.collect()]
+    assert got == ["http://e/s1"]
