@@ -131,17 +131,25 @@ def is_numeric_term(t: Column) -> Column:
 
 def num(t: Column) -> Column:
     """numeric value of a term, NULL when not a recognized numeric literal."""
-    return F.when(is_numeric_term(t), t["value"].cast("double")).otherwise(F.lit(None).cast("double"))
+    # try_cast: an invalid lexical form for the claimed numeric datatype is
+    # a type ERROR (NULL), not a job-killing exception (ANSI cast throws)
+    return F.when(is_numeric_term(t), t["value"].try_cast("double")).otherwise(F.lit(None).cast("double"))
 
 
 def ebv(t: Column) -> Column:
-    """SPARQL effective boolean value; NULL = type error."""
+    """SPARQL effective boolean value; NULL = type error. §17.2.2 rule 1:
+    a boolean/numeric literal whose lexical form is INVALID for its
+    datatype has EBV *false* (not error) — the NULL from a failed cast
+    must therefore coalesce to false on the numeric/boolean branches."""
     is_bool = (t["kind"] == LITERAL) & (t["dt"] == XSD + "boolean")
     is_str = (t["kind"] == LITERAL) & t["dt"].isNull() & t["lang"].isNull()
     return (
         F.when(t.isNull(), F.lit(None).cast("boolean"))
         .when(is_bool, t["value"] == "true")
-        .when(is_numeric_term(t), t["value"].cast("double") != 0.0)
+        .when(
+            is_numeric_term(t),
+            F.coalesce(t["value"].try_cast("double") != 0.0, F.lit(False)),
+        )
         .when(is_str, F.length(t["value"]) > 0)
         .otherwise(F.lit(None).cast("boolean"))
     )
@@ -181,7 +189,9 @@ def term_eq(a: Column, b: Column, recognize_datatypes: bool = True) -> Column:
 def _datetime_value(t: Column) -> Column:
     """timestamp value when the term is an xsd:dateTime literal (NULL
     otherwise, incl. malformed lexical forms)."""
-    return F.to_timestamp(
+    # try_to_timestamp: a malformed lexical form is a type error (NULL),
+    # not an ANSI-mode parse exception
+    return F.try_to_timestamp(
         F.when((t["kind"] == LITERAL) & (t["dt"] == XSD + "dateTime"), t["value"])
     )
 
@@ -310,7 +320,7 @@ def _compile_bool(n: Node, env: dict[str, Column], rd: bool) -> Column:
             elif dt == XSD + "dateTime" and rd:
                 # op:dateTime-equal — timepoint equality, so a differently
                 # zoned lexical form of the same instant still matches
-                eq = _datetime_value(t) == F.to_timestamp(F.lit(value))
+                eq = _datetime_value(t) == F.try_to_timestamp(F.lit(value))
             else:
                 d = None if dt == XSD_STRING else dt
                 eq = (

@@ -668,7 +668,14 @@ class _QP:
                 return ("term", (LITERAL, lex, dt[1][1], None))
             return ("term", (LITERAL, lex, None, None))
         if k == "number":
-            dt = XSD + ("integer" if re.fullmatch(r"[+-]?\d+", v) else "decimal")
+            # SPARQL grammar: INTEGER → xsd:integer, DECIMAL → xsd:decimal,
+            # DOUBLE (an exponent present) → xsd:double
+            if re.fullmatch(r"[+-]?\d+", v):
+                dt = XSD + "integer"
+            elif "e" in v or "E" in v:
+                dt = XSD + "double"
+            else:
+                dt = XSD + "decimal"
             return ("term", (LITERAL, v, dt, None))
         if v == "[":
             self.expect("]")
@@ -1171,6 +1178,23 @@ def _bindable_vars(g: PatternGroup) -> set[str]:
     return vs
 
 
+def _group_is_empty(g: PatternGroup) -> bool:
+    """True when the group (recursively) contains no binding or filtering
+    elements — e.g. an EXISTS body whose only filters were pulled into the
+    enclosing join condition."""
+    return not (
+        g.triples
+        or g.unions
+        or g.values
+        or g.subselects
+        or g.optionals
+        or g.binds
+        or g.exists
+        or g.minuses
+        or g.filters
+    ) and all(_group_is_empty(s) for s in g.subgroups)
+
+
 def _split_correlated(g: PatternGroup, inner_vars: set) -> tuple[PatternGroup, list[Node]]:
     """Pull CORRELATED filters (referencing variables the whole subtree
     cannot bind) out of ``g`` and its nested plain subgroups — they belong
@@ -1399,6 +1423,15 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         # collected recursively from nested plain subgroups too
         sub2, ex_deferred = _split_correlated(sub, _bindable_vars(sub))
         if ex_deferred:
+            if _group_is_empty(sub2):
+                # EXISTS { FILTER(...) } — pure substitution (§8.1.1): the
+                # condition evaluates against the outer row alone
+                env = {c: F.col(c) for c in sol.columns}
+                cond = F.lit(True)
+                for fnode in ex_deferred:
+                    cond = cond & F.coalesce(_compile_bool(fnode, env, True), F.lit(False))
+                sol = _with_mn(sol.where(cond if positive else ~cond), _mn(sol))
+                continue
             inner = _eval_group(quads, sub2)
             sol = _join_filtered(sol, inner, ex_deferred, how=how)
             continue

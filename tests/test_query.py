@@ -1170,3 +1170,53 @@ def test_correlated_filter_nested_in_braces_inside_exists(spark):
       FILTER EXISTS { { ?s <http://e/q> ?v . FILTER(?v = ?outer) } } }"""
     got = [r["s"]["value"] for r in sparql_query(_quads(spark, rows), q).df.collect()]
     assert got == ["http://e/s1"]
+
+
+def test_exists_with_only_filters_substitutes_outer_bindings(spark):
+    rows = [f'<http://e/s{i}> <http://e/p> "{i}"^^<{_X}integer> .' for i in range(4)]
+    df = _quads(spark, rows)
+    got = sorted(
+        r["s"]["value"]
+        for r in sparql_query(
+            df, "SELECT ?s WHERE { ?s <http://e/p> ?o FILTER EXISTS { FILTER(?o > 1) } }"
+        ).df.collect()
+    )
+    assert got == ["http://e/s2", "http://e/s3"]
+    got = sorted(
+        r["s"]["value"]
+        for r in sparql_query(
+            df,
+            "SELECT ?s WHERE { ?s <http://e/p> ?o FILTER NOT EXISTS { FILTER(?o > 1) } }",
+        ).df.collect()
+    )
+    assert got == ["http://e/s0", "http://e/s1"]
+
+
+def test_malformed_typed_literals_error_not_crash(spark):
+    """ANSI-mode casts throw on malformed input; the engine must treat an
+    invalid lexical form for the claimed datatype as a SPARQL type error
+    (NULL / EBV false per §17.2.2), never a job-killing exception."""
+    rows = [
+        f'<http://e/d> <http://e/v> "1.5"^^<{_X}double> .',
+        f'<http://e/x> <http://e/v> "notanum"^^<{_X}integer> .',
+        f'<http://e/y> <http://e/v> "junk"^^<{_X}dateTime> .',
+    ]
+    df = _quads(spark, rows)
+    # invalid numeric: EBV is false (rule 1), so !?o is true
+    assert sparql_query(df, "ASK { <http://e/x> <http://e/v> ?o FILTER(!?o) }").value is True
+    # invalid dateTime: comparison errors -> filter drops the row, no crash
+    assert (
+        sparql_query(
+            df,
+            f'ASK {{ <http://e/y> <http://e/v> ?o FILTER(?o >= "2020-01-01T00:00:00Z"^^<{_X}dateTime>) }}',
+        ).value
+        is False
+    )
+    # exponent numerals in queries are xsd:double (grammar) and compare in value space
+    assert sparql_query(df, "ASK { <http://e/d> <http://e/v> ?o FILTER(?o = 1.5e0) }").value is True
+    assert (
+        sparql_query(
+            df, f"ASK {{ ?s <http://e/v> ?o FILTER(DATATYPE(1.5e0) = <{_X}double>) }}"
+        ).value
+        is True
+    )
