@@ -62,12 +62,31 @@ _UNESCAPE_RE = re.compile(r"\\(?:u([0-9A-Fa-f]{4})|U([0-9A-Fa-f]{8})|(.))")
 _ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
 
 
+def _checked_chr(cp: int) -> str:
+    """\\u/\\U escape → character; out-of-range and surrogate code points
+    are PARSE errors (err-channel rows), never task-killing ValueErrors or
+    lone surrogates that crash Arrow's UTF-8 encoder downstream."""
+    if cp > 0x10FFFF:
+        raise NtStarError(f"\\U escape out of range: {cp:#x}")
+    if 0xD800 <= cp <= 0xDFFF:
+        raise NtStarError(f"surrogate code point in escape: {cp:#x}")
+    return chr(cp)
+
+
+def _unescape_or_none(s: str) -> str | None:
+    """Vectorized-path wrapper: illegal escapes → None (err row)."""
+    try:
+        return unescape_literal(s)
+    except NtStarError:
+        return None
+
+
 def unescape_literal(s: str) -> str:
     def sub(m: re.Match) -> str:
         if m.group(1):
-            return chr(int(m.group(1), 16))
+            return _checked_chr(int(m.group(1), 16))
         if m.group(2):
-            return chr(int(m.group(2), 16))
+            return _checked_chr(int(m.group(2), 16))
         c = m.group(3)
         return _ECHAR.get(c, c)
 
@@ -126,7 +145,10 @@ def _scan_term(s: str, i: int) -> tuple[str, int]:
             while j < n and not s[j].isspace():
                 j += 1
         elif s.startswith("^^<", j):
-            j = s.index(">", j) + 1
+            j = s.find(">", j)
+            if j == -1:
+                raise NtStarError(f"unterminated datatype IRI at {s[i:i+40]!r}")
+            j += 1
         return s[i:j], j
     if s[i] == "<":
         try:
@@ -152,7 +174,7 @@ def _scan_terms(body: str) -> list[str]:
     return out
 
 
-_LANG_RE = re.compile(r"^[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*$")
+_LANG_RE = re.compile(r"^[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*(?:--[A-Za-z]+)?$")
 
 
 def parse_term_str(text: str) -> tuple:
@@ -193,11 +215,18 @@ def parse_term_str(text: str) -> tuple:
 def parse_star_line(line: str) -> tuple:
     """One NT/NQ-star statement line → (s, p, o, g|None) term tuples."""
     body = line.strip()
-    if "#" in body:  # trailing comment (only outside literals — scan finds it)
-        # cheap check: strip a trailing comment that follows the final '.'
-        m = re.match(r"^(.*\.)\s*#.*$", body)
-        if m:
-            body = m.group(1)
+    if "#" in body and not body.endswith("."):
+        # trailing comment: take the RIGHTMOST '#' whose prefix still ends
+        # with the statement terminator. (A greedy ^(.*\.)\s*#.*$ regex
+        # backtracks INTO string literals — a valid literal like "v. # w"
+        # would be truncated at its inner '.'/'#'.)
+        idx = body.rfind("#")
+        while idx != -1:
+            prefix = body[:idx].rstrip()
+            if prefix.endswith("."):
+                body = prefix
+                break
+            idx = body.rfind("#", 0, idx)
     if not body.endswith("."):
         raise NtStarError(f"missing statement terminator: {line[:80]!r}")
     terms = _scan_terms(body[:-1])
@@ -255,11 +284,18 @@ def _decode_position(ext: pd.DataFrame, tag: str) -> tuple[pd.Series, pd.Series,
         index=ext.index,
     )
 
-    # literal slow path: unescape only rows that actually contain a backslash
+    # literal slow path: unescape only rows that actually contain a backslash;
+    # an illegal escape (out-of-range \\U, surrogate) flags the row for the
+    # err channel instead of raising out of mapInPandas
+    bad = pd.Series(False, index=ext.index)
     has_esc = lit.notna() & lit.str.contains("\\", regex=False)
     if has_esc.any():
         lit = lit.copy()
-        lit[has_esc] = lit[has_esc].map(unescape_literal)
+        dec = lit[has_esc].map(_unescape_or_none)
+        b = dec.isna()
+        if b.any():
+            bad.loc[b[b].index] = True
+        lit[has_esc] = dec
     value = pd.Series(
         np.select(
             [iri.notna(), bn.notna(), var.notna(), lit.notna()],
@@ -274,7 +310,7 @@ def _decode_position(ext: pd.DataFrame, tag: str) -> tuple[pd.Series, pd.Series,
     dt = dt.mask(dt == XSD_STRING, other=pd.NA)
     dt = dt.where(lit.notna(), other=pd.NA)
     lang = lang.where(lit.notna(), other=pd.NA)
-    return kind, value, dt, lang
+    return kind, value, dt, lang, bad
 
 
 _FLAT_COLS = [f"{t}_{f}" for t in ("s", "p", "o", "g") for f in ("kind", "value", "dt", "lang")]
@@ -289,7 +325,7 @@ def _parse_star_rows(lines: pd.Series, src: pd.Series) -> pd.DataFrame:
             s, p, o, g = parse_star_line(line)
             flat = list(s) + list(p) + list(o) + (list(g) if g else [None] * 4)
             rows.append(flat + [None, sc])
-        except NtStarError as e:
+        except (NtStarError, RecursionError) as e:
             rows.append([None] * 16 + [f"parse error: {e}", sc])
     return pd.DataFrame(rows, columns=_FLAT_COLS + ["err", "src"])
 
@@ -325,8 +361,8 @@ def _uchar_iri_or_none(s: str) -> str | None:
     for m in _UCHAR_ONLY_RE.finditer(s):
         out.append(s[pos:m.start()])
         cp = int(m.group(1) or m.group(2), 16)
-        if cp > 0x10FFFF:
-            return None
+        if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+            return None  # out of range / lone surrogate (would crash Arrow)
         out.append(chr(cp))
         pos = m.end()
     rest = s[pos:]
@@ -353,8 +389,10 @@ def _parse_fast(out_lines: pd.Series, out_src: pd.Series) -> pd.DataFrame:
             ext.loc[esc, f"{tag}_iri"] = dec
 
     cols: dict[str, pd.Series] = {}
+    bad_lit = pd.Series(False, index=ext.index)
     for tag in ("s", "p", "o", "g"):
-        kind, value, dt, lang = _decode_position(ext, tag)
+        kind, value, dt, lang, bad = _decode_position(ext, tag)
+        bad_lit = bad_lit | bad
         cols[f"{tag}_kind"] = kind.astype("Int8")
         cols[f"{tag}_value"] = value
         cols[f"{tag}_dt"] = dt
@@ -363,7 +401,7 @@ def _parse_fast(out_lines: pd.Series, out_src: pd.Series) -> pd.DataFrame:
     # a line that matched nothing → err row carrying the offending text;
     # likewise a line whose IRI carried an illegal (non-UCHAR) escape
     failed = ext["s_iri"].isna() & ext["s_bn"].isna() & ext["s_lit"].isna() & ext["s_var"].isna()
-    failed = failed | bad_iri
+    failed = failed | bad_iri | bad_lit
     err = pd.Series(pd.NA, index=ext.index, dtype="object")
     err[failed] = "parse error: " + out_lines[failed].str.slice(0, 200)
     for tag in ("s", "p", "o", "g"):

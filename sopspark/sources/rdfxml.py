@@ -68,13 +68,20 @@ class _Parser:
         return self.fresh()
 
     def parse_node(self, el: ET.Element, lang: str | None) -> tuple:
-        lang = el.get(XML_LANG, lang)
+        lang = _lang_scope(el, lang)
         subj = self.node_subject(el)
         tag = _expand(el.tag)
         if tag != RDF_NS + "Description":
             self.quads.append((subj, (IRI, RDF_TYPE, None, None), (IRI, tag, None, None), None))
-        # property attributes (non-rdf, non-xml attrs on the node element)
+        # property attributes (non-rdf, non-xml attrs on the node element);
+        # rdf:type as a property attribute is the one rdf:-namespace
+        # attribute that EMITS (spec §2.13: object is an IRI, not a literal)
         for attr, val in el.attrib.items():
+            if attr == RDF + "type":
+                self.quads.append(
+                    (subj, (IRI, RDF_TYPE, None, None), (IRI, self.resolve(val), None, None), None)
+                )
+                continue
             if attr.startswith(RDF) or attr == XML_LANG or not attr.startswith("{"):
                 continue
             self.quads.append((subj, (IRI, _expand(attr), None, None), (LITERAL, val, None, lang), None))
@@ -90,7 +97,7 @@ class _Parser:
     def parse_property(
         self, subj: tuple, prop: ET.Element, lang: str | None, pred_iri: str | None = None
     ):
-        lang = prop.get(XML_LANG, lang)
+        lang = _lang_scope(prop, lang)
         pred = (IRI, pred_iri or _expand(prop.tag), None, None)
         res = prop.get(RDF + "resource")
         nid = prop.get(RDF + "nodeID")
@@ -164,6 +171,14 @@ class _Parser:
             self.quads.append((st, (IRI, RDF_NS + "object", None, None), obj, None))
 
 
+def _lang_scope(el, inherited: str | None) -> str | None:
+    """xml:lang scoping: an explicit xml:lang=\"\" CLEARS the inherited
+    language (XML spec §2.12) — the empty string is not a legal tag and
+    must become None, matching the NULL other parsers emit."""
+    v = el.get(XML_LANG, inherited)
+    return v if v else None
+
+
 def parse_rdfxml_text(text: str, base: str | None = None) -> list[tuple]:
     try:
         root = ET.fromstring(text)
@@ -178,7 +193,12 @@ def parse_rdfxml_text(text: str, base: str | None = None) -> list[tuple]:
     return p.quads
 
 
-def parse_rdfxml(spark: SparkSession, paths: str | list[str], base: str | None = None) -> DataFrame:
+def parse_rdfxml(
+    spark: SparkSession,
+    paths: str | list[str],
+    base: str | None = None,
+    scope_bnodes_per_file: bool = False,
+) -> DataFrame:
     if isinstance(paths, str):
         paths = [paths]
     docs = spark.read.text(paths, wholetext=True).select(
@@ -198,4 +218,12 @@ def parse_rdfxml(spark: SparkSession, paths: str | list[str], base: str | None =
                     rows.append([None] * 16 + [f"parse error: {e}", row["src"]])
             yield pd.DataFrame(rows, columns=cols + ["err", "src"])
 
-    return _flat_to_quads(docs.mapInPandas(run, schema=FLAT_SCHEMA)).drop("src")
+    quads = _flat_to_quads(docs.mapInPandas(run, schema=FLAT_SCHEMA))
+    if scope_bnodes_per_file:
+        # parser-generated labels (xb1, xb2, …) restart per document —
+        # without a per-file suffix, anonymous nodes from different files
+        # would silently merge (turtle/ntriples expose the same option)
+        from sopspark.sources.ntriples import suffix_bnodes
+
+        quads = suffix_bnodes(quads, F.substring(F.sha2(F.col("src"), 256), 1, 12))
+    return quads.drop("src")

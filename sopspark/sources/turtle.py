@@ -78,6 +78,9 @@ def _uchar(iri: str) -> str:
         cp = int(m.group(1) or m.group(2), 16)
         if cp > 0x10FFFF:
             raise TurtleError(f"UCHAR code point out of range in IRI: {iri!r}")
+        if 0xD800 <= cp <= 0xDFFF:
+            # a lone surrogate would crash Arrow's UTF-8 encoder downstream
+            raise TurtleError(f"surrogate code point in IRI escape: {iri!r}")
         return chr(cp)
 
     return re.sub(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})", decode, iri)
@@ -156,17 +159,19 @@ class _Parser:
             name = self.term()
             self.graph_block(name)
             return
-        # TriG: `<g> { ... }` or bare `{ ... }`
-        save = self.i
+        # TriG: `<g> { ... }`, `[] { ... }`, or bare `{ ... }`
         if v == "{":
             self.next()
             self.block_body(None)
             return
         subj = self.term_or_collection()
         if self.peek()[1] == "{":
-            self.i = save
-            name = self.term()
-            self.graph_block(name)
+            # TriG graph label: reuse the already-parsed term — re-lexing
+            # through term() rejects the anonymous-bnode label `[] { … }`
+            # (TriG labelOrSubject allows iri | BlankNode incl. ANON)
+            if not (isinstance(subj, tuple) and subj[0] in (IRI, BNODE)):
+                raise TurtleError("graph label must be an IRI or blank node")
+            self.graph_block(subj)
             return
         self.predicate_object_list(subj)
         self.expect(".")
@@ -336,7 +341,9 @@ def _docs_to_flat(pdfs: Iterator[pd.DataFrame], base: str | None) -> Iterator[pd
             src = row.get("src", "")
             try:
                 quads = parse_turtle_text(row["value"], base)
-            except TurtleError as e:
+            except (ValueError, RecursionError) as e:
+                # ValueError covers TurtleError AND the NtStarError that
+                # ntriples.unescape_literal raises on illegal escapes
                 rows.append([None] * 16 + [f"parse error: {e}", src])
                 continue
             for s, p, o, g in quads:

@@ -547,3 +547,91 @@ def test_ndjsonld_fresh_labels_deterministic_and_duplicate_lines_distinct(spark,
     a, b = labels(), labels()
     assert a == b  # deterministic run-to-run
     assert len(a) == 3 and len(set(a)) == 3  # dup lines stay distinct
+
+
+# ---------------------------------------------------------------------------
+# round-4 parser robustness review: crash classes become err rows
+# ---------------------------------------------------------------------------
+
+def test_malformed_escapes_become_err_rows_not_crashes(spark):
+    """Out-of-range \\U escapes, surrogate code points, unterminated
+    datatype IRIs, and pathologically deep RDF-star nesting must flow
+    through the err channel — any of these previously raised a plain
+    ValueError/RecursionError out of mapInPandas and killed the job (a
+    single bad line in a 100 TB corpus must not fail the whole read)."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    deep = "<< " * 1500 + "<http://e/a> <http://e/b> <http://e/c>" + " >>" * 1500
+    bad = [
+        '<http://e/s> <http://e/p> "a\\U00110000b" .',
+        '<http://e/s> <http://e/p> "a\\ud800b" .',
+        '<http://e/\\ud800> <http://e/p> <http://e/o> .',
+        '<< <http://e/a> <http://e/b> <http://e/c> >> <http://e/p> "x"^^<nope .',
+        deep + " <http://e/p> <http://e/o> .",
+        '<http://e/s> <http://e/p> "fine" .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in bad], ["value"]))
+    rows = df.collect()
+    errs = [r for r in rows if r["err"]]
+    assert len(errs) == 5 and len(rows) == 6
+
+
+def test_star_comment_strip_does_not_eat_literals(spark):
+    """The trailing-comment strip must not backtrack into a string literal
+    containing '. # ' — the statement is valid and must parse."""
+    from sopspark.sources.ntriples import parse_lines_df
+
+    rows = [
+        '<< <http://e/a> <http://e/b> "v. # w" >> <http://e/p> <http://e/o> .',
+        '<http://e/s> <http://e/p> "x" . # real comment',
+        '<< <http://e/a> <http://e/b> <http://e/c> >> <http://e/p> "x"@en--ltr .',
+    ]
+    df = parse_lines_df(spark.createDataFrame([(r,) for r in rows], ["value"]))
+    assert [r for r in df.collect() if r["err"]] == []
+
+
+def test_trig_anonymous_graph_label(spark, tmp_path):
+    from sopspark.sources.turtle import parse_turtle
+    from sopspark.terms import BNODE
+
+    f = tmp_path / "anon.trig"
+    f.write_text("[] { <http://e/s> <http://e/p> <http://e/o> . }\n")
+    rows = parse_turtle(spark, str(f)).collect()
+    assert [r for r in rows if r["err"]] == []
+    assert rows[0]["g"]["kind"] == BNODE
+
+
+def test_rdfxml_type_attribute_lang_clear_and_bnode_scoping(spark, tmp_path):
+    from sopspark.sources.rdfxml import parse_rdfxml, parse_rdfxml_text
+    from sopspark.terms import BNODE, LITERAL
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex/" xml:lang="en">'
+        '<rdf:Description rdf:about="http://ex/a" rdf:type="http://ex/Klass" ex:name="n">'
+        "<ex:plain xml:lang=''>plain</ex:plain></rdf:Description></rdf:RDF>"
+    )
+    quads = parse_rdfxml_text(doc)
+    # §2.13: rdf:type as a property attribute emits an IRI-object triple
+    assert any(
+        q[1][1].endswith("#type") and q[2][1] == "http://ex/Klass" for q in quads
+    )
+    # xml:lang="" CLEARS the inherited language; xml:lang="en" still inherits
+    assert {q[2][3] for q in quads if q[2][0] == LITERAL and q[2][1] == "plain"} == {None}
+    assert {q[2][3] for q in quads if q[2][0] == LITERAL and q[2][1] == "n"} == {"en"}
+
+    # per-file bnode scoping: anonymous nodes in two files must not merge
+    anon = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex/"><rdf:Description><ex:p>v</ex:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    (tmp_path / "a.rdf").write_text(anon)
+    (tmp_path / "b.rdf").write_text(anon)
+    paths = [str(tmp_path / "a.rdf"), str(tmp_path / "b.rdf")]
+    merged = parse_rdfxml(spark, paths)
+    labels = {r["s"]["value"] for r in merged.collect() if r["s"]["kind"] == BNODE}
+    assert len(labels) == 1  # default: labels collide (documented)
+    scoped = parse_rdfxml(spark, paths, scope_bnodes_per_file=True)
+    labels2 = {r["s"]["value"] for r in scoped.collect() if r["s"]["kind"] == BNODE}
+    assert len(labels2) == 2  # scoped: distinct per file
