@@ -233,24 +233,57 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_round_sec")), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "kg_extraction_turns_per_sec",
-                "value": round(tps, 1),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "detail": {
-                    "n_convs": n_convs,
-                    "n_turns": n_turns,
-                    "kg_wall_sec": round(kg_wall, 3),
-                    "total_bench_sec": total,
-                    "cpus": cpus,
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "kg_extraction_turns_per_sec",
+        "value": round(tps, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "detail": {
+            "n_convs": n_convs,
+            "n_turns": n_turns,
+            "kg_wall_sec": round(kg_wall, 3),
+            "total_bench_sec": total,
+            "cpus": cpus,
+        },
+    }
+    # Full payload (every timing + breakdown rows + detail) goes to a file —
+    # the driver's stdout capture keeps only the last 2000 chars, which the
+    # r4 JSON line outgrew ("parsed": null). The PRINTED line is a compact
+    # subset under a hard 1900-byte budget: drop the derived
+    # *_first_round_sec/*_round_sec breakdown rows first (they live in the
+    # file), then the detail dict, then fall back to 2-decimal rounding.
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/bench_full.json", "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
+
+    def _compact(p: dict) -> str:
+        return json.dumps(p, separators=(",", ":"))
+
+    printed = dict(payload)
+    printed["full"] = "BENCH/bench_full.json"
+    line = _compact(printed)
+    if len(line) > 1900:
+        printed["queries"] = {
+            k: v for k, v in timings.items() if "_round_sec" not in k
+        }
+        line = _compact(printed)
+    if len(line) > 1900:
+        printed.pop("detail", None)
+        line = _compact(printed)
+    if len(line) > 1900:
+        printed["queries"] = {k: round(v, 2) for k, v in printed["queries"].items()}
+        line = _compact(printed)
+    while len(line) > 1900 and printed["queries"]:
+        # last resort: shed the FASTEST entries (least information) until
+        # the line fits — the file always has everything
+        drop = min(printed["queries"], key=printed["queries"].get)
+        del printed["queries"][drop]
+        line = _compact(printed)
+    print(line, flush=True)
     spark.stop()
 
 

@@ -801,7 +801,7 @@ def duplicate_spans(
     *,
     k: int = 8,
     min_span: int = 12,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Maximal duplicated token spans between document pairs — the exact
     SUBSTRING granularity of Lee et al. 2021 (arXiv:2107.06499 §4 does this
@@ -821,8 +821,8 @@ def duplicate_spans(
          ``span_tokens = islands + k - 1``; spans shorter than ``min_span``
          are dropped.
 
-    ``max_bucket`` (optional) DROPS shingles occurring more than
-    ``max_bucket`` times corpus-wide — such shingles are boilerplate and
+    ``max_bucket`` (DEFAULT ON at 1000; ``None`` disables) DROPS shingles
+    occurring more than ``max_bucket`` times corpus-wide — such shingles are boilerplate and
     carry no alignment signal, and the drop is computed with one
     map-side-combined count aggregate + an anti-join, so the hot shingle
     never funnels into a single sorted window task (a keep-first cap
@@ -891,7 +891,7 @@ def strip_duplicate_spans(
     *,
     k: int = 8,
     min_span: int = 12,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """The CUT step of exact-substring dedup (Lee et al. 2021 §4 apply
     their suffix-array hits by deleting one copy of each duplicate): every

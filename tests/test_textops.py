@@ -356,6 +356,150 @@ def test_jpeg_codec_roundtrip_profiles():
     assert encode_jpeg(img, quality=85) == encode_jpeg(img, quality=85)
 
 
+def _jpeg_test_image(h=41, w=53):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.stack(
+        [128 + 100 * np.sin(xx / 17), 60 + 2.2 * yy, 200 - 1.5 * xx],
+        axis=-1,
+    )
+    return np.clip(img + rng.normal(0, 2, img.shape), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_progressive_decodes_pixel_identical_to_baseline():
+    """SOF2 scans carry the same quantized coefficients as the SOF0 stream
+    for the same input/tables — the progressive decode must reproduce the
+    baseline decode EXACTLY, across spectral-selection-only and
+    successive-approximation scan scripts, 4:4:4 and 4:2:0, and grayscale
+    (the non-interleaved single-component DC/AC path)."""
+    import numpy as np
+
+    from sopspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = _jpeg_test_image()
+    for sub in (False, True):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        for succ in (False, True):
+            data = encode_jpeg(
+                img, quality=85, subsample=sub, progressive=True,
+                successive=succ,
+            )
+            assert data.find(b"\xff\xc2") > 0 and data.count(b"\xff\xda") >= 4
+            out = decode_jpeg(data)
+            assert (out == base).all(), (sub, succ)
+
+    g = np.clip(_jpeg_test_image()[:, :, 0], 0, 255)
+    bg = decode_jpeg(encode_jpeg(g, quality=92))
+    for succ in (False, True):
+        pg = decode_jpeg(
+            encode_jpeg(g, quality=92, progressive=True, successive=succ)
+        )
+        assert (pg == bg).all(), succ
+
+
+def test_jpeg_progressive_truncated_stream_renders_partial():
+    """Progressive's point: a stream cut after the DC scan still renders
+    (DC-only preview), rather than erroring."""
+    import numpy as np
+
+    from sopspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = _jpeg_test_image(24, 32)
+    data = encode_jpeg(img, quality=85, progressive=True)
+    # cut just before the SECOND SOS (after the complete DC scan)
+    cut = data.find(b"\xff\xda", data.find(b"\xff\xda") + 2)
+    out = decode_jpeg(data[:cut])
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # DC-only ≈ 8x8 block means: right ballpark, not equal to full decode
+    assert abs(float(out.mean()) - float(img.mean())) < 16
+
+
+def test_jpeg_ac_refinement_hand_traced_bitstream():
+    """Bit-level oracle for the G.1.2.3 AC refinement walk, independent of
+    the encoder: prior-pass state coef[1]=4 (history of a true 5, Al=1),
+    coef[3] newly −1 this pass. Hand-traced stream for band [1,63], Al=0:
+    symbol 0x11 (skip 1 zero-history, place ±1) + sign bit 0 (negative) +
+    correction bit 1 for coef[1] (5 & 1), then EOB (0x00) with no trailing
+    correction bits. Decoder must land coef[1]=5, coef[3]=−1."""
+    import numpy as np
+
+    from sopspark.jpegcodec import (
+        _ac_refine,
+        _BitReader,
+        _canonical_codes,
+        _HuffDecoder,
+        _simple_huff,
+    )
+
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    counts, vals = _simple_huff(ac_syms)
+    codes = _canonical_codes(counts, vals)
+    dec = _HuffDecoder(counts, vals)
+
+    bits = []
+    for sym in (0x11,):
+        code, ln = codes[sym]
+        bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+    bits += [0]  # sign: negative
+    bits += [1]  # correction bit for coef[1] (magnitude 5, bit0 = 1)
+    code, ln = codes[0x00]  # EOB for the rest of the band
+    bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+    while len(bits) % 8:
+        bits.append(1)  # pad with 1s per spec
+    payload = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+
+    coef = np.zeros(64, dtype=np.int32)
+    coef[1] = 4  # (5 >> 1) << 1 from the Al=1 first pass
+    r = _BitReader(payload + b"\xff\xd9", 0)
+    eobrun = _ac_refine(r, coef, dec, 1, 63, 0, 0)
+    assert eobrun == 0
+    assert coef[1] == 5 and coef[3] == -1
+    assert not coef[[0, 2]].any() and not coef[4:].any()
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a 1-component scan is NON-interleaved — MCU = one data
+    unit, declared sampling factors ignored. A legal grayscale baseline
+    JPEG declaring 2x2 factors must decode pixel-identically to the same
+    stream declaring 1x1 (previously: 'invalid Huffman code' on 24x8, or
+    silently wrong block order on 16-aligned geometries)."""
+    import numpy as np
+
+    from sopspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    for h, w in [(24, 8), (32, 16)]:  # non-aligned crash case + aligned case
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((xx * 11 + yy * 7) % 256).astype(np.uint8)
+        data = bytearray(encode_jpeg(g, quality=90))
+        i = data.find(b"\xff\xc0")
+        assert data[i + 11] == 0x11  # SOF0 body: prec h h w w ncomp cid HV tq
+        ref = decode_jpeg(bytes(data))
+        data[i + 11] = 0x22  # declare 2x2 factors on the only component
+        out = decode_jpeg(bytes(data))
+        assert (out == ref).all(), (h, w)
+
+
+def test_jpeg_ff_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may pad a marker — an
+    'FF FF <marker>' sequence must not be read as marker 0xFF (which
+    desyncs the segment-length parse)."""
+    import numpy as np
+
+    from sopspark.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = ((np.mgrid[0:16, 0:24][0] * 9) % 256).astype(np.uint8)
+    src = encode_jpeg(img, quality=88)
+    ref = decode_jpeg(src)
+    # pad the first post-SOI marker and the SOF0 marker with fill bytes
+    i = src.find(b"\xff\xc0")
+    padded = src[:2] + b"\xff\xff" + src[2:i] + b"\xff" + src[i:]
+    assert (decode_jpeg(padded) == ref).all()
+
+
 def test_jpeg_codec_rejects_unsupported_profiles():
     import struct
 
@@ -367,12 +511,19 @@ def test_jpeg_codec_rejects_unsupported_profiles():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
 
-    # progressive (SOF2) is the declared boundary
+    # arithmetic-coded (SOF9) is the declared boundary (progressive/SOF2
+    # decodes for real since round 5)
     img = np.zeros((16, 16, 3), dtype=np.uint8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="coding process"):
+        decode_jpeg(bytes(data))
+
+    # a baseline full-band scan header under an SOF2 frame is malformed
+    # (progressive DC scans require Se=0) — must error, not mis-decode
     data[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="spectral band"):
         decode_jpeg(bytes(data))
 
     # truncated entropy stream → ValueError/IndexError quarantined upstream
@@ -400,13 +551,17 @@ def test_jpeg_codec_rejects_unsupported_profiles():
 
 
 def test_extract_features_real_jpeg(spark):
-    """synth_assets now alternates PNG / baseline JPEG image payloads; the
-    feature UDF decodes BOTH for real (fake=False) end to end."""
+    """synth_assets rotates PNG / baseline JPEG / progressive JPEG image
+    payloads; the feature UDF decodes ALL THREE for real (fake=False) end
+    to end."""
     from sopspark.multimodal import extract_features, synth_assets
 
-    assets = synth_assets(spark, n=24).where("modality = 'image'")
+    assets = synth_assets(spark, n=36).where("modality = 'image'")
     mimes = {r.mime for r in assets.select("mime").distinct().collect()}
     assert mimes == {"image/png", "image/jpeg"}
+    payloads = [bytes(r.payload) for r in assets.select("payload").collect()]
+    assert any(b"\xff\xc2" in p[:200] for p in payloads)  # SOF2 present
+    assert any(b"\xff\xc0" in p[:200] for p in payloads)  # SOF0 present
     feats = extract_features(assets, feat_dim=16, fake=False).collect()
     assert feats and all(r.err is None and len(r.feature) == 16 for r in feats)
 
@@ -929,6 +1084,24 @@ def test_duplicate_spans_max_bucket_drops_hot_shingles(spark):
     # threshold 2 drops the boilerplate entirely — no pairs survive
     dropped = duplicate_spans(docs, k=8, min_span=12, max_bucket=2).collect()
     assert dropped == []
+
+
+def test_duplicate_spans_default_guard_kills_quadratic_boilerplate(spark):
+    """The guard is DEFAULT-ON (max_bucket=1000): a boilerplate span shared
+    verbatim by 1001 documents would emit 1001·1000/2 ≈ 500k pairs unguarded;
+    under defaults it emits ZERO rows. max_bucket=None restores the
+    unguarded quadratic behavior (verified on a small slice)."""
+    from sopspark.text.dedup import duplicate_spans
+
+    boiler = " ".join(f"c{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(i, boiler + f" u{i}a u{i}b") for i in range(1001)],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs).count() == 0
+    # sanity: the same data un-guarded on a 4-doc slice does pair up
+    small = docs.where("doc_id < 4")
+    assert duplicate_spans(small, max_bucket=None).count() == 6
 
 
 def test_strip_duplicate_spans_cuts_later_doc_only(spark):
