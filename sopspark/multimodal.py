@@ -3,12 +3,14 @@ metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signatures, batch shapes, error quarantine. Codec status: PNG
-(:func:`decode_png`), baseline JPEG (:mod:`sopspark.jpegcodec` — numpy
-Huffman+IDCT, the round-3 gap closed), WAV (:func:`decode_wav`), and APNG
-video frames (:func:`decode_apng_frames`) decode FOR REAL with
-stdlib+numpy code; the remaining formats (progressive JPEG, mp3, mp4)
-need codec libraries absent from this container, so ``decode_image``
-raises ``NotImplementedError`` for them unless ``fake=True``, in which
+(:func:`decode_png`), baseline AND progressive JPEG
+(:mod:`sopspark.jpegcodec` — numpy Huffman+IDCT; SOF0/SOF1/SOF2 incl.
+spectral selection and successive approximation), WAV
+(:func:`decode_wav`), and APNG video frames (:func:`decode_apng_frames`)
+decode FOR REAL with stdlib+numpy code; the remaining formats
+(arithmetic-coded JPEG, mp3, mp4) need codec libraries absent from this
+container, so ``decode_image`` raises ``NotImplementedError`` for them
+unless ``fake=True``, in which
 case a deterministic fake decoder (seeded from the bytes) produces stable
 "features" so the distributed plumbing can still be exercised end-to-end.
 
@@ -267,9 +269,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 array.
 
     PNG payloads decode for real (:func:`decode_png`, stdlib-only — the
-    round-2 codec stub is gone for PNG), and baseline JPEG decodes for
-    real too (:mod:`sopspark.jpegcodec`, numpy Huffman+IDCT — the round-3
-    gap; progressive JPEG still raises). Other formats (mp3/mp4 in image
+    round-2 codec stub is gone for PNG), and JPEG decodes for real too
+    (:mod:`sopspark.jpegcodec`, numpy Huffman+IDCT — baseline since
+    round 4, progressive/SOF2 since round 5; arithmetic-coded JPEG still
+    raises). Other formats (mp3/mp4 in image
     position, webp, ...) need codec libraries absent from this container:
     ``fake=True`` falls back to a deterministic 8x8x3 array seeded by the
     payload digest — stable across executors/runs — and ``fake=False``
@@ -515,14 +518,18 @@ def synth_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
         modality = ["image", "audio", "video"][i % 3]
         dur = None
         if modality == "image":
-            # real payloads, alternating PNG / baseline JPEG — both decode
-            # paths exercised for real
+            # real payloads, rotating PNG / baseline JPEG / progressive
+            # JPEG — all three decode paths exercised for real
             px_seed = int.from_bytes(hashlib.sha256(f"{seed}:{i}".encode()).digest()[:8], "big")
             img = np.random.default_rng(px_seed).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
-            if (i // 3) % 2:
+            if (i // 3) % 3:
                 from sopspark.jpegcodec import encode_jpeg
 
-                payload = encode_jpeg(img, quality=90)
+                payload = encode_jpeg(
+                    img, quality=90,
+                    progressive=(i // 3) % 3 == 2,
+                    successive=(i // 3) % 3 == 2,
+                )
                 mime = "image/jpeg"
             else:
                 payload = encode_png(img)

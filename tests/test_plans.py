@@ -241,6 +241,50 @@ def _global_window_lines(plan: str) -> list[str]:
     return bad
 
 
+_PARTIAL_AGG_CHILD = re.compile(r"Aggregate\w*\(keys=\[\], functions=\[(?:merge_|partial_)")
+
+
+def _single_partition_lines(plan: str) -> list[str]:
+    """Lines that funnel the full dataset through one task — `Coalesce 1`
+    or `Exchange SinglePartition` — EXCEPT the one benign shape: a
+    global-scalar reduce whose exchange child is a keyless map-side
+    partial/merge aggregate (only one pre-combined row per input partition
+    crosses the wire; Spark plans every `SELECT agg(...)` that way and it
+    stays O(#partitions) at any scale). Everything else — repartition(1),
+    a global sort materialized as one partition, a keyless aggregate whose
+    partial side was not planned — is the remaining scale-killer class the
+    window/cartesian/BatchEvalPython guards don't see."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if re.search(r"\bCoalesce 1\b", line):
+            bad.append(line.strip())
+            continue
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if _PARTIAL_AGG_CHILD.search(child):
+            continue
+        bad.append(line.strip())
+    return bad
+
+
+def test_single_partition_detector_shapes(spark):
+    """Flags repartition(1)/coalesce(1) and a global row_number-style
+    funnel; passes the benign global-scalar partial-agg reduce."""
+    df = spark.range(1000).withColumn("g", F.col("id") % 7)
+    assert _single_partition_lines(_physical(df.repartition(1)))
+    assert _single_partition_lines(_physical(df.coalesce(1)))
+    # global scalar aggregate: partial agg → SinglePartition → final agg
+    benign = df.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+    phys = _physical(benign)
+    assert "Exchange SinglePartition" in phys  # the shape under test
+    assert not _single_partition_lines(phys), phys
+    # count(distinct) plans partial_count over a pre-distinct → still benign
+    cd = df.agg(F.countDistinct("g").alias("n"))
+    assert not _single_partition_lines(_physical(cd)), _physical(cd)
+
+
 def test_global_window_detector_catches_the_defect_shape(spark):
     """The detector itself must flag the exact shape of round-3's
     quality_deciles defect (global ntile) and pass its fixed form."""
@@ -278,6 +322,10 @@ def test_registry_plan_hygiene(spark, name):
     # 3. no row-at-a-time Python UDF in any hot path (Arrow-batched pandas
     #    UDFs plan as ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas)
     assert "BatchEvalPython" not in phys, phys
+    # 4. no full-data single-partition funnel (repartition(1)/coalesce(1)/
+    #    global sort-to-one); keyless global-scalar reduces over a map-side
+    #    partial aggregate are the one sanctioned SinglePartition shape
+    assert not _single_partition_lines(phys), _single_partition_lines(phys)
 
 
 def test_tpch_profit_broadcast_dims(spark):
