@@ -1370,13 +1370,19 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
             # BIND-before-pattern (§10.1 up-to-point rule), whose algebra
             # is Join(Extend(x, expr), BGP) — i.e. an equality constraint,
             # NOT a silent overwrite. An erroring expr leaves x unbound in
-            # Extend, which is compatible with any pattern binding.
-            return _with_mn(
-                sol.where(
-                    val.isNull() | F.coalesce(term_eq(val, F.col(var)), F.lit(False))
-                ),
-                _mn(sol),
+            # Extend, which is compatible with any pattern binding; an
+            # UNBOUND pattern-side binding (OPTIONAL/UNION maybe-null) is
+            # likewise compatible and takes the Extend value — term_eq
+            # against NULL must not silently drop the row.
+            keep = (
+                val.isNull()
+                | F.col(var).isNull()
+                | F.coalesce(term_eq(val, F.col(var)), F.lit(False))
             )
+            out = sol.where(keep)
+            if var in _mn(sol):  # only maybe-null vars can be unbound
+                out = out.withColumn(var, F.coalesce(F.col(var), val))
+            return _with_mn(out, _mn(sol))
         # a BIND expression can error → unbound
         return _with_mn(sol.withColumn(var, val), _mn(sol) | {var})
 

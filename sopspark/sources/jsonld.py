@@ -640,6 +640,13 @@ def parse_ndjsonld(
         # duplicate-line table (usually empty) broadcasts back.
         .withColumn("_h", F.md5(F.concat_ws("\n", "src", "value")))
         .withColumn("_mono", F.monotonically_increasing_id())
+        # PIN the nondeterministic _mono before the self-join below: both
+        # plan branches must read ONE materialized copy — a recomputation
+        # (task retry, AQE re-split) could assign different _mono values
+        # per branch and silently merge anonymous bnodes across
+        # byte-identical duplicate lines. localCheckpoint truncates the
+        # lineage so neither branch can re-derive _mono.
+        .localCheckpoint(eager=True)
     )
     wu = Window.partitionBy("_h")
     wo = Window.partitionBy("_h").orderBy("_mono")

@@ -212,21 +212,44 @@ def parse_term_str(text: str) -> tuple:
     raise NtStarError(f"unrecognized term {text!r}")
 
 
+def _strip_trailing_comment(body: str) -> str:
+    """Strip a trailing ``# ...`` comment with one forward scan that tracks
+    literal and IRI state: a '#' inside ``"a.#b"`` or ``<http://x/a.#f>``
+    is never a comment start, while a comment whose own text ends with '.'
+    (``<s> <p> "v" . # ends with .``) IS stripped — the old
+    rightmost-#-with-terminator-prefix heuristic skipped that case entirely
+    (body already ended with '.') and produced a spurious err row. '#'
+    cannot legally occur in any other NT term position (bnode labels, lang
+    tags, and variables exclude it), so the first unquoted '#' starts the
+    comment; a malformed mid-statement '#' still yields an err row because
+    the stripped prefix then lacks the '.' terminator."""
+    in_lit = in_iri = False
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if in_lit:
+            if c == "\\":
+                i += 1
+            elif c == '"':
+                in_lit = False
+        elif in_iri:
+            if c == ">":
+                in_iri = False
+        elif c == '"':
+            in_lit = True
+        elif c == "<":
+            in_iri = True
+        elif c == "#":
+            return body[:i].rstrip()
+        i += 1
+    return body
+
+
 def parse_star_line(line: str) -> tuple:
     """One NT/NQ-star statement line → (s, p, o, g|None) term tuples."""
     body = line.strip()
-    if "#" in body and not body.endswith("."):
-        # trailing comment: take the RIGHTMOST '#' whose prefix still ends
-        # with the statement terminator. (A greedy ^(.*\.)\s*#.*$ regex
-        # backtracks INTO string literals — a valid literal like "v. # w"
-        # would be truncated at its inner '.'/'#'.)
-        idx = body.rfind("#")
-        while idx != -1:
-            prefix = body[:idx].rstrip()
-            if prefix.endswith("."):
-                body = prefix
-                break
-            idx = body.rfind("#", 0, idx)
+    if "#" in body:
+        body = _strip_trailing_comment(body)
     if not body.endswith("."):
         raise NtStarError(f"missing statement terminator: {line[:80]!r}")
     terms = _scan_terms(body[:-1])

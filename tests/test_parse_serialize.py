@@ -590,6 +590,26 @@ def test_star_comment_strip_does_not_eat_literals(spark):
     assert [r for r in df.collect() if r["err"]] == []
 
 
+def test_star_comment_ending_with_dot_is_stripped():
+    """A trailing comment whose own text ends with '.' must still be
+    stripped (the old heuristic only scanned when the body did NOT end
+    with '.'), while '#' inside literals and IRI fragments stays part of
+    the term."""
+    from sopspark.sources.ntriples import parse_star_line
+    from sopspark.terms import IRI, LITERAL
+
+    s, p, o, g = parse_star_line('<http://e/s> <http://e/p> "v" . # ends with .')
+    assert o == (LITERAL, "v", None, None) and g is None
+
+    # '#' inside an IRI whose prefix ends with '.' is NOT a comment start
+    s, p, o, g = parse_star_line("<http://e/s> <http://e/p> <http://e/a.#b> .")
+    assert o == (IRI, "http://e/a.#b", None, None)
+
+    # '#' inside a literal containing '. # ' is NOT a comment start
+    s, p, o, g = parse_star_line('<http://e/s> <http://e/p> "v. # w" . # tail.')
+    assert o == (LITERAL, "v. # w", None, None)
+
+
 def test_trig_anonymous_graph_label(spark, tmp_path):
     from sopspark.sources.turtle import parse_turtle
     from sopspark.terms import BNODE

@@ -1157,6 +1157,31 @@ def test_bind_after_optional_sees_optional_bindings(spark):
     assert got == [("http://e/s1", "http://e/o1"), ("http://e/s2", "http://e/none")]
 
 
+def test_bind_onto_maybe_null_var_keeps_unbound_rows(spark):
+    """BIND onto an already-projected variable that is UNBOUND in some rows
+    (OPTIONAL maybe-null): under the Join(Extend(...)) reading the unbound
+    row is compatible with the Extend binding and must survive CARRYING the
+    BIND value — term_eq(val, NULL) → NULL → coalesced-false previously
+    dropped it silently."""
+    rows = [
+        "<http://e/s1> <http://e/p> <http://e/o1> .",
+        "<http://e/s2> <http://e/p> <http://e/o2> .",
+        "<http://e/s1> <http://e/c> <http://e/d1> .",
+    ]
+    # ?v bound only for s1; BIND fills the s2 row with the default
+    q = """SELECT ?s ?v WHERE { ?s <http://e/p> ?o
+      OPTIONAL { ?s <http://e/c> ?v }
+      BIND(COALESCE(?v, <http://e/default>) AS ?v) }"""
+    got = sorted(
+        (r["s"]["value"], r["v"]["value"])
+        for r in sparql_query(_quads(spark, rows), q).df.collect()
+    )
+    assert got == [
+        ("http://e/s1", "http://e/d1"),
+        ("http://e/s2", "http://e/default"),
+    ]
+
+
 def test_correlated_filter_nested_in_braces_inside_exists(spark):
     """§8.1.1 substitution reaches filters inside nested plain subgroups of
     an EXISTS pattern, not only its top level."""
