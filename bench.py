@@ -167,6 +167,9 @@ def main() -> None:
         "tfidf_topk": QUERIES["tfidf_topk"],
         "random_projection": QUERIES["random_projection"],
         "pq_codes": QUERIES["pq_codes"],
+        "bpe_train": QUERIES["bpe_train"],
+        "bpe_tokenize": QUERIES["bpe_tokenize"],
+        "margin_mining": QUERIES["margin_mining"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

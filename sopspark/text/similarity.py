@@ -583,3 +583,84 @@ def random_projection(
         )
         cols.append(dot * F.lit(factor))
     return df.select(F.col(id_col), F.array(*cols).alias("projected"))
+
+
+def margin_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 §3.2, the "ratio" margin):
+
+        margin(x, y) = cos(x, y) /
+                       ((mean_{z∈NNk(x)} cos(x, z) + mean_{z∈NNk(y)} cos(z, y)) / 2)
+
+    — the standard bitext/pair-mining score: dividing by the average
+    similarity of each side's k-nearest neighborhood cancels hubness (a
+    vector globally close to everything scores no free matches). Emits,
+    per source vector, its best-margin target with ``margin >= threshold``.
+
+    Output: ``(src_id, tgt_id, cosine, margin)``, margin rounded at 6
+    (ranked on the rounded value — the engine-shared-ulp rule).
+
+    Scale shape: this exact variant scores src × tgt with the src side
+    broadcast (the smaller-side-by-contract convention shared with
+    :func:`cosine_topk`); at corpus scale the scored-pair table instead
+    comes from :func:`ivf_cosine_topk` / :func:`lsh_cosine_topk`
+    candidates — the margin algebra downstream (two per-side top-k means
+    + one join) is identical and shuffles only (id, id, score) triples.
+    """
+    # double-width vectors BEFORE the dot product: the DuckDB twin casts to
+    # DOUBLE[] — float32 products would drift ~1e-7 against it, inside the
+    # round-6 band the rank is computed on
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        dv.alias("_sv"),
+        _norm_col(dv).alias("_sn"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        dv.alias("_tv"),
+        _norm_col(dv).alias("_tn"),
+    )
+    scored = (
+        F.broadcast(s)
+        .crossJoin(t)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                _dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn")), 6
+            ).alias("cosine"),
+        )
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("cosine"), F.asc("src_id"))
+    fwd = (
+        scored.withColumn("_r", F.row_number().over(wf))
+        .where(F.col("_r") <= k)
+        .groupBy("src_id")
+        .agg(F.round(F.avg("cosine"), 6).alias("_fm"))
+    )
+    bwd = (
+        scored.withColumn("_r", F.row_number().over(wb))
+        .where(F.col("_r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.round(F.avg("cosine"), 6).alias("_bm"))
+    )
+    denom = (F.col("_fm") + F.col("_bm")) / F.lit(2.0)
+    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    return (
+        scored.join(F.broadcast(fwd), "src_id")
+        .join(F.broadcast(bwd), "tgt_id")
+        .where(denom != 0)  # ANSI mode: never divide by zero
+        .withColumn("margin", F.round(F.col("cosine") / denom, 6))
+        .withColumn("_rk", F.row_number().over(wbest))
+        .where((F.col("_rk") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )

@@ -1243,3 +1243,117 @@ def test_decode_jpeg_rejects_unsupported_precision_and_sampling():
     bad_hv[off + 9 + 1] = 0x21
     with _pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(bad_hv))
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """bpe_train's distributed pair-count + greedy-fold rounds reproduce
+    the reference learn_bpe loop (Sennrich 2016: get_stats / merge_vocab
+    with left-to-right non-overlapping merges) exactly, including the
+    deterministic tie-break (count desc, pair asc)."""
+    import collections
+
+    from sopspark.text.tokenize import bpe_apply, bpe_train
+
+    corpus = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "low new lowest aaaa aaa"),  # odd runs exercise overlap greed
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, n_merges=8).collect()]
+
+    def ref_bpe(words, n):
+        vocab: dict[tuple, int] = {}
+        for w in words:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+        merges = []
+        for rank in range(1, n + 1):
+            stats = collections.Counter()
+            for w, c in vocab.items():
+                for i in range(len(w) - 1):
+                    stats[(w[i], w[i + 1])] += c
+            if not stats:
+                break
+            (l, r), cnt = min(
+                stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, l, r, l + r, cnt))
+            nv: dict[tuple, int] = {}
+            for w, c in vocab.items():
+                out, i = [], 0
+                while i < len(w):
+                    if i < len(w) - 1 and w[i] == l and w[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(w[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + c
+            vocab = nv
+        return merges
+
+    words = [w for _, t in corpus for w in t.lower().split()]
+    assert got == ref_bpe(words, 8)
+
+    # bpe_apply reproduces per-word greedy merging in document order
+    tok = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_apply(docs, [(l, r) for _, l, r, _, _ in got]).collect()
+    }
+    # independent apply: run each merge over each word sequentially
+    def apply_ref(text):
+        out = []
+        for w in text.lower().split():
+            seq = list(w)
+            for _, l, r, _, _ in got:
+                nxt, i = [], 0
+                while i < len(seq):
+                    if i < len(seq) - 1 and seq[i] == l and seq[i + 1] == r:
+                        nxt.append(l + r)
+                        i += 2
+                    else:
+                        nxt.append(seq[i])
+                        i += 1
+                seq = nxt
+            out.extend(seq)
+        return out
+
+    for did, text in corpus:
+        assert tok[did] == apply_ref(text), did
+
+
+def test_margin_mining_matches_numpy_reference(spark):
+    """margin_mining (ratio margin, k-NN means both directions, best
+    target per source) agrees with an independent numpy brute-force."""
+    import numpy as np
+
+    from sopspark.text.similarity import margin_mining
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = emb.where("vec_id % 2 = 0")
+    tgt = emb.where("vec_id % 2 = 1")
+    got = {
+        r["src_id"]: (r["tgt_id"], round(r["margin"], 4))
+        for r in margin_mining(src, tgt, k=3, threshold=0.0).collect()
+    }
+
+    v = vecs.astype("float64")
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sid = [i for i in range(30) if i % 2 == 0]
+    tid = [i for i in range(30) if i % 2 == 1]
+    cos = np.round(n[sid] @ n[tid].T, 6)
+    fm = np.round(
+        np.mean(np.sort(cos, axis=1)[:, -3:], axis=1), 6
+    )  # per-src top-3 mean
+    bm = np.round(np.mean(np.sort(cos, axis=0)[-3:, :], axis=0), 6)
+    margin = np.round(cos / ((fm[:, None] + bm[None, :]) / 2), 6)
+    exp = {}
+    for a, s in enumerate(sid):
+        # best margin, tie-break smaller tgt_id
+        order = sorted(range(len(tid)), key=lambda b: (-margin[a, b], tid[b]))
+        b = order[0]
+        exp[s] = (tid[b], round(float(margin[a, b]), 4))
+    assert got == exp
