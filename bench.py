@@ -256,9 +256,10 @@ def main() -> None:
     # subset under a hard 1900-byte budget: drop the derived
     # *_first_round_sec/*_round_sec breakdown rows first (they live in the
     # file), then the detail dict, then fall back to 2-decimal rounding.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     try:
-        os.makedirs("BENCH", exist_ok=True)
-        with open("BENCH/bench_full.json", "w") as f:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_full.json"), "w") as f:
             json.dump(payload, f, indent=1)
     except OSError:
         pass

@@ -3873,8 +3873,11 @@ def _bpe_rounds_sql(n_merges: int = 8, max_word_len: int = 32) -> str:
              CASE WHEN i < len(s) THEN s[i + 1] END AS nxt
       FROM {p}, unnest(range(1, len(s) + 1)) t(i)
     ), mt{k} AS MATERIALIZED (
+      -- LEFT JOIN ON TRUE, not a cross join: if the corpus exhausts its
+      -- pairs before round {k} (b{k} empty), every position must survive
+      -- with m=0 so v{k} = v{k-1}, mirroring the Spark side's early break
       SELECT e{k}.*, CASE WHEN e = b.lhs AND nxt = b.rhs THEN 1 ELSE 0 END AS m
-      FROM e{k}, b{k} b
+      FROM e{k} LEFT JOIN b{k} b ON TRUE
     ), sel{k} AS MATERIALIZED (
       SELECT w, pos FROM (
         SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS rn
@@ -3937,10 +3940,14 @@ ORACLES["bpe_tokenize"] = _capped_docs_sql(_bpe_tokenize_oracle_sql())
 ORACLES["margin_mining"] = """
     WITH s AS (
       SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE vec_id % 2 = 0
+      FROM embeddings
+      WHERE vec_id % 2 = 0
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ), t AS (
       SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE vec_id % 2 = 1
+      FROM embeddings
+      WHERE vec_id % 2 = 1
+        AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
     ), scored AS (
       SELECT src_id, tgt_id,
              ROUND(list_cosine_similarity(s.v, t.v), 6) AS cosine

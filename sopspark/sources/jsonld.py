@@ -640,18 +640,21 @@ def parse_ndjsonld(
         # duplicate-line table (usually empty) broadcasts back.
         .withColumn("_h", F.md5(F.concat_ws("\n", "src", "value")))
         .withColumn("_mono", F.monotonically_increasing_id())
-        # PIN the nondeterministic _mono before the self-join below: both
-        # plan branches must read ONE materialized copy — a recomputation
-        # (task retry, AQE re-split) could assign different _mono values
-        # per branch and silently merge anonymous bnodes across
-        # byte-identical duplicate lines. localCheckpoint truncates the
-        # lineage so neither branch can re-derive _mono.
-        .localCheckpoint(eager=True)
     )
     wu = Window.partitionBy("_h")
     wo = Window.partitionBy("_h").orderBy("_mono")
+    # PIN the ordinal inputs before the two window passes: the narrow
+    # (_h, _mono) projection is checkpointed so every consumer of the
+    # ordinal reads ONE materialized assignment — never the line text
+    # (checkpointing `lines` itself would duplicate the whole corpus into
+    # executor storage and make the parse eager). The join back onto
+    # `lines` re-derives _mono from the file scan, which assigns
+    # partition-stable ids (rows of a FileScan partition always arrive in
+    # file order, so a task retry reproduces them bit-identically —
+    # unlike post-shuffle mono ids).
+    ids = lines.select("_h", "_mono").localCheckpoint(eager=False)
     dup_seq = (
-        lines.select("_h", "_mono")
+        ids
         .withColumn("_cnt", F.count(F.lit(1)).over(wu))
         .where(F.col("_cnt") > 1)
         # which physical copy gets which ordinal is arbitrary, but

@@ -909,6 +909,17 @@ def strip_duplicate_spans(
     table is duplicate-evidence-sized (≪ corpus); tokens shuffle once on
     doc_id for the interval anti-flagging + reassembly, whose state is
     bounded by the largest single document.
+
+    Known tradeoff of the default-on ``max_bucket`` guard: shingles above
+    the corpus-wide cap are dropped BEFORE pair formation, so spans made
+    entirely of extreme boilerplate (a license header verbatim in >1000
+    documents) are neither detected nor cut here. That is deliberate:
+    cutting an N-copy template through this pairwise path costs O(N²)
+    pair rows — at that duplication level the right tool is the hash-keyed
+    paragraph/exact layer (:func:`paragraph_dedup` / :func:`dedup_clusters`
+    handle it in one equi-join), which is how Lee et al. split the work
+    too. Pass ``max_bucket=None`` only on corpora known to be free of
+    heavy boilerplate.
     """
     spans = duplicate_spans(
         docs, text_col, id_col, k=k, min_span=min_span, max_bucket=max_bucket

@@ -629,8 +629,11 @@ def margin_mining(
         _norm_col(dv).alias("_tn"),
     )
     scored = (
-        F.broadcast(s)
-        .crossJoin(t)
+        # zero-norm vectors (padding rows, failed encoders) would make the
+        # cosine division throw DIVIDE_BY_ZERO under ANSI mode — drop them
+        # on both sides before scoring (the oracle filters identically)
+        F.broadcast(s.where(F.col("_sn") > 0))
+        .crossJoin(t.where(F.col("_tn") > 0))
         .select(
             "src_id",
             "tgt_id",
@@ -638,6 +641,10 @@ def margin_mining(
                 _dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn")), 6
             ).alias("cosine"),
         )
+        # the scored-pair table feeds THREE consumers (fwd top-k, bwd
+        # top-k, final margin join): pin it so the dominant O(|S|·|T|·d)
+        # dot-product pass runs once, not three times
+        .localCheckpoint(eager=False)
     )
     wf = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("cosine"), F.asc("src_id"))

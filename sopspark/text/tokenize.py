@@ -31,6 +31,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the vocab table (one merge round's
+    aggregate). The explode lives in its own projection, separate from the
+    array build (nested higher-order functions defeat Catalyst CSE)."""
+    return (
+        cur.where(F.size("a") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("a") - 2),
+                    lambda i: F.struct(
+                        F.get("a", i).alias("l"), F.get("a", i + 1).alias("r")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _merge_fold(l: str, r: str):
+    """The greedy left-to-right merge of (l, r) as an ``F.aggregate`` step
+    (see module docstring for why this equals the reference semantics)."""
+
+    def step(acc, x):
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(l + r)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return step
+
+
+def _apply_merge(cur: DataFrame, l: str, r: str) -> DataFrame:
+    """Map-only projection applying one merge to every word's symbols."""
+    return cur.select(
+        "cnt",
+        F.aggregate(
+            F.col("a"), F.array().cast("array<string>"), _merge_fold(l, r)
+        ).alias("a"),
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
@@ -68,46 +118,12 @@ def bpe_train(
     merges: list[tuple] = []
     cur = vocab
     for rank in range(1, n_merges + 1):
-        # adjacent-pair counts: explode in a separate projection from the
-        # array build (nested higher-order functions defeat Catalyst CSE)
-        pairs = (
-            cur.where(F.size("a") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("a") - 2),
-                        lambda i: F.struct(
-                            F.get("a", i).alias("l"), F.get("a", i + 1).alias("r")
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("n"))
-        )
-        best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        best = _pair_counts(cur).orderBy(F.desc("n"), "l", "r").limit(1).collect()
         if not best:
             break
         l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merges.append((rank, l, r, l + r, n))
-        # apply the merge: greedy left-to-right fold (see module docstring)
-        cur = cur.select(
-            "cnt",
-            F.aggregate(
-                F.col("a"),
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(l))
-                    & (x == F.lit(r)),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1),
-                        F.array(F.lit(l + r)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            ).alias("a"),
-        )
+        cur = _apply_merge(cur, l, r)
         if rank % 4 == 0 and rank < n_merges:
             cur = cur.localCheckpoint()
     return spark.createDataFrame(
@@ -132,23 +148,9 @@ def bpe_apply(
         F.sequence(F.lit(1), F.length(F.col("_w"))),
         lambda i: F.col("_w").substr(i, F.lit(1)),
     )
-    def _merge_step(l: str, r: str):
-        def step(acc, x):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.lit(l + r)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return step
-
     sym = chars
     for l, r in merges:
-        sym = F.aggregate(sym, F.array().cast("array<string>"), _merge_step(l, r))
+        sym = F.aggregate(sym, F.array().cast("array<string>"), _merge_fold(l, r))
     out = (
         docs.select(
             id_col,

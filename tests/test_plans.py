@@ -328,6 +328,27 @@ def test_registry_plan_hygiene(spark, name):
     assert not _single_partition_lines(phys), _single_partition_lines(phys)
 
 
+def test_bpe_round_building_blocks_plan_hygiene(spark):
+    """q_bpe_train's registry plan is a LocalRelation (the 8-round driver
+    loop runs eagerly), so the registry sweep cannot see the per-round
+    plans that actually execute at scale — assert them directly: the
+    pair-count aggregate map-side-combines with no single-partition funnel
+    beyond its 1-row argmax, and the merge fold is a map-only projection
+    (zero exchanges)."""
+    from sopspark.text.tokenize import _apply_merge, _pair_counts
+
+    vocab = spark.createDataFrame(
+        [(3, ["l", "o", "w"]), (2, ["n", "e", "w"])], "cnt long, a array<string>"
+    )
+    pc = _physical(_pair_counts(vocab))
+    assert "partial_sum" in pc, pc  # map-side combine before the shuffle
+    assert not _single_partition_lines(pc), pc
+    assert "BatchEvalPython" not in pc and "CartesianProduct" not in pc
+    merged = _physical(_apply_merge(vocab, "l", "o"))
+    assert _n_exchanges(merged) == 0, merged  # map-only
+    assert "BatchEvalPython" not in merged
+
+
 def test_tpch_profit_broadcast_dims(spark):
     from sopspark.queries import QUERIES
 

@@ -1357,3 +1357,33 @@ def test_margin_mining_matches_numpy_reference(spark):
         b = order[0]
         exp[s] = (tid[b], round(float(margin[a, b]), 4))
     assert got == exp
+
+
+def test_bpe_merge_exhaustion_oracle_agrees(spark):
+    """A corpus that exhausts its pairs before 8 rounds: bpe_train stops
+    early, bpe_apply still tokenizes, and the DuckDB oracle (whose rounds
+    run v{k} = v{k-1} through an empty b{k} via LEFT JOIN ON TRUE) agrees
+    on both outputs instead of collapsing to zero rows."""
+    import duckdb
+    import pandas as pd
+
+    from sopspark.queries import _bpe_tokenize_oracle_sql, _bpe_train_oracle_sql
+    from sopspark.text.tokenize import bpe_apply, bpe_train
+
+    rows = [(0, "ab ab a"), (1, "b a ab")]  # one learnable merge, then dry
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=8).collect()
+    assert len(merges) == 1 and (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "b")
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    om = con.sql(_bpe_train_oracle_sql()).fetchall()
+    assert [(r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in merges] == om
+
+    tok = {
+        r["doc_id"]: (r["n_tokens"], " ".join(r["tokens"]))
+        for r in bpe_apply(docs, [(m[1], m[2]) for m in om]).collect()
+    }
+    ot = {r[0]: (r[1], r[2]) for r in con.sql(_bpe_tokenize_oracle_sql()).fetchall()}
+    assert tok == {0: (3, "ab ab a"), 1: (3, "b a ab")}
+    assert ot == tok
