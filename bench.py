@@ -170,6 +170,7 @@ def main() -> None:
         "bpe_train": QUERIES["bpe_train"],
         "bpe_tokenize": QUERIES["bpe_tokenize"],
         "margin_mining": QUERIES["margin_mining"],
+        "weighted_sample": QUERIES["weighted_sample"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -442,8 +442,24 @@ def run_pipeline_cli(argv: list[str], spark=None) -> int:
                 else:
                     from pyspark.sql import functions as F
 
+                    from sopspark.terms import LITERAL
+
+                    # reference pretty_print (src/query.rs:182-195):
+                    # boolean/decimal/double/integer literals print their
+                    # BARE lexical form; xsd:string keeps quotes (nt_term
+                    # already omits its datatype); everything else full
+                    # term syntax
+                    _XSD = "http://www.w3.org/2001/XMLSchema#"
+                    _BARE = [_XSD + x for x in ("boolean", "decimal", "double", "integer")]
+
+                    def _pretty(t):
+                        return F.when(
+                            (t["kind"] == LITERAL) & t["dt"].isin(_BARE),
+                            t["value"],
+                        ).otherwise(nt_term(t))
+
                     out = res.df.select(
-                        *[nt_term(F.col(v)).alias(v) for v in res.variables]
+                        *[_pretty(F.col(v)).alias(v) for v in res.variables]
                     )
                     if not args.no_header:
                         print("\t".join("?" + v for v in res.variables))

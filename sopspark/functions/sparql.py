@@ -1357,6 +1357,11 @@ def _eval_group(quads: DataFrame, g: PatternGroup) -> DataFrame | None:
         undef = {v for i, v in enumerate(vars_) if any(r[i] is None for r in rows)}
         vdf = _with_mn(F.broadcast(vdf), undef)
         sol = _join_solutions(sol, vdf) if sol is not None else vdf
+    if sol is None and (g.binds or g.filters) and not (g.exists or g.minuses):
+        # §18.5: Group = Join(Z, …) — a group whose only members are
+        # BIND/FILTER evaluates over the unit solution (one empty mapping),
+        # so { BIND(1 AS ?x) } yields ONE row, not an error.
+        sol = _with_mn(quads.sparkSession.range(1).select(), set())
     if sol is None and (g.binds or g.filters or g.exists or g.minuses):
         raise SparqlError("empty group pattern")
 

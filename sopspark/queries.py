@@ -1922,6 +1922,22 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (text/analysis.py::
+    weighted_sample — Efraimidis–Spirakis A-Res): deterministic
+    engine-shared md5 uniforms, ln(u)/w keys rounded at 9 with id
+    tie-break, global top-k as TakeOrderedAndProject. The DuckDB twin
+    replays the lottery bit-for-bit."""
+    from sopspark.text.analysis import weighted_sample
+
+    docs = _capped_docs(spark, sf_dir)
+    return weighted_sample(docs, k=100, weight_col="n_chars").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        "samp_key",
+    )
+
+
 # ORDER MATTERS for driver verification: the correctness sweep records
 # only the FIRST 50 entries (insertion order). Round 4 front-loads the 32
 # entries that had never appeared in a driver artifact (they were slots
@@ -1983,6 +1999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_tokenize": q_bpe_tokenize,
     "margin_mining": q_margin_mining,
+    "weighted_sample": q_weighted_sample,
     # (further new operators insert here; anything below this line past
     #  slot 50 is outside the driver window)
     # -- long-verified tail (driver-green in r03/r04 artifacts) --
@@ -3978,3 +3995,16 @@ ORACLES["margin_mining"] = """
            ROUND(cosine, 4) AS cosine, ROUND(margin, 4) AS margin
     FROM best WHERE rk = 1 AND margin >= 1.0 ORDER BY src_id
 """
+
+
+ORACLES["weighted_sample"] = _capped_docs_sql(f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+             ROUND(ln(({_md5hex48_sql("'42:' || CAST(doc_id AS VARCHAR)")} + 1)
+                      / 281474976710656.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS samp_key
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, samp_key
+    FROM keyed ORDER BY samp_key DESC, doc_id LIMIT 100
+""")

@@ -859,3 +859,50 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, Inf. Process. Lett. 97(5) — algorithm A-Res): each row draws
+    ``u = uniform(0,1]`` and the k largest values of ``u^(1/w)`` —
+    equivalently ``ln(u)/w``, which avoids pow underflow — form the
+    sample; inclusion probability is proportional to weight, exactly the
+    "select the best k documents by quality-weighted lottery" primitive
+    of data-mixing pipelines.
+
+    Deterministic: ``u`` derives from the engine-shared 48-bit md5 hash of
+    ``(seed, id)``, so the sample is stable across runs, retries, and
+    engines (the DuckDB oracle replays it bit-for-bit). Rows with
+    non-positive weight are never sampled (their key is -inf in the
+    limit). The ranking key is rounded at 9 decimals with an id tie-break
+    so a last-ulp ``ln`` divergence between engines cannot flip the
+    order.
+
+    Scale shape: map-only key projection; the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows —
+    never a single-partition global sort).
+
+    Returns ``(id_col, weight_col, samp_key)`` ordered by key desc.
+    """
+    from sopspark.text.dedup import md5_hash48
+
+    u = (md5_hash48(F.col(id_col).cast("string"), seed=seed) + F.lit(1)) / F.lit(
+        float(2**48)
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias(weight_col),
+            key.alias("samp_key"),
+        )
+        .orderBy(F.desc("samp_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -45,6 +45,25 @@ def test_cli_query_select(spark, capsys, fixtures_dir):
     assert sorted(out[1:]) == ['"Alice"', '"Bob"']
 
 
+def test_cli_query_select_pretty_prints_numeric_literals(spark, capsys, fixtures_dir):
+    """Reference pretty_print (query.rs:182-195): boolean/decimal/double/
+    integer bindings print their bare lexical form; strings keep quotes;
+    other datatypes keep full term syntax."""
+    rc, out = run(
+        spark, capsys,
+        "parse", f"{fixtures_dir}/social.ttl", "-f", "ttl", "!",
+        "query",
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+        "SELECT ?n ?b ?s ?d WHERE { ?p foaf:name ?name . "
+        'BIND(STRLEN(?name) AS ?n) BIND(ISIRI(?p) AS ?b) BIND("x" AS ?s) '
+        'BIND(STRDT("2020-01-01", <http://www.w3.org/2001/XMLSchema#date>) AS ?d) '
+        "} ORDER BY ?n LIMIT 1",
+    )
+    assert rc == 0
+    assert out[0] == "?n\t?b\t?s\t?d"
+    assert out[1] == '3\ttrue\t"x"\t"2020-01-01"^^<http://www.w3.org/2001/XMLSchema#date>'
+
+
 def test_cli_ask_status(spark, capsys, fixtures_dir):
     rc, _ = run(
         spark, capsys,

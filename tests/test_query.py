@@ -1245,3 +1245,18 @@ def test_malformed_typed_literals_error_not_crash(spark):
         ).value
         is True
     )
+
+
+def test_bind_filter_only_group_evaluates_over_unit_solution(spark):
+    """§18.5 Group = Join(Z, ...): a group whose only members are
+    BIND/FILTER evaluates over the unit solution — { BIND(42 AS ?x) }
+    yields one row, filters-only groups gate the single empty mapping."""
+    rows = ["<http://e/s> <http://e/p> <http://e/o> ."]
+    df = _quads(spark, rows)
+    got = sparql_query(df, "SELECT ?x WHERE { BIND(42 AS ?x) }").df.collect()
+    assert len(got) == 1 and got[0]["x"]["value"] == "42"
+    assert sparql_query(
+        df, "SELECT ?x WHERE { BIND(1 AS ?x) FILTER(?x = 2) }"
+    ).df.collect() == []
+    assert sparql_query(df, "ASK WHERE { FILTER(1 = 1) }").value is True
+    assert sparql_query(df, "ASK WHERE { FILTER(1 = 2) }").value is False

@@ -1387,3 +1387,32 @@ def test_bpe_merge_exhaustion_oracle_agrees(spark):
     ot = {r[0]: (r[1], r[2]) for r in con.sql(_bpe_tokenize_oracle_sql()).fetchall()}
     assert tok == {0: (3, "ab ab a"), 1: (3, "b a ab")}
     assert ot == tok
+
+
+def test_weighted_sample_matches_python_lottery_and_plans_topk(spark):
+    """weighted_sample reproduces the A-Res lottery computed independently
+    in Python (hashlib md5 → uniform → ln(u)/w, round 9, id tie-break);
+    zero/negative weights are never drawn; the plan is a
+    TakeOrderedAndProject, not a global sort."""
+    import hashlib
+    import math
+
+    from sopspark.text.analysis import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)] + [(100, 0.0), (101, -2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [(r["doc_id"], r["samp_key"]) for r in weighted_sample(df, 10, "w").collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:12], 16)
+        return round(math.log((h + 1) / 2.0**48) / w, 9)
+
+    exp = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == exp
+    assert all(i not in (100, 101) for i, _ in got)
+
+    phys = weighted_sample(df, 10, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys, phys
