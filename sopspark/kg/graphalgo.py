@@ -39,7 +39,11 @@ def pagerank(
     """Ranks after ``iters`` synchronous iterations over the DISTINCT
     edge set. Returns (node, rank). Dangling mass is redistributed
     uniformly (the standard correction, keeps Σrank = 1)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -52,7 +56,12 @@ def pagerank(
     # drift between the two ranks (pinned by
     # tests/test_scale_ops.py::test_ppr_all_sources_equals_pagerank)
     return personalized_pagerank(
-        e, nodes, iters=iters, damping=damping, checkpoint_every=checkpoint_every
+        e,
+        nodes,
+        iters=iters,
+        damping=damping,
+        checkpoint_every=checkpoint_every,
+        _assume_clean=True,  # e is already null-filtered + distinct
     )
 
 
@@ -96,8 +105,9 @@ def clustering_coefficient(
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
     )
-    tri = triangle_count(e, src="a", dst="b", assume_canonical=True)
+    tri = triangle_count(e, src="a", dst="b", assume_canonical=True, degrees=deg)
     denom = F.col("degree") * (F.col("degree") - 1)
     return deg.join(tri, "node").select(
         "node",
@@ -218,6 +228,7 @@ def personalized_pagerank(
     iters: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    _assume_clean: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: random walks restart at the SOURCE set
     instead of uniformly, so ranks measure relatedness TO the sources —
@@ -232,7 +243,13 @@ def personalized_pagerank(
     iteration one edge-scan join + one node-keyed aggregate, node-sized
     rank table, lazy localCheckpoint lineage truncation.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not _assume_clean:
+        # null endpoints would leak rank mass (a NULL node misses every
+        # equi-join, deflating Σrank below 1 while inflating outdegrees) —
+        # drop them like every other operator in this module; skip the
+        # re-distinct when the caller (pagerank) already did both
+        e = e.where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
     s = sources.select(F.col(source_col).alias("node")).distinct()
     ns = s.count()
     if ns == 0:
@@ -509,6 +526,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     assume_canonical: bool = False,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """Per-vertex triangle counts over an undirected graph.
 
@@ -531,8 +549,10 @@ def triangle_count(
     Three shuffles: degree agg, wedge self-join on the apex, closing-edge
     join — all equi-joins on narrow keys, AQE-skew-splittable.
     ``assume_canonical=True`` skips the canonicalization shuffle when the
-    caller already provides distinct ``a < b`` pairs (the
-    :func:`clustering_coefficient` composition path).
+    caller already provides distinct ``a < b`` pairs, and ``degrees``
+    (``(node, degree)`` over that same canonical set) skips the degree
+    aggregate — both for the :func:`clustering_coefficient` composition
+    path, which otherwise pays each shuffle twice.
     """
     if assume_canonical:
         e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -543,12 +563,17 @@ def triangle_count(
             .where(F.col("a").isNotNull() & F.col("b").isNotNull())
             .distinct()
         )
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    if degrees is not None:
+        deg = degrees.select(
+            F.col(degrees.columns[0]).alias("v"), F.col(degrees.columns[1]).alias("d")
+        )
+    else:
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     # orient each edge from the lower-(degree, id) endpoint (u) to the other (w)
     ed = (
         e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")

@@ -61,13 +61,9 @@ def _driver_union_find(rows: list[tuple], spark, dtype: str = "string") -> DataF
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    # second pass: representative = true min of the class
-    reps: dict[str, str] = {}
-    for n in list(parent):
-        r = find(n)
-        if n < reps.get(r, r):
-            reps[r] = n
-    out = [(n, reps.get(find(n), find(n))) for n in parent]
+    # every root IS its class minimum by induction: a union merges two
+    # classes whose roots are their minima and keeps the smaller as root
+    out = [(n, find(n)) for n in parent]
     from sopspark.session import local_df
 
     # LocalRelation output: the downstream broadcast remap joins build
@@ -108,7 +104,16 @@ def connected_components(
             if len(head) <= driver_threshold:
                 dtype = dict(e.dtypes)["a"]
                 return _driver_union_find(
-                    [(r["a"], r["b"]) for r in head if r["a"] != r["b"]],
+                    [
+                        (r["a"], r["b"])
+                        for r in head
+                        # mirror the distributed path's null-propagating
+                        # `a != b` filter: a null endpoint must be dropped,
+                        # not crash Python's None ordering in union-find
+                        if r["a"] is not None
+                        and r["b"] is not None
+                        and r["a"] != r["b"]
+                    ],
                     edges.sparkSession,
                     dtype,
                 )

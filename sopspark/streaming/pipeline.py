@@ -114,22 +114,18 @@ def stream_extract_triples(turns: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` stage (see :func:`stateful_turn_progress`
     for the state-carrying pattern); the batch pipeline resolves it via the
     turn-assembly window instead."""
-    from collections.abc import Iterator
+    from sopspark.kg.extract import extract_triples
 
-    import pandas as pd
-
-    from sopspark.kg.extract import MENTION_SCHEMA, _extract_batch
-
-    cols = turns.select(
-        "conv_id", "turn_idx", "text", F.lit(None).cast("string").alias("prev_ante")
+    # the batch extractor IS the streaming extractor (mapInPandas is a
+    # stateless streaming-compatible transform) — only prev_ante differs
+    return extract_triples(
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "text",
+            F.lit(None).cast("string").alias("prev_ante"),
+        )
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _extract_batch(pdf)
-
-    return cols.mapInPandas(run, schema=MENTION_SCHEMA)
 
 
 def stream_link_entities(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
@@ -362,8 +358,27 @@ def _cms_merge_batch(
     cur = _current_dir(out_path, bak_path)
     if cur:
         prior = spark.read.parquet(cur)
-        if prior.limit(1).collect() and prior.head()["last_batch"] >= batch_id:
-            return False  # replayed batch: already absorbed
+        prior_last = (
+            prior.head()["last_batch"] if prior.limit(1).collect() else None
+        )
+        if prior_last is not None and prior_last >= batch_id:
+            # foreachBatch replays at most the LAST uncommitted batch, so
+            # within one query incarnation batch_id >= prior_last always
+            # holds and equality means "already absorbed". A batch id
+            # REGRESSION (batch_id < prior_last) can only mean a new query
+            # incarnation over a kept sketch (checkpoint wiped or moved):
+            # skipping would silently freeze the sketch forever, so merge
+            # and let last_batch restart from the new query's counter.
+            if prior_last == batch_id:
+                return False  # replayed batch: already absorbed
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming_heavy_hitters: batch id regressed %s -> %s — "
+                "treating as a new query incarnation over the kept sketch",
+                prior_last,
+                batch_id,
+            )
         merged = (
             prior.select("lane", "bucket", "cnt")
             .unionByName(fresh)
@@ -612,8 +627,10 @@ def streaming_minhash_ingest(
                 os.rename(os.path.join(legacy, f), os.path.join(dst, f))
             elif f == "_SUCCESS":
                 os.remove(os.path.join(legacy, f))
-        if legacy == bak:
-            shutil.rmtree(bak, ignore_errors=True)
+        # the backup is STALE data once the live table migrated — remove it
+        # unconditionally, or a later batch would resurrect it into the
+        # same batch=-1 partition (a mid-swap crash can leave BOTH dirs)
+        shutil.rmtree(bak, ignore_errors=True)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         import shutil

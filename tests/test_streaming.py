@@ -370,13 +370,15 @@ def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
     true = Counter(r.user_id for r in ev.collect())
     assert all(est[u] >= c for u, c in true.items())
 
-    # replay idempotence, exercised DIRECTLY: re-deliver an absorbed
-    # batch_id to the merge step — the guard must refuse it
+    # replay idempotence, exercised DIRECTLY: re-deliver the LAST absorbed
+    # batch_id to the merge step — the guard must refuse it. (foreachBatch
+    # only ever replays the last uncommitted batch, so equality is the
+    # whole replay contract; a same-incarnation regression cannot happen.)
     from sopspark.streaming.pipeline import _cms_merge_batch
 
     out_path, bak_path = f"{wd}/cms", f"{wd}/cms._prev"
     replay = ev.where("user_id % 2 = 1")
-    assert _cms_merge_batch(replay, 0, "user_id", out_path, bak_path, 4, 64) is False
+    assert _cms_merge_batch(replay, 1, "user_id", out_path, bak_path, 4, 64) is False
     gs2 = sorted((r.lane, r.bucket, r.cnt)
                  for r in spark.read.parquet(out_path).collect())
     assert gs2 == gs
@@ -576,3 +578,92 @@ def test_streaming_minhash_ingest_migrates_legacy_pairs_layout(spark, tmp_path):
 
     pairs = spark.read.parquet(f"{wd}/dup_pairs").select("a", "b", "jaccard_est")
     assert (7, 9, 0.875) in {tuple(r) for r in pairs.collect()}
+
+
+def test_cms_batch_id_regression_treated_as_new_incarnation(spark, tmp_path):
+    """A checkpoint reset that keeps the sketch restarts batch ids at 0;
+    the replay guard must NOT freeze the sketch forever — a regression
+    (batch_id < last_batch) merges as a new query incarnation, while an
+    exact replay (batch_id == last_batch) is still refused."""
+    from sopspark.streaming.pipeline import _cms_merge_batch
+
+    wd = str(tmp_path / "wd")
+    out_path, bak_path = f"{wd}/cms", f"{wd}/cms._prev"
+    ev = spark.createDataFrame([(i % 5, None) for i in range(40)], "user_id long, pad string")
+    assert _cms_merge_batch(ev, 7, "user_id", out_path, bak_path, 4, 64) is True
+    # exact replay of the absorbed batch: refused
+    assert _cms_merge_batch(ev, 7, "user_id", out_path, bak_path, 4, 64) is False
+    # new incarnation (checkpoint wiped, ids restart): merged, not frozen
+    extra = spark.createDataFrame([(999, None)], ev.schema)
+    assert _cms_merge_batch(extra, 0, "user_id", out_path, bak_path, 4, 64) is True
+    total = sum(r.cnt for r in spark.read.parquet(out_path).collect()) / 4
+    assert total == 41
+
+
+def test_minhash_legacy_migration_does_not_resurrect_stale_backup(spark, tmp_path):
+    """A pre-partitioned workdir that crashed mid-swap leaves BOTH the live
+    dup_pairs table and its ._prev backup. Migration must keep the live
+    rows and DELETE the stale backup — a later batch must not re-inject
+    outdated evidence into batch=-1."""
+    from sopspark.streaming.pipeline import streaming_minhash_ingest
+
+    wd = str(tmp_path / "wd")
+    live = spark.createDataFrame([(7, 9, 0.875)], "a long, b long, jaccard_est double")
+    live.coalesce(1).write.mode("overwrite").parquet(f"{wd}/dup_pairs")
+    stale = spark.createDataFrame([(1, 2, 0.5)], "a long, b long, jaccard_est double")
+    stale.coalesce(1).write.mode("overwrite").parquet(f"{wd}/dup_pairs._prev")
+
+    docs = spark.createDataFrame(
+        [(1, "totally unique text one"), (2, "other unique body two")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = streaming_minhash_ingest(stream, wd, num_perm=16, bands=4, threshold=0.7)
+    q.awaitTermination(180)
+
+    import os
+
+    assert not os.path.isdir(f"{wd}/dup_pairs._prev")
+    got = {tuple(r) for r in spark.read.parquet(f"{wd}/dup_pairs")
+           .select("a", "b", "jaccard_est").collect()}
+    assert (7, 9, 0.875) in got and (1, 2, 0.5) not in got
+
+    # second delivery into the SAME workdir: nothing resurrects
+    docs2 = spark.createDataFrame([(3, "third unique piece three")], docs.schema)
+    docs2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src2"))
+    q2 = streaming_minhash_ingest(
+        spark.readStream.schema(docs.schema).parquet(str(tmp_path / "src2")),
+        wd, num_perm=16, bands=4, threshold=0.7,
+        checkpoint=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(180)
+    got2 = {tuple(r) for r in spark.read.parquet(f"{wd}/dup_pairs")
+            .select("a", "b", "jaccard_est").collect()}
+    assert (1, 2, 0.5) not in got2 and (7, 9, 0.875) in got2
+
+
+def test_graph_null_endpoints_dropped_both_paths(spark):
+    """Null endpoints: the LocalRelation union-find fast path must drop
+    them like the distributed path (no Python None-comparison crash), and
+    pagerank must neither emit a NULL node nor leak rank mass."""
+    from sopspark.kg.graphalgo import pagerank
+    from sopspark.plans.graph import connected_components
+
+    from sopspark.session import local_df
+
+    edges = local_df(
+        spark,
+        [("a", "b"), ("b", None), (None, "c"), ("c", "c"), ("c", "d")],
+        "a string, b string",
+    )
+    cc = {(r["node"], r["rep"]) for r in connected_components(edges).collect()}
+    assert cc == {("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")}
+
+    pr_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", None), (None, "a")], "src string, dst string"
+    )
+    ranks = pagerank(pr_edges, iters=5).collect()
+    assert all(r["node"] is not None for r in ranks)
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
