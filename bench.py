@@ -171,6 +171,8 @@ def main() -> None:
         "bpe_tokenize": QUERIES["bpe_tokenize"],
         "margin_mining": QUERIES["margin_mining"],
         "weighted_sample": QUERIES["weighted_sample"],
+        "hits": QUERIES["hits"],
+        "link_prediction": QUERIES["link_prediction"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -603,3 +603,209 @@ def triangle_count(
     return verts.join(corners, "node", "left").select(
         "node", F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("triangles")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 1000,
+) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003, "Friends and
+    neighbors on the Web") over an undirected graph: for every
+    NON-adjacent pair (a, b) sharing at least one neighbor,
+
+        score(a, b) = Σ_{z ∈ N(a) ∩ N(b)} 1 / ln(deg(z))
+
+    — the canonical "which KG edges are missing?" analytic after entity
+    resolution (high-scoring non-edges are sameAs/relation candidates).
+    Returns ``(a, b, common, score)`` with a < b, ``common`` the shared-
+    neighbor count and ``score`` rounded at 6 (ln() last-ulp divergence
+    between engines cannot flip a rounded value).
+
+    Scale shape: wedges are enumerated at their CENTER z (one adjacency
+    self-join keyed on z), so the cost is Σ_z deg(z)² — bounded by
+    ``max_center_degree``, which drops hub centers the same way
+    :func:`~sopspark.text.dedup.duplicate_spans` caps hot shingles: a
+    celebrity node of degree B would otherwise emit B²/2 pairs. The cap
+    is part of the operator's CONTRACT (scores count only capped centers)
+    so the DuckDB twin replicates it exactly with a HAVING clause. The
+    per-pair aggregate is map-side combinable; the existing-edge removal
+    is a narrow left_anti join on the canonical (a, b) key.
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        # reused on three plan branches (two adj legs + the anti join)
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    centers = adj.join(
+        deg.where((F.col("d") >= 2) & (F.col("d") <= max_center_degree)), "v"
+    )
+    pairs = (
+        centers.select("v", F.col("nbr").alias("a"), "d")
+        .join(centers.select("v", F.col("nbr").alias("b")), "v")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(1.0 / F.log("d")).alias("_score"),
+        )
+    )
+    return pairs.join(e, ["a", "b"], "left_anti").select(
+        "a", "b", "common", F.round("_score", 6).alias("score")
+    )
+
+
+def adamic_adar_oracle_sql(edges_sql: str, max_center_degree: int = 1000) -> str:
+    """DuckDB twin of :func:`adamic_adar` (``edges_sql`` yields
+    (src, dst)); the center-degree cap replicates as a HAVING clause."""
+    return f"""
+    WITH raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql})),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e
+    ),
+    centers AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS DOUBLE) AS d FROM adj GROUP BY v
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_center_degree}
+    ),
+    pairs AS (
+      SELECT x.nbr AS a, y.nbr AS b,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             SUM(1.0 / ln(c.d)) AS score
+      FROM centers c
+      JOIN adj x ON x.v = c.v
+      JOIN adj y ON y.v = c.v AND x.nbr < y.nbr
+      GROUP BY x.nbr, y.nbr
+    )
+    SELECT p.a, p.b, p.common, round(p.score, 6) AS score
+    FROM pairs p ANTI JOIN e ON e.a = p.a AND e.b = p.b
+    """
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, JACM 46(5)) over a
+    directed graph: per iteration auth(v) = Σ_{u→v} hub(u) then
+    hub(u) = Σ_{u→v} auth(v), each L2-normalized. Returns
+    ``(node, hub, auth)`` for every endpoint.
+
+    Scale shape identical to :func:`pagerank`: per half-iteration one
+    edge-scan equi-join with the node-sized score table + one map-side-
+    combined sum aggregate; the L2 norm is a scalar aggregate broadcast
+    back with a 1-row crossJoin. Lineage truncated with lazy
+    ``localCheckpoint`` every ``checkpoint_every`` rounds. Determinism:
+    fixed iteration count → closed form of the edge set; double summation
+    order sensitivity (~1e-15 relative) is absorbed by rounding at the
+    consumer, same contract as :func:`pagerank`.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    if not nodes.take(1):
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        ).localCheckpoint(eager=True)
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        """nodes left-joined to raw scores, L2-normalized (norm > 0 is
+        guaranteed: every edge endpoint gives one side a positive sum)."""
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce(F.col(col), F.lit(0.0)).alias(col)
+        )
+        norm = full.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
+        )
+        return full.crossJoin(F.broadcast(norm)).select(
+            "node", (F.col(col) / F.col("_n")).alias(col)
+        )
+
+    try:
+        hub = nodes.withColumn("hub", F.lit(1.0))
+        auth = None
+        for i in range(iters):
+            auth = _normalized(
+                e.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("auth")),
+                "auth",
+            )
+            hub = _normalized(
+                e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth").alias("hub")),
+                "hub",
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                hub = hub.localCheckpoint(eager=False)
+                auth = auth.localCheckpoint(eager=False)
+        return hub.join(auth, "node").select("node", "hub", "auth").localCheckpoint(
+            eager=True
+        )
+    finally:
+        nodes.unpersist()
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 8) -> str:
+    """DuckDB twin of :func:`hits`, iterations unrolled as a CTE chain
+    (``edges_sql`` yields (src, dst))."""
+    sql = f"""
+    WITH raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql})),
+    e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM raw
+      WHERE src IS NOT NULL AND dst IS NOT NULL
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    ar{i} AS MATERIALIZED (
+      SELECT nodes.node, COALESCE(r.raw, 0.0) AS raw FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, SUM(h.hub) AS raw
+        FROM e JOIN h{p} h ON h.node = e.src GROUP BY e.dst
+      ) r USING (node)
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT node, raw / (SELECT sqrt(SUM(raw * raw)) FROM ar{i}) AS auth
+      FROM ar{i}
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT nodes.node, COALESCE(r.raw, 0.0) AS raw FROM nodes LEFT JOIN (
+        SELECT e.src AS node, SUM(a.auth) AS raw
+        FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+      ) r USING (node)
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT node, raw / (SELECT sqrt(SUM(raw * raw)) FROM hr{i}) AS hub
+      FROM hr{i}
+    )"""
+    sql += f"""
+    SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+    FROM h{iters} h JOIN a{iters} a USING (node)
+    ORDER BY node"""
+    return sql

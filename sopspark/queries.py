@@ -1944,6 +1944,53 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 51-82 through round 3 — the round-3 judge verified them independently,
 # but the hard signal should carry them), plus any new round-4 operators;
 # the tail re-lists entries already driver-green in CORRECTNESS_r01-r03.
+def q_hits(spark: SparkSession, sf_dir: str, *, iters: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities (kg/graphalgo.py::hits, Kleinberg 1999,
+    8 L2-normalized iterations) over the DIRECTED user→event-type graph —
+    hub scores rank users by breadth of activity, authority scores rank
+    event types by how hub-heavy their audience is; per half-iteration one
+    edge join + one map-side-combined sum, the pagerank shape; the DuckDB
+    oracle unrolls the identical iterations."""
+    from sopspark.kg.graphalgo import hits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        F.concat(F.lit(USR), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit(EV), F.col("event_type")).alias("dst"),
+    )
+    h = hits(edges, iters=iters)
+    return h.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ).orderBy("node")
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (kg/graphalgo.py::adamic_adar) over the
+    part co-occurrence graph — non-adjacent part pairs scored by
+    Σ 1/ln(deg) over shared neighbors, the canonical missing-KG-edge
+    candidate generator; wedges enumerate at their center with a
+    hot-center degree cap (the dup-span skew-guard shape), and the DuckDB
+    twin replicates cap and scores exactly."""
+    from sopspark.kg.graphalgo import adamic_adar
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity") >= 45
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = x.join(y, "l_orderkey").where(F.col("src") < F.col("dst"))
+    return (
+        adamic_adar(edges)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            "common",
+            "score",
+        )
+        .orderBy("a", "b")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's CORRECTNESS artifact covers the FIRST 50 entries only
     # (insertion order). Round-5 window policy: (a) the 39 entries whose
@@ -2000,6 +2047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize": q_bpe_tokenize,
     "margin_mining": q_margin_mining,
     "weighted_sample": q_weighted_sample,
+    "hits": q_hits,
+    "link_prediction": q_link_prediction,
     # (further new operators insert here; anything below this line past
     #  slot 50 is outside the driver window)
     # -- long-verified tail (driver-green in r03/r04 artifacts) --
@@ -3018,6 +3067,37 @@ def _ppr_oracle() -> str:
 
 
 ORACLES["ppr"] = _ppr_oracle()
+
+
+def _hits_oracle() -> str:
+    from sopspark.kg.graphalgo import hits_oracle_sql
+
+    edges = (
+        "SELECT 'http://example.org/user/' || CAST(user_id AS VARCHAR) AS src, "
+        "'http://example.org/event/' || event_type AS dst FROM events"
+    )
+    return hits_oracle_sql(edges, iters=8)
+
+
+ORACLES["hits"] = _hits_oracle()
+
+
+def _link_prediction_oracle() -> str:
+    from sopspark.kg.graphalgo import adamic_adar_oracle_sql
+
+    edges = (
+        "SELECT x.l_partkey AS src, y.l_partkey AS dst "
+        "FROM (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) x "
+        "JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) y "
+        "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"
+    )
+    return (
+        f"SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, common, score "
+        f"FROM ({adamic_adar_oracle_sql(edges)}) ORDER BY a, b"
+    )
+
+
+ORACLES["link_prediction"] = _link_prediction_oracle()
 
 
 def _retention_oracle() -> str:

@@ -255,3 +255,41 @@ def test_write_graph_table_subject_pruning_layout(spark, tmp_path):
     # consecutive files' subject ranges must not interleave
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_adamic_adar_closed_form_and_hot_center_cap(spark):
+    """Hand-computed scores on a 4-node path + square, and the center
+    degree cap: a hub center above the cap contributes NO wedges (the
+    B²/2 blowup guard), mirroring the dup-span skew-guard contract."""
+    import math
+
+    from sopspark.kg.graphalgo import adamic_adar
+
+    # square 1-2-3-4-1: every non-adjacent pair (the two diagonals) shares
+    # exactly two degree-2 neighbors -> score = 2/ln(2)
+    sq = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src bigint, dst bigint"
+    )
+    got = {(r.a, r.b): (r.common, r.score) for r in adamic_adar(sq).collect()}
+    want = round(2 / math.log(2), 6)
+    assert got == {(1, 3): (2, want), (2, 4): (2, want)}
+
+    # star: center 0 with 5 leaves; cap below the center degree kills
+    # every candidate pair instead of emitting 5*4/2 = 10
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    assert adamic_adar(star, max_center_degree=4).count() == 0
+    assert adamic_adar(star).count() == 10
+
+
+def test_hits_fixed_point_two_hubs_one_authority(spark):
+    """Two sources pointing at one sink is a HITS fixed point: the sink
+    is the unit authority, the sources split hub mass 1/sqrt(2) each, and
+    cross scores are zero (no in-edges at sources / out-edges at sink)."""
+    from sopspark.kg.graphalgo import hits
+
+    e = spark.createDataFrame([("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r.node: (round(r.hub, 9), round(r.auth, 9)) for r in hits(e, iters=4).collect()}
+    s = round(1 / 2**0.5, 9)
+    assert got == {"a": (s, 0.0), "b": (s, 0.0), "c": (0.0, 1.0)}
