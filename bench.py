@@ -173,6 +173,7 @@ def main() -> None:
         "weighted_sample": QUERIES["weighted_sample"],
         "hits": QUERIES["hits"],
         "link_prediction": QUERIES["link_prediction"],
+        "scc": QUERIES["scc"],
     }
 
     # warmup: run the same code paths once at tiny scale so JVM/whole-stage

@@ -809,3 +809,206 @@ def hits_oracle_sql(edges_sql: str, iters: int = 8) -> str:
     FROM h{iters} h JOIN a{iters} a USING (node)
     ORDER BY node"""
     return sql
+
+
+def _sig(df: DataFrame, *cols: str):
+    """Order-insensitive (count, xor-hash) signature for fixpoint checks —
+    the same idiom as plans/graph.py::connected_components."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Strongly connected components of a directed graph: ``(node, scc)``
+    with ``scc`` the minimum node id of the component, for every edge
+    endpoint. The coloring algorithm (Orzan 2004; the FW-BW-Trim family,
+    Hong et al. PPoPP'13), every phase expressed as joins + aggregates:
+
+      repeat until no nodes remain:
+        1. TRIM — nodes with no in-edges or no out-edges in the remaining
+           subgraph cannot lie on a cycle: singleton SCCs, peeled in one
+           anti-join pass (kills DAG regions without any fixpoint).
+        2. COLOR — forward-min fixpoint ``color(v) = min({v} ∪ {color(w):
+           v→w})`` converges to the minimum node reachable from v
+           (diameter-bounded rounds, each one edge join + min aggregate).
+        3. CONFIRM — for each root c (``color(c) = c``), every node of
+           SCC(c) is reachable from c along INTRA-color edges (any
+           intermediate x on a c→v path with color(v) = c satisfies
+           reach(x) = reach(c), hence color(x) = c), so one BFS fixpoint
+           over the color-restricted edge set marks exactly the SCC
+           members, all colors simultaneously.
+        4. PEEL confirmed nodes and their edges; repeat.
+
+    Worst case is a reversed-id path (O(n) peels — the known weakness of
+    coloring SCC; trim absorbs the common DAG case), typical corpus
+    graphs finish in a handful of peels. Every fixpoint round is one
+    narrow equi-join + one map-side-combined aggregate with
+    ``localCheckpoint`` lineage truncation every ``checkpoint_every``
+    rounds; per-phase state is a node-sized table. Deterministic: the
+    result is a closed form of the edge set. The DuckDB twin
+    (:func:`scc_oracle_sql`) is an INDEPENDENT formulation — brute-force
+    mutual reachability over a recursive closure — so parity
+    machine-verifies the distributed algorithm end to end.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        # self-loops don't affect SCC membership
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rem_nodes = all_nodes
+    rem_edges = e0.localCheckpoint(eager=True)
+    done: list[DataFrame] = []  # (node, scc) pieces, unioned at the end
+
+    for _ in range(max_iter):
+        if not rem_nodes.take(1):
+            break
+        # ---- 1. trim: no in-edge or no out-edge ⇒ singleton SCC
+        core = rem_nodes.join(
+            rem_edges.select(F.col("dst").alias("node")).distinct(), "node", "semi"
+        ).join(
+            rem_edges.select(F.col("src").alias("node")).distinct(), "node", "semi"
+        ).localCheckpoint(eager=True)
+        trimmed = rem_nodes.join(core, "node", "left_anti")
+        done.append(trimmed.select("node", F.col("node").alias("scc")))
+        rem_nodes = core
+        if not rem_nodes.take(1):
+            break
+        rem_edges = (
+            rem_edges.join(
+                rem_nodes.withColumnRenamed("node", "src"), "src", "semi"
+            )
+            .join(rem_nodes.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        # ---- 2. color: forward-min fixpoint
+        color = rem_nodes.withColumn("color", F.col("node"))
+        prev = None
+        rounds = 0
+        while True:
+            succ = (
+                rem_edges.join(
+                    color.select(
+                        F.col("node").alias("dst"), F.col("color").alias("_c")
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("_c").alias("_m"))
+            )
+            color = color.join(succ, "node", "left").select(
+                "node",
+                F.least(F.col("color"), F.coalesce(F.col("_m"), F.col("color"))).alias(
+                    "color"
+                ),
+            )
+            rounds += 1
+            if rounds % checkpoint_every == 0:
+                color = color.localCheckpoint(eager=False)
+            sig = _sig(color, "node", "color")
+            if sig == prev:
+                break
+            prev = sig
+        color = color.localCheckpoint(eager=True)
+        # ---- 3. confirm: BFS from roots over intra-color edges
+        ic = (
+            rem_edges.join(
+                color.select(F.col("node").alias("src"), F.col("color").alias("_cs")),
+                "src",
+            )
+            .join(
+                color.select(F.col("node").alias("dst"), F.col("color").alias("_cd")),
+                "dst",
+            )
+            .where(F.col("_cs") == F.col("_cd"))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        reached = color.where(F.col("color") == F.col("node")).select(
+            "node", F.col("color").alias("scc")
+        )
+        prev = None
+        rounds = 0
+        while True:
+            step = (
+                ic.join(reached.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"), "scc")
+            )
+            reached = reached.unionByName(step).groupBy("node").agg(
+                F.min("scc").alias("scc")
+            )
+            rounds += 1
+            if rounds % checkpoint_every == 0:
+                reached = reached.localCheckpoint(eager=False)
+            sig = _sig(reached, "node", "scc")
+            if sig == prev:
+                break
+            prev = sig
+        reached = reached.localCheckpoint(eager=True)
+        done.append(reached)
+        # ---- 4. peel
+        rem_nodes = rem_nodes.join(reached, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        rem_edges = (
+            rem_edges.join(rem_nodes.withColumnRenamed("node", "src"), "src", "semi")
+            .join(rem_nodes.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"SCC did not converge within {max_iter} peel rounds")
+
+    out = done[0]
+    for piece in done[1:]:
+        out = out.unionByName(piece)
+    return out.localCheckpoint(eager=True)
+
+
+def scc_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`strongly_connected_components` — an
+    INDEPENDENT formulation: recursive transitive closure, then
+    scc(v) = min({v} ∪ {u : v→*u AND u→*v}). Quadratic in reachable
+    pairs (fine at oracle scale), so parity machine-verifies the
+    distributed coloring algorithm against brute force."""
+    return f"""
+    WITH RECURSIVE raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql})),
+    e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM raw
+      WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM raw WHERE src IS NOT NULL
+      UNION SELECT dst FROM raw WHERE dst IS NOT NULL
+    ),
+    reach(s, t) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t
+    ),
+    mutual AS (
+      SELECT a.s AS v, a.t AS u FROM reach a JOIN reach b
+        ON a.s = b.t AND a.t = b.s
+    )
+    SELECT n.node, least(n.node, min(m.u)) AS scc
+    FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+    GROUP BY n.node
+    """

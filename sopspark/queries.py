@@ -1991,6 +1991,38 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components
+    (kg/graphalgo.py::strongly_connected_components — trim + forward-min
+    coloring + intra-color confirmation, the Orzan/FW-BW-Trim family) over
+    the directed part-transition graph (consecutive line numbers within an
+    order, part ids folded mod 300 to densify cycles); the DuckDB twin is
+    an INDEPENDENT brute-force mutual-reachability closure, so parity
+    machine-verifies the distributed algorithm end to end."""
+    from sopspark.kg.graphalgo import strongly_connected_components
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_quantity") >= 44
+    )
+    x = li.select(
+        "l_orderkey", "l_linenumber", (F.col("l_partkey") % 300).alias("src")
+    )
+    y = li.select(
+        "l_orderkey",
+        (F.col("l_linenumber") - 1).alias("l_linenumber"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    edges = x.join(y, ["l_orderkey", "l_linenumber"]).select("src", "dst")
+    return (
+        strongly_connected_components(edges)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("scc").cast("bigint").alias("scc"),
+        )
+        .orderBy("node")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's CORRECTNESS artifact covers the FIRST 50 entries only
     # (insertion order). Round-5 window policy: (a) the 39 entries whose
@@ -2049,6 +2081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "hits": q_hits,
     "link_prediction": q_link_prediction,
+    "scc": q_scc,
     # (further new operators insert here; anything below this line past
     #  slot 50 is outside the driver window)
     # -- long-verified tail (driver-green in r03/r04 artifacts) --
@@ -3098,6 +3131,26 @@ def _link_prediction_oracle() -> str:
 
 
 ORACLES["link_prediction"] = _link_prediction_oracle()
+
+
+def _scc_oracle() -> str:
+    from sopspark.kg.graphalgo import scc_oracle_sql
+
+    edges = (
+        "SELECT x.l_partkey % 300 AS src, y.l_partkey % 300 AS dst "
+        "FROM (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+        "      WHERE l_quantity >= 44) x "
+        "JOIN (SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+        "      WHERE l_quantity >= 44) y "
+        "ON x.l_orderkey = y.l_orderkey AND y.l_linenumber = x.l_linenumber + 1"
+    )
+    return (
+        f"SELECT CAST(node AS BIGINT) AS node, CAST(scc AS BIGINT) AS scc "
+        f"FROM ({scc_oracle_sql(edges)}) ORDER BY node"
+    )
+
+
+ORACLES["scc"] = _scc_oracle()
 
 
 def _retention_oracle() -> str:

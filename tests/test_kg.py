@@ -293,3 +293,24 @@ def test_hits_fixed_point_two_hubs_one_authority(spark):
     got = {r.node: (round(r.hub, 9), round(r.auth, 9)) for r in hits(e, iters=4).collect()}
     s = round(1 / 2**0.5, 9)
     assert got == {"a": (s, 0.0), "b": (s, 0.0), "c": (0.0, 1.0)}
+
+
+def test_scc_closed_forms(spark):
+    """Coloring-SCC closed forms: two cycles joined by a bridge, a
+    figure-eight (shared node merges both cycles into one SCC), a
+    reversed-id path (the trim-absorbed worst case), and a self-loop
+    singleton."""
+    from sopspark.kg.graphalgo import strongly_connected_components as scc
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return {(r.node, r.scc) for r in scc(df).collect()}
+
+    assert run([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)]) == {
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7)
+    }
+    assert run([(1, 2), (2, 1), (2, 3), (3, 2)]) == {(1, 1), (2, 1), (3, 1)}
+    assert run([(5, 4), (4, 3), (3, 2), (2, 1)]) == {
+        (1, 1), (2, 2), (3, 3), (4, 4), (5, 5)
+    }
+    assert run([(8, 8), (8, 9)]) == {(8, 8), (9, 9)}
