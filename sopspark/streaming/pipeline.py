@@ -554,6 +554,7 @@ def streaming_minhash_ingest(
     hash_fn: str = "xxhash64",
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint: str | None = None,
 ):
     """Continuous near-duplicate ingest — the streaming twin of the batch
     MinHash pipeline, shaped like production dedup-at-ingest:
@@ -698,9 +699,15 @@ def streaming_minhash_ingest(
         idx.write.mode("overwrite").parquet(tmp)
         _swap_in(tmp, idx_path, idx_bak)
 
+    # a new SOURCE into the same workdir needs its own checkpoint (offsets
+    # are per-source); the durable dedup state lives in the parquet tables,
+    # not the checkpoint, so this is safe to point elsewhere
     return (
         stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", os.path.join(workdir, "_minhash_ckpt"))
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(workdir, "_minhash_ckpt"),
+        )
         .trigger(availableNow=True)
         .start()
     )
