@@ -242,6 +242,16 @@ def personalized_pagerank(
     uniform distribution). Same scale shape as :func:`pagerank`: per
     iteration one edge-scan join + one node-keyed aggregate, node-sized
     rank table, lazy localCheckpoint lineage truncation.
+
+    The rank table carries its static per-node metadata (``r0`` and the
+    precomputed dangling flag) so each round is exactly: one edge join +
+    contrib aggregate, one filter-aggregate for the dangling mass (no
+    anti-join — danglingness is a static property of the edge set), and
+    one node-keyed left join producing the next rank table. ``ranks`` is
+    lazily checkpointed every round: it feeds both the mass aggregate and
+    the contrib join, and without the truncation each reference would
+    re-execute the previous round's subtree (the HITS plan-doubling
+    lesson, measured 57 s vs 4 s there).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not _assume_clean:
@@ -263,32 +273,48 @@ def personalized_pagerank(
         .unionByName(s)
         .distinct()
     )
-    # node table carries its restart probability r0 once, reused every round
-    nr = nodes.join(s.withColumn("_s", F.lit(1)), "node", "left").select(
-        "node",
-        F.when(F.col("_s").isNotNull(), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("r0"),
-    ).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ew = e.join(deg, "src").persist()
     ew.count()
+    # node table carries its restart probability r0 AND the dangling flag
+    # (no out-edges) once — both are static, so no per-round anti-join
+    nr = (
+        nodes.join(s.withColumn("_s", F.lit(1)), "node", "left")
+        .join(
+            deg.select(F.col("src").alias("node"), F.lit(1).alias("_o")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("r0"),
+            F.col("_o").isNull().alias("dang"),
+        )
+    )
     d = float(damping)
     try:
-        ranks = nr.select("node", F.col("r0").alias("rank"))
+        ranks = nr.withColumn("rank", F.col("r0")).localCheckpoint(eager=False)
         for i in range(iters):
             contrib = (
-                ew.join(ranks.withColumnRenamed("node", "src"), "src")
+                ew.join(
+                    ranks.select(F.col("node").alias("src"), "rank"), "src"
+                )
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
             )
-            dangling = (
-                ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"))
+            dangling = ranks.where("dang").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")
             )
             ranks = (
-                nr.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                ranks.select("node", "r0", "dang")
+                .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
                     "node",
+                    "r0",
+                    "dang",
                     (
                         (1.0 - d) * F.col("r0")
                         + d
@@ -298,12 +324,11 @@ def personalized_pagerank(
                         )
                     ).alias("rank"),
                 )
+                .localCheckpoint(eager=False)
             )
-            if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-                ranks = ranks.localCheckpoint(eager=False)
-        return ranks.localCheckpoint(eager=True)
+        return ranks.select("node", "rank").localCheckpoint(eager=True)
     finally:
-        for cached in (nr, deg, ew):
+        for cached in (deg, ew):
             cached.unpersist()
 
 
@@ -733,22 +758,27 @@ def hits(
         ).localCheckpoint(eager=True)
 
     def _normalized(raw: DataFrame, col: str) -> DataFrame:
-        """nodes left-joined to raw scores, L2-normalized (norm > 0 is
-        guaranteed: every edge endpoint gives one side a positive sum).
+        """L2-normalize the raw score table (norm > 0 is guaranteed: every
+        edge endpoint gives one side a positive sum).
 
-        The joined score table is lazily checkpointed BEFORE the norm
-        aggregate so the norm branch and the output branch share one
-        materialized node-sized copy. Without it each half-iteration
-        embeds its input subtree twice (norm agg + projection), doubling
-        the plan per half-iteration — 2^(2·checkpoint_every) recompute
-        inside every truncation window (measured 57 s vs 3 s at sf0.1)."""
-        full = nodes.join(raw, "node", "left").select(
-            "node", F.coalesce(F.col(col), F.lit(0.0)).alias(col)
-        ).localCheckpoint(eager=False)
-        norm = full.agg(
+        The raw table is lazily checkpointed BEFORE the norm aggregate so
+        the norm branch and the output branch share one materialized copy.
+        Without it each half-iteration embeds its input subtree twice
+        (norm agg + projection), doubling the plan per half-iteration —
+        exponential recompute inside every truncation window (measured
+        57 s vs 3 s at sf0.1).
+
+        Nodes absent from ``raw`` carry score 0.0: they add nothing to the
+        L2 norm and nothing to the next round's edge sums (every live
+        score is strictly positive, so absence ≡ zero exactly, not
+        approximately), so the node-complete left join happens ONCE at the
+        end instead of once per half-iteration — one fewer node-keyed
+        shuffle join per half-iteration, same floating-point results."""
+        raw = raw.localCheckpoint(eager=False)
+        norm = raw.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
         )
-        return full.crossJoin(F.broadcast(norm)).select(
+        return raw.crossJoin(F.broadcast(norm)).select(
             "node", (F.col(col) / F.col("_n")).alias(col)
         )
 
@@ -768,8 +798,15 @@ def hits(
                 .agg(F.sum("auth").alias("hub")),
                 "hub",
             )
-        return hub.join(auth, "node").select("node", "hub", "auth").localCheckpoint(
-            eager=True
+        return (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth", F.lit(0.0)).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
         )
     finally:
         nodes.unpersist()

@@ -172,15 +172,29 @@ def pq_assign(
     if m < 1 or dim % m != 0:
         raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     sub = dim // m
-    out = None
-    for j in range(m):
+
+    # The m subspace trainings are INDEPENDENT blocking job chains (each:
+    # one init collect + iters-1 centroid-update collects). Run them from a
+    # thread pool so the driver round-trips overlap and executor slots
+    # back-fill across chains instead of serializing m short jobs — the
+    # per-subspace computation (and its determinism) is unchanged.
+    def _train(j: int) -> DataFrame:
         dj = df.select(
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sub")
         )
-        aj = kmeans_assign(dj, "_sub", id_col, k=k, iters=iters, round_dp=round_dp).select(
+        return kmeans_assign(
+            dj, "_sub", id_col, k=k, iters=iters, round_dp=round_dp
+        ).select(
             F.col(id_col),
             F.col("cluster").alias(f"c{j}"),
             F.col("dist").alias(f"d{j}"),
         )
-        out = aj if out is None else out.join(aj, id_col)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, m)) as pool:
+        parts = list(pool.map(_train, range(m)))
+    out = parts[0]
+    for aj in parts[1:]:
+        out = out.join(aj, id_col)
     return out

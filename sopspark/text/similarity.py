@@ -618,29 +618,98 @@ def margin_mining(
     # DOUBLE[] — float32 products would drift ~1e-7 against it, inside the
     # round-6 band the rank is computed on
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    s = src.select(
-        F.col(id_col).alias("src_id"),
-        dv.alias("_sv"),
-        _norm_col(dv).alias("_sn"),
+
+    # O(|S|·|T|·d) scoring pass as a mapInArrow batch kernel (guide-§4
+    # shape: Spark distributes T, numpy does the bulk arithmetic) instead
+    # of a per-pair interpreted Catalyst fold — the fold is a higher-order
+    # function with no whole-stage codegen, and it dominated this
+    # operator's wall. The src side is collected to the driver under the
+    # SAME smaller-side-by-contract bound that previously made it a
+    # broadcast-hash build side.
+    #
+    # Bitwise equivalence with the previous Catalyst expression (and the
+    # DuckDB twin's contract): the fold summed products STRICTLY left to
+    # right in float64; accumulating one dimension at a time across the
+    # whole pair matrix (acc += T[:,j]·S[:,j]) performs the identical
+    # sequence of IEEE multiply-then-add per pair (no FMA, no pairwise
+    # reassociation), norms likewise, so the UNROUNDED cosines are
+    # bit-identical and the authoritative F.round(…, 6) still happens in
+    # Spark on identical inputs.
+    import numpy as np
+
+    s_rows = src.select(F.col(id_col).alias("src_id"), dv.alias("_sv")).collect()
+    dim = len(s_rows[0]["_sv"]) if s_rows else 0
+    S = (
+        np.asarray([list(r["_sv"]) for r in s_rows], dtype=np.float64)
+        if s_rows
+        else np.zeros((0, 0), dtype=np.float64)
     )
-    t = tgt.select(
-        F.col(id_col).alias("tgt_id"),
-        dv.alias("_tv"),
-        _norm_col(dv).alias("_tn"),
-    )
+    sn = np.zeros(S.shape[0], dtype=np.float64)
+    for j in range(dim):
+        sn += S[:, j] * S[:, j]
+    sn = np.sqrt(sn)
+    # zero-norm vectors (padding rows, failed encoders) would make the
+    # cosine division throw DIVIDE_BY_ZERO under ANSI mode — drop them on
+    # both sides before scoring (the oracle filters identically)
+    skeep = sn > 0.0
+    S, sn = S[skeep], sn[skeep]
+    sids = [r["src_id"] for r, k in zip(s_rows, skeep) if k]
+    ns = len(sids)
+
+    t = tgt.select(F.col(id_col).alias("tgt_id"), dv.alias("_tv"))
+    src_id_ddl = src.select(F.col(id_col).alias("src_id")).schema[
+        "src_id"
+    ].dataType.simpleString()
+    tgt_id_ddl = t.schema["tgt_id"].dataType.simpleString()
+
+    def _score(batches):
+        import pyarrow as pa
+
+        if ns == 0:
+            return
+        sids_np = np.asarray(sids)
+        # bound per-slice memory: ~4M pair cells (~32 MB of float64)
+        step = max(1, (1 << 22) // ns)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            tid = b.column(0)
+            T = np.asarray(b.column(1).to_pylist(), dtype=np.float64)
+            tn = np.zeros(T.shape[0], dtype=np.float64)
+            for j in range(dim):
+                tn += T[:, j] * T[:, j]
+            tn = np.sqrt(tn)
+            tkeep = tn > 0.0
+            if not tkeep.any():
+                continue
+            T, tn = T[tkeep], tn[tkeep]
+            tid = tid.filter(pa.array(tkeep))
+            for lo in range(0, T.shape[0], step):
+                Ts, tns = T[lo : lo + step], tn[lo : lo + step]
+                nt = Ts.shape[0]
+                acc = np.zeros((nt, ns), dtype=np.float64)
+                for j in range(dim):
+                    acc += np.outer(Ts[:, j], S[:, j])
+                cos = acc / (sn[None, :] * tns[:, None])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.tile(sids_np, nt)),
+                        tid.slice(lo, nt).take(
+                            np.repeat(np.arange(nt), ns)
+                        ),
+                        pa.array(cos.ravel()),
+                    ],
+                    names=["src_id", "tgt_id", "cosine"],
+                )
+
     scored = (
-        # zero-norm vectors (padding rows, failed encoders) would make the
-        # cosine division throw DIVIDE_BY_ZERO under ANSI mode — drop them
-        # on both sides before scoring (the oracle filters identically)
-        F.broadcast(s.where(F.col("_sn") > 0))
-        .crossJoin(t.where(F.col("_tn") > 0))
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(
-                _dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn")), 6
-            ).alias("cosine"),
+        t.mapInArrow(
+            _score,
+            schema=(
+                f"src_id {src_id_ddl}, tgt_id {tgt_id_ddl}, cosine double"
+            ),
         )
+        .withColumn("cosine", F.round("cosine", 6))
         # the scored-pair table feeds THREE consumers (fwd top-k, bwd
         # top-k, final margin join): pin it so the dominant O(|S|·|T|·d)
         # dot-product pass runs once, not three times

@@ -140,7 +140,17 @@ def bpe_apply(
 ) -> DataFrame:
     """Tokenize documents with a learned merge list: per word, apply each
     merge in rank order with the same greedy fold used during training.
-    Map-only — merges are literal constants folded into the projection.
+
+    The fold chain (``n_merges`` nested ``F.aggregate`` array folds) is the
+    dominant cost and BPE is a pure function of the word, so it runs over
+    the DISTINCT-word table only (zipfian-tiny next to the occurrence
+    stream: ~10^8 distinct words vs ~10^13 tokens at corpus scale) and the
+    per-word symbol arrays hash-join back onto the occurrences. AQE turns
+    the join into a broadcast when the vocabulary fits; at corpus scale it
+    stays a narrow-key shuffle of (word, tokens) pairs. The word split is
+    recomputed on both plan branches deliberately — it is a cheap map-only
+    projection, while materializing the occurrence stream would be a
+    corpus-sized write.
 
     Returns ``(id_col, tokens array<string>, n_tokens)``.
     """
@@ -151,15 +161,14 @@ def bpe_apply(
     sym = chars
     for l, r in merges:
         sym = F.aggregate(sym, F.array().cast("array<string>"), _merge_fold(l, r))
+    occ = docs.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_i", "_w"),
+    ).where((F.length("_w") > 0) & (F.length("_w") <= max_word_len))
+    vocab_tokens = occ.select("_w").distinct().select("_w", sym.alias("_s"))
     out = (
-        docs.select(
-            id_col,
-            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
-                "_i", "_w"
-            ),
-        )
-        .where((F.length("_w") > 0) & (F.length("_w") <= max_word_len))
-        .select(id_col, "_i", sym.alias("_s"))
+        occ.join(vocab_tokens, "_w")
+        .select(id_col, "_i", "_s")
         .groupBy(id_col)
         # word order restored via the position key — collect_list order is
         # otherwise partition-arrival order, not document order

@@ -1,6 +1,7 @@
 """Replicates the driver's DuckDB-oracle comparison at sf0.01: row count,
 column names, and order-insensitive value equality per query."""
 
+import decimal
 import math
 
 import duckdb
@@ -26,6 +27,11 @@ def ddb():
 def _norm(v):
     if v is None:
         return "\x00null"
+    if isinstance(v, decimal.Decimal):
+        # engines canonicalize DECIMAL differently (Spark keeps Decimal,
+        # DuckDB may surface float64); compare on the numeric value like
+        # the driver's float64 path does
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
