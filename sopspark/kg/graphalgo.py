@@ -963,8 +963,12 @@ def strongly_connected_components(
                 ),
             )
             rounds += 1
-            if rounds % checkpoint_every == 0:
-                color = color.localCheckpoint(eager=False)
+            # every round, not every checkpoint_every: color_{i+1}
+            # references color_i TWICE (succ join + direct), so an
+            # untruncated window doubles the subtree per round — the HITS
+            # plan-doubling shape; the lazy checkpoint materializes with
+            # the signature job anyway
+            color = color.localCheckpoint(eager=False)
             sig = _sig(color, "node", "color")
             if sig == prev:
                 break
@@ -998,8 +1002,10 @@ def strongly_connected_components(
                 F.min("scc").alias("scc")
             )
             rounds += 1
-            if rounds % checkpoint_every == 0:
-                reached = reached.localCheckpoint(eager=False)
+            # same doubling shape as the color fixpoint: reached_{i+1}
+            # references reached_i twice (step join + union) — truncate
+            # every round
+            reached = reached.localCheckpoint(eager=False)
             sig = _sig(reached, "node", "scc")
             if sig == prev:
                 break

@@ -37,6 +37,65 @@ def _dist_to(vec_col, centroid: list[float], round_dp: int):
     return F.round(F.sqrt(sq), round_dp)
 
 
+def _with_distances(v: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """``(_id, _v)`` → ``(_id, _v, _d0.._d{m-1})``: unrounded euclidean
+    distance to each centroid, computed as a mapInArrow numpy kernel.
+
+    Bitwise-identical to the Catalyst ``zip_with + aggregate`` fold it
+    replaces (which, as an interpreted higher-order expression, cost ~1 µs
+    per ELEMENT): the fold squares each difference then sums strictly left
+    to right in float64; accumulating one dimension at a time across the
+    batch (``acc += (X[:,j]-c[j])**2``) performs the identical IEEE op
+    sequence per row (no FMA, no pairwise reassociation), and ``sqrt`` is
+    correctly rounded in both runtimes. The authoritative ``F.round`` and
+    the (dist, cluster) lexicographic argmin stay in Spark, on identical
+    inputs. Rows whose vector is NULL, has the wrong length, or contains
+    NULL elements get NULL distances — the same outcome the fold produced.
+    """
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    m, dim = C.shape
+    id_ddl = v.schema["_id"].dataType.simpleString()
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            lst = b.column(1).to_pylist()
+            valid = np.array(
+                [
+                    x is not None and len(x) == dim and None not in x
+                    for x in lst
+                ],
+                dtype=bool,
+            )
+            dcols = np.full((m, n), np.nan, dtype=np.float64)
+            if valid.any():
+                X = np.asarray(
+                    [lst[i] for i in np.nonzero(valid)[0]], dtype=np.float64
+                )
+                for ci in range(m):
+                    acc = np.zeros(X.shape[0], dtype=np.float64)
+                    for j in range(dim):
+                        dlt = X[:, j] - C[ci, j]
+                        acc += dlt * dlt
+                    dcols[ci, valid] = np.sqrt(acc)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1)]
+                + [pa.array(dcols[ci], mask=~valid) for ci in range(m)],
+                names=["_id", "_v"] + [f"_d{ci}" for ci in range(m)],
+            )
+
+    dcols_ddl = ", ".join(f"_d{ci} double" for ci in range(m))
+    return v.mapInArrow(
+        fn, schema=f"_id {id_ddl}, _v array<double>, {dcols_ddl}"
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -67,17 +126,19 @@ def kmeans_assign(
 
     assigned = None
     for it in range(iters):
+        cids = sorted(centroids)
+        dv = _with_distances(v, [centroids[c] for c in cids])
         cands = [
             F.struct(
-                _dist_to(F.col("_v"), cent, round_dp).alias("d"),
-                F.lit(j).alias("c"),
+                F.round(F.col(f"_d{i}"), round_dp).alias("d"),
+                F.lit(cid).alias("c"),
             )
-            for j, cent in sorted(centroids.items())
+            for i, cid in enumerate(cids)
         ]
         # lexicographic least of (dist, cluster): nearest centroid,
         # smallest id on ties — one codegen expression, no join
         best = cands[0] if len(cands) == 1 else F.least(*cands)
-        assigned = v.withColumn("_best", best).select(
+        assigned = dv.withColumn("_best", best).select(
             "_id", "_v",
             F.col("_best.d").alias("dist"),
             F.col("_best.c").alias("cluster"),
