@@ -382,52 +382,138 @@ def semdedup(
 
     Returns (id, cluster, is_dup) for every input row.
     """
+    import numpy as np
+
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).select(id_col, "_v", _norm_col(F.col("_v")).alias("_n"))
-    seeds = (
-        v.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).alias("_sid"),
-            F.col("_v").alias("_sv"),
-            F.col("_n").alias("_sn"),
+
+    # Seed scoring as a mapInArrow numpy kernel (the margin_mining /
+    # kmeans idiom): the k seeds are bounded driver state (the same rows
+    # the previous broadcast shipped), the kernel emits one UNROUNDED
+    # cosine column per seed with the exact float64 op sequence of the
+    # Catalyst fold it replaces (dimension-at-a-time accumulation, norms
+    # passed through from the Catalyst-computed column), and the
+    # authoritative round(6) + (cos desc, seed asc) argmax stay in Spark —
+    # the argmax as one F.least over (−cos, sid) structs instead of a
+    # per-id window, which also removes the window exchange and the k-way
+    # row expansion.
+    seed_rows = v.orderBy(id_col).limit(k).collect()
+    seed_rows = [r for r in seed_rows if r["_v"] is not None]
+    if not seed_rows:
+        # empty input (or all-null vectors): same empty frame the previous
+        # crossJoin-with-empty-broadcast produced
+        return v.where(F.lit(False)).select(
+            id_col, F.col(id_col).alias("cluster"), F.lit(False).alias("is_dup")
         )
+    sids = [r[id_col] for r in seed_rows]
+    SV = (
+        np.asarray([list(r["_v"]) for r in seed_rows], dtype=np.float64)
+        if seed_rows
+        else np.zeros((0, 0))
     )
-    scored = v.crossJoin(F.broadcast(seeds)).withColumn(
-        "_cos",
-        F.round(_dot(F.col("_v"), F.col("_sv")) / (F.col("_n") * F.col("_sn")), 6),
+    SN = np.asarray([r["_n"] for r in seed_rows], dtype=np.float64)
+    nseeds, dim = SV.shape if seed_rows else (0, 0)
+    id_ddl = v.schema[id_col].dataType.simpleString()
+
+    def _seed_scores(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            lst = b.column(1).to_pylist()
+            n_arr = b.column(2).to_numpy(zero_copy_only=False)
+            nrow = b.num_rows
+            cos = np.full((nseeds, nrow), np.nan)
+            valid = np.array(
+                [
+                    x is not None and len(x) == dim and None not in x
+                    for x in lst
+                ],
+                dtype=bool,
+            )
+            valid &= ~np.isnan(n_arr.astype(np.float64, copy=False))
+            if valid.any() and nseeds:
+                X = np.asarray(
+                    [lst[i] for i in np.nonzero(valid)[0]], dtype=np.float64
+                )
+                NV = n_arr[valid].astype(np.float64)
+                for si in range(nseeds):
+                    acc = np.zeros(X.shape[0])
+                    for j in range(dim):
+                        acc += X[:, j] * SV[si, j]
+                    cos[si, valid] = acc / (NV * SN[si])
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), b.column(2)]
+                + [pa.array(cos[si], mask=~valid) for si in range(nseeds)],
+                names=[id_col, "_v", "_n"] + [f"_c{si}" for si in range(nseeds)],
+            )
+
+    ccols = ", ".join(f"_c{si} double" for si in range(nseeds))
+    scored = v.mapInArrow(
+        _seed_scores,
+        schema=f"{id_col} {id_ddl}, _v array<double>, _n double, {ccols}",
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_sid").asc())
+    cands = [
+        F.struct(
+            # null cosine (degenerate vector) ranks WORST — the window it
+            # replaces ordered desc nulls-last
+            F.coalesce(-F.round(F.col(f"_c{si}"), 6), F.lit(float("inf"))).alias(
+                "nc"
+            ),
+            F.lit(sid).alias("s"),
+        )
+        for si, sid in enumerate(sids)
+    ]
+    best = cands[0] if len(cands) == 1 else F.least(*cands)
     # checkpoint before the cluster self-join: both join branches AND the
     # final flag join reuse `assigned`; without a materialization each
-    # would re-execute the k-way seed expansion + assignment window
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, F.col("_sid").alias("cluster"), "_v", "_n")
+    # would re-execute the seed-scoring kernel
+    assigned = scored.withColumn("_best", best).select(
+        id_col, F.col("_best.s").alias("cluster"), "_v", "_n"
     ).localCheckpoint()
-    a = assigned.select(
-        "cluster",
-        F.col(id_col).alias("_a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = assigned.select(
-        "cluster",
-        F.col(id_col).alias("_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    dups = (
-        a.join(b, "cluster")
-        .where(F.col("_a") < F.col("_b"))
-        .where(
-            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")) >= tau
+
+    # Within-cluster near-dup flags: one grouped-map pandas pass per
+    # cluster instead of a pairwise self-join — each vector ships ONCE per
+    # cluster (the join shipped it once per candidate pair), and the dot
+    # products run through the same bitwise-faithful numpy accumulation;
+    # the >= tau comparison happens on identical float64 values. Cluster
+    # size is the executor-memory bound, same contract as before (the
+    # paper's k ≈ √n regime keeps clusters executor-sized).
+    import pandas as pd
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        vecs = pdf["_v"].tolist()
+        norms = pdf["_n"].to_numpy()[order].astype(np.float64)
+        valid = np.array(
+            [
+                vecs[i] is not None and len(vecs[i]) == dim
+                for i in order
+            ],
+            dtype=bool,
         )
-        .select(F.col("_b").alias(id_col))
-        .distinct()
+        keep_idx = np.nonzero(valid)[0]
+        if len(keep_idx) < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        X = np.asarray([vecs[order[i]] for i in keep_idx], dtype=np.float64)
+        NV = norms[keep_idx]
+        m = X.shape[0]
+        acc = np.zeros((m, m))
+        for j in range(X.shape[1]):
+            acc += np.outer(X[:, j], X[:, j])
+        cos = acc / np.outer(NV, NV)
+        iu = np.triu_indices(m, 1)
+        dup_cols = np.unique(iu[1][cos[iu] >= tau])
+        return pd.DataFrame({id_col: ids[keep_idx[dup_cols]]})
+
+    dups = (
+        assigned.select("cluster", id_col, "_v", "_n")
+        .groupBy("cluster")
+        .applyInPandas(_cluster_dups, schema=f"{id_col} {id_ddl}")
         .withColumn("_dup", F.lit(True))
     )
     return (

@@ -138,18 +138,24 @@ def test_bloom_semi_join_probe_prefilter_shape(spark):
         assert m.group(1).split("#")[0] in ("_w", "l_orderkey", "o_orderkey"), m.group(0)
 
 
-def test_semdedup_broadcast_seeds(spark):
+def test_semdedup_kernel_shape(spark):
     from sopspark.text.similarity import semdedup
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = semdedup(emb, k=8, tau=0.4)
     phys = _physical(df)
-    # the assignment subtree (k-way seed expansion + window) materializes
-    # ONCE via localCheckpoint — downstream consumers read the RDD scan
+    # the assignment subtree (seed-scoring mapInArrow kernel + argmax)
+    # materializes ONCE via localCheckpoint — downstream consumers read
+    # the RDD scan
     assert "ExistingRDD" in phys, phys
-    # remaining exchanges: cluster-pair self-join (2) + dup-flag join (2);
-    # AQE broadcasts the tiny dup side at runtime
-    assert _n_exchanges(phys) <= 4, phys
+    # within-cluster dup detection is a grouped-map pandas pass (each
+    # vector ships once per cluster), not a pairwise self-join, and no
+    # row-at-a-time Python appears anywhere
+    assert "FlatMapGroupsInPandas" in phys, phys
+    assert "BatchEvalPython" not in phys, phys
+    # remaining exchanges: the grouped-map's cluster exchange (1) + the
+    # dup-flag join (<=2); AQE broadcasts the tiny dup side at runtime
+    assert _n_exchanges(phys) <= 3, phys
 
 
 def test_chunk_documents_zero_shuffle(spark):
