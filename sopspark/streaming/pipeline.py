@@ -701,7 +701,11 @@ def streaming_minhash_ingest(
 
     # a new SOURCE into the same workdir needs its own checkpoint (offsets
     # are per-source); the durable dedup state lives in the parquet tables,
-    # not the checkpoint, so this is safe to point elsewhere
+    # not the checkpoint, so this is safe to point elsewhere — but runs
+    # SHARING one workdir must be sequential: with distinct checkpoints
+    # Spark no longer rejects two concurrent queries, and two concurrent
+    # ingests could race _swap_in's whole-index rewrite and lose or
+    # corrupt signatures (there is no cross-process lock on workdir)
     return (
         stream.writeStream.foreachBatch(upsert)
         .option(
