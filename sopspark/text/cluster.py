@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 
 def _dist_to(vec_col, centroid: list[float], round_dp: int):
+    """Catalyst reference expression for one (row, centroid) euclidean
+    distance — the semantics :func:`_with_distances` reproduces bitwise.
+    Kept as the executable spec (and for ad-hoc single-centroid use);
+    the hot path uses the batch kernel."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
     sq = F.aggregate(
         F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),

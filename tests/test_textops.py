@@ -1416,3 +1416,70 @@ def test_weighted_sample_matches_python_lottery_and_plans_topk(spark):
 
     phys = weighted_sample(df, 10, "w")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in phys, phys
+
+
+def test_kmeans_distance_kernel_matches_catalyst_spec(spark):
+    """The mapInArrow distance kernel (_with_distances) must reproduce the
+    Catalyst reference expression (_dist_to) EXACTLY — including null and
+    wrong-length vectors, which get null distances in both paths. Compared
+    at 12 decimals, far past the operator's round_dp=6."""
+    import numpy as np
+
+    from sopspark.text.cluster import _dist_to, _with_distances
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(40)]
+    rows.append((100, None))          # null vector
+    rows.append((101, [1.0, 2.0]))    # ragged vector
+    v = spark.createDataFrame(rows, "_id long, _v array<double>")
+    cents = [[float(x) for x in rng.standard_normal(6)] for _ in range(3)]
+
+    got = {
+        r["_id"]: [r[f"k{j}"] for j in range(3)]
+        for r in _with_distances(v, cents)
+        .select(
+            "_id",
+            *[
+                F.round(F.col(f"_d{j}"), 12).alias(f"k{j}")
+                for j in range(3)
+            ],
+        )
+        .collect()
+    }
+    exp = {
+        r["_id"]: [r[f"e{j}"] for j in range(3)]
+        for r in v.select(
+            "_id",
+            *[
+                _dist_to(F.col("_v"), c, 12).alias(f"e{j}")
+                for j, c in enumerate(cents)
+            ],
+        ).collect()
+    }
+    assert got == exp
+    assert got[100] == [None, None, None]
+    assert got[101] == [None, None, None]
+
+
+def test_margin_mining_empty_and_degenerate_sides(spark):
+    """Kernel-path edge cases: empty src yields an empty result (same as
+    the old empty-broadcast crossJoin), and zero-norm vectors are dropped
+    from both sides before scoring."""
+    from sopspark.text.similarity import margin_mining
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (2, [0.0, 0.0]),   # zero-norm src — dropped
+            (1, [1.0, 0.0]),
+            (3, [0.0, 0.0]),   # zero-norm tgt — dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    src = emb.where("vec_id % 2 = 0")
+    tgt = emb.where("vec_id % 2 = 1")
+    out = margin_mining(src, tgt, k=2, threshold=0.0).collect()
+    assert [(r["src_id"], r["tgt_id"]) for r in out] == [(0, 1)]
+
+    empty_src = emb.where("vec_id < 0")
+    assert margin_mining(empty_src, tgt, k=2, threshold=0.0).count() == 0
