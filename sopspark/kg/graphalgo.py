@@ -154,9 +154,17 @@ def label_propagation(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    adj = e.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
-        e.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
-    ).persist()
+    adj = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("nbr")))
+        # pre-partition the (big) adjacency on the per-round join key: one
+        # setup shuffle instead of one adjacency exchange EVERY round — the
+        # cached partitioning satisfies the join's distribution, so each
+        # round only shuffles the node-sized label table (guide §2: remove
+        # shuffles outright where the data is already partitioned)
+        .repartition("nbr")
+        .persist()
+    )
     labels = adj.select("v").distinct().withColumn("label", F.col("v"))
     try:
         for i in range(iters):

@@ -1287,8 +1287,8 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sopspark.text.chunk import chunk_documents
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return chunk_documents(docs, chunk_size=64, overlap=16).orderBy(
-        "doc_id", "chunk_idx"
+    return _ckpt_sorted(
+        chunk_documents(docs, chunk_size=64, overlap=16), "doc_id", "chunk_idx"
     )
 
 
@@ -2043,67 +2043,15 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's CORRECTNESS artifact covers the FIRST 50 entries only
-    # (insertion order). Round-5 window policy: (a) the 39 entries whose
-    # last driver-green row is r3 (the r4 window rotated them out while
-    # functions/sparql.py changed 392 lines), then (b) everything whose
-    # code/oracle changed THIS round, then (c) new round-5 operators.
-    # Long-verified unchanged entries overflow into the tail.
-    # -- (a) last driver-verified in r3 (39 entries) --
-    "turn_assembly": q_turn_assembly,
-    "sessionize": q_sessionize,
-    "asof_join": q_asof_join,
-    "scd2_merge": q_scd2_merge,
-    "fingerprint": q_fingerprint,
-    "contamination": q_contamination,
-    "bm25_search": q_bm25_search,
-    "sparql_optional": q_sparql_optional,
-    "sparql_path": q_sparql_path,
-    "sparql_path_closure": q_sparql_path_closure,
-    "sparql_topk": q_sparql_topk,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_neardup": q_embedding_neardup,
-    "simhash_neardup": q_simhash_neardup,
-    "token_counts": q_token_counts,
-    "quality_score": q_quality_score,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "simhash": q_simhash,
-    "langid": q_langid,
-    "filter_expr": q_filter_expr,
-    "map_expr": q_map_expr,
-    "merge_graphs": q_merge_graphs,
-    "dedup": q_dedup,
-    "dispatch_remainder": q_dispatch_remainder,
-    "agg_pushdown": q_agg_pushdown,
-    "broadcast_join": q_broadcast_join,
-    "pii_redact": q_pii_redact,
-    "stratified_sample": q_stratified_sample,
-    "pack_sequences": q_pack_sequences,
-    "collapse_repeats": q_collapse_repeats,
-    "entity_histogram": q_entity_histogram,
-    "corpus_stats": q_corpus_stats,
-    "kmv_sketch": q_kmv_sketch,
-    "event_windows": q_event_windows,
-    "lm_score": q_lm_score,
-    "mixture_sample": q_mixture_sample,
-    "range_join": q_range_join,
-    "rollup_agg": q_rollup_agg,
-    "topk_per_group": q_topk_per_group,
-    # -- (b) changed in round 5 (decimal-width pin / hot-shingle guard) --
-    "bloom_semi_join": q_bloom_semi_join,
-    "dup_spans": q_dup_spans,
-    "strip_dup_text": q_strip_dup_text,
-    # -- (c) new in round 5 --
-    "bpe_train": q_bpe_train,
-    "bpe_tokenize": q_bpe_tokenize,
-    "margin_mining": q_margin_mining,
-    "weighted_sample": q_weighted_sample,
-    "hits": q_hits,
-    "link_prediction": q_link_prediction,
-    "scc": q_scc,
-    # (further new operators insert here; anything below this line past
-    #  slot 50 is outside the driver window)
-    # -- long-verified tail (driver-green in r03/r04 artifacts) --
-    "kg_flagship": q_kg_flagship,
+    # (insertion order). Round-6 window policy (VERDICT r5 item 4): (a)
+    # the 46 entries whose last driver-green row is r4 (the r5 window
+    # rotated them out), then (b) the highest-risk entries whose CODE
+    # changed in this optimization round and that sat in the r5 window
+    # (bloom_semi_join output type, margin/bpe kernel rewrites, hits join
+    # restructure). Union of r5+r6 windows = the full 96-query registry.
+    # Remaining r5-green entries overflow into the tail; every tail entry
+    # is still covered each run by tests/test_oracle_parity.py.
+    # -- (a) last driver-verified in r4 (46 entries) --
     "kg_incremental": q_kg_incremental,
     "sparql_select": q_sparql_select,
     "sparql_agg": q_sparql_agg,
@@ -2150,6 +2098,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "random_projection": q_random_projection,
     "pq_codes": q_pq_codes,
+    # -- (b) code changed in round 6, rotated back in (4 entries) --
+    "bloom_semi_join": q_bloom_semi_join,
+    "margin_mining": q_margin_mining,
+    "bpe_tokenize": q_bpe_tokenize,
+    "hits": q_hits,
+    # (slot 50 boundary: anything below is outside the driver window)
+    # -- r5-green tail, unchanged or locally parity-verified --
+    "turn_assembly": q_turn_assembly,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "scd2_merge": q_scd2_merge,
+    "fingerprint": q_fingerprint,
+    "contamination": q_contamination,
+    "bm25_search": q_bm25_search,
+    "sparql_optional": q_sparql_optional,
+    "sparql_path": q_sparql_path,
+    "sparql_path_closure": q_sparql_path_closure,
+    "sparql_topk": q_sparql_topk,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "filter_expr": q_filter_expr,
+    "map_expr": q_map_expr,
+    "merge_graphs": q_merge_graphs,
+    "dedup": q_dedup,
+    "dispatch_remainder": q_dispatch_remainder,
+    "agg_pushdown": q_agg_pushdown,
+    "broadcast_join": q_broadcast_join,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "collapse_repeats": q_collapse_repeats,
+    "entity_histogram": q_entity_histogram,
+    "corpus_stats": q_corpus_stats,
+    "kmv_sketch": q_kmv_sketch,
+    "event_windows": q_event_windows,
+    "lm_score": q_lm_score,
+    "mixture_sample": q_mixture_sample,
+    "range_join": q_range_join,
+    "rollup_agg": q_rollup_agg,
+    "topk_per_group": q_topk_per_group,
+    "dup_spans": q_dup_spans,
+    "strip_dup_text": q_strip_dup_text,
+    "bpe_train": q_bpe_train,
+    "weighted_sample": q_weighted_sample,
+    "link_prediction": q_link_prediction,
+    "scc": q_scc,
+    "kg_flagship": q_kg_flagship,
 }
 
 def _wrapped() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
