@@ -363,3 +363,23 @@ def test_tpch_profit_broadcast_dims(spark):
     # the final (nation, year) aggregate + sort
     assert phys.count("BroadcastExchange") >= 3, phys
     assert _n_exchanges(phys) <= 3, phys  # orders join + agg + final sort
+
+
+def test_label_propagation_adjacency_prepartitioned(spark, monkeypatch):
+    """The cached adjacency must be hash-partitioned on the per-round join
+    key (nbr) BEFORE the persist boundary: one REPARTITION_BY_COL setup
+    shuffle, and NO per-round ENSURE_REQUIREMENTS exchange re-shuffling
+    the adjacency for the label join (that exchange sat above the cache
+    and re-executed every round — measured 5.6 -> 3.9 s at sf0.1)."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from sopspark.kg import graphalgo
+
+    # identity checkpoint so the full per-round plan stays inspectable
+    monkeypatch.setattr(_CDF, "localCheckpoint", lambda self, eager=True: self)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    phys = _physical(graphalgo.label_propagation(e, iters=2))
+    nbr_ex = re.findall(r"Exchange hashpartitioning\(nbr#\d+L?, \d+\), (\w+)", phys)
+    assert nbr_ex and all(k == "REPARTITION_BY_COL" for k in nbr_ex), (nbr_ex, phys)
